@@ -1,0 +1,334 @@
+"""Feature projections P1-P15, adjacency join J1, union U1.
+
+Re-expresses the reference mappers
+(/root/reference/src/main/java/org/entur/asag/mapbox/mapper/*.java and
+DeliveryPublicationStreamToGeoJson.java) as one declarative DataFrame
+program. Everything is built-in ``pyspark.sql.functions`` — no UDFs —
+so Catalyst prunes/pushes and whole-stage codegen covers the whole
+projection.
+
+Scale notes (100 TB design):
+* J1's build side is ``stops.select(id, own_type)`` — two thin columns.
+  Even at 10^9 stops that's tens of GB, so at true web scale the hint
+  degrades gracefully: we keep the explicit ``broadcast()`` for the
+  registry-sized case the reference serves (~10^5 stops) and rely on
+  AQE to fall back to shuffled hash join past
+  ``spark.sql.autoBroadcastJoinThreshold``.
+* The only shuffle in the whole feature pipeline is the adjacency
+  ``groupBy(id)`` over rows that HAVE adjacent sites (a few % of stops
+  — FIXTURES.md §3 rate 1/25); the union/projections are shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..extract import extract_entities, keylist_value
+from ..schema import SUBMODE_KEYS
+from ..datagen import AS_OF
+from .filters import validity_filter, geometry_presence_filter
+
+SECTION_STOPS = 0
+SECTION_PARKINGS = 1
+SECTION_TARIFF_ZONES = 2
+
+
+# -- scalar helpers (P2, P8, geometry lon/lat) ------------------------------
+
+def codespace(id_col: Column) -> Column:
+    """P2 — codeSpace = id.split(':')[0] iff the id contains exactly two
+    ':' (ZoneToGeoJsonFeatureMapper.java:68-74)."""
+    return F.when(
+        F.size(F.split(id_col, ":")) == 3, F.split(id_col, ":")[0]
+    )
+
+
+def resolved_submode(props: Column) -> Column:
+    """P8 — first non-null submode whose value != 'unknown'
+    (PublicationDeliveryHelper.java:106-126; 'unknown' guard :114).
+    Reflection over get*Submode getters becomes an explicit coalesce
+    over the fixed NeTEx submode key list."""
+    return F.coalesce(
+        *[F.nullif(props[k], F.lit("unknown")) for k in SUBMODE_KEYS],
+        F.lit(None).cast("string"),
+    )
+
+
+def own_stop_type(props: Column) -> Column:
+    """getStopPlaceType fallback chain: submode → stopPlaceType →
+    'unknown' (DeliveryPublicationStreamToGeoJson.java:201-214)."""
+    return F.coalesce(
+        resolved_submode(props), props["stopPlaceType"], F.lit("unknown")
+    )
+
+
+def point_lon(wkt: Column) -> Column:
+    return F.regexp_extract(wkt, r"POINT\(([-\d.]+) ([-\d.]+)\)", 1).try_cast("double")
+
+
+def point_lat(wkt: Column) -> Column:
+    return F.regexp_extract(wkt, r"POINT\(([-\d.]+) ([-\d.]+)\)", 2).try_cast("double")
+
+
+def _entry(key: str, value: Column) -> Column:
+    return F.struct(F.lit(key).alias("key"), value.alias("value"))
+
+
+def _props_map(*entries: Column) -> Column:
+    """Build map<string,string> dropping entries whose value is null —
+    the reference simply never calls setProperty for absent values."""
+    arr = F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
+    return F.map_from_entries(arr)
+
+
+def _zone_base_entries(df_props: Column, id_col: Column,
+                       entity_type: str) -> list[Column]:
+    """P1 — shared Zone→Feature projection
+    (ZoneToGeoJsonFeatureMapper.java:51-66). name/description are set
+    whenever the MultilingualString exists (even empty — MapperHelper
+    .java:34-41); privateCode is skipped when empty (:56-62)."""
+    return [
+        _entry("name", df_props["name"]),
+        _entry("nameLang", df_props["nameLang"]),
+        _entry("description", df_props["description"]),
+        _entry("descriptionLang", df_props["descriptionLang"]),
+        _entry("privateCode", F.nullif(df_props["privateCode"], F.lit(""))),
+        _entry("id", id_col),
+        _entry("codeSpace", codespace(id_col)),
+        _entry("entityType", F.lit(entity_type)),
+    ]
+
+
+# -- J1: adjacency broadcast self-join --------------------------------------
+
+def adjacent_sites_sorted(props: Column) -> Column:
+    """O1 — adjacentSites as a case-insensitively sorted array
+    (TreeSet(String::compareToIgnoreCase), PublicationDeliveryHelper
+    .java:92-104). Ties (refs equal modulo case) break lexicographically
+    — documented deviation, reference behavior undefined."""
+    refs = F.array_distinct(F.split(props["adjacentSites"], ","))
+    return F.when(
+        props["adjacentSites"].isNotNull(),
+        F.array_sort(
+            refs,
+            lambda a, b: F.when(F.lower(a) < F.lower(b), -1)
+            .when(F.lower(a) > F.lower(b), 1)
+            .when(a < b, -1)
+            .when(a > b, 1)
+            .otherwise(0),
+        ),
+    )
+
+
+def adjacency_final_types(stops: DataFrame) -> DataFrame:
+    """J1/A3 — per stop with adjacentSites: probe every ref against the
+    broadcast ``id → ownType`` map, union the found types with the own
+    type, sort, '_'-join (DeliveryPublicationStreamToGeoJson.java:135,
+    146-164). Left join: unknown refs contribute nothing
+    (Optional.ifPresent at :153-154).
+
+    Returns (id, final_joined_type) for stops that HAVE adjacent sites.
+    """
+    types = stops.select(
+        F.col("id").alias("ref_id"), own_stop_type(F.col("props")).alias("ref_type")
+    )
+    probes = stops.select(
+        "id",
+        own_stop_type(F.col("props")).alias("own_type"),
+        F.explode(adjacent_sites_sorted(F.col("props"))).alias("ref"),
+    )
+    found = probes.join(
+        F.broadcast(types), probes["ref"] == types["ref_id"], "left"
+    )
+    return (
+        found.groupBy("id")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.array_distinct(
+                        F.array_append(
+                            # collect_set drops nulls (missing refs) and dups
+                            F.collect_set("ref_type"),
+                            F.first("own_type"),
+                        )
+                    )
+                ),
+                "_",
+            ).alias("final_joined_type")
+        )
+    )
+
+
+# -- per-entity-type feature projections ------------------------------------
+
+def stop_features(stops: DataFrame) -> DataFrame:
+    """P6/P7 — StopPlaceToGeoJsonFeatureMapper.java:56-91.
+
+    finalStopPlaceType precedence exactly as the mapper writes it:
+    submode → overwritten by stopPlaceType only when submode absent →
+    overwritten by the adjacency-joined string ONLY for the primary
+    adjacent site (:84-87).
+    """
+    adj = adjacency_final_types(stops)
+    p = F.col("props")
+    adj_sorted = adjacent_sites_sorted(p)
+    has_adj = adj_sorted.isNotNull() & (F.size(adj_sorted) > 0)
+    # P7 — primary iff no adjacent ref is strictly greater than own id,
+    # case-insensitively (TreeSet.higher(id) == null,
+    # StopPlaceToGeoJsonFeatureMapper.java:79-86)
+    is_primary = has_adj & (
+        F.size(
+            F.filter(adj_sorted, lambda r: F.lower(r) > F.lower(F.col("id")))
+        )
+        == 0
+    )
+    submode = resolved_submode(p)
+    base_final = F.coalesce(submode, p["stopPlaceType"])
+    enriched = stops.join(adj, "id", "left")
+    final_type = F.when(
+        has_adj & is_primary, F.col("final_joined_type")
+    ).otherwise(base_final)
+
+    return enriched.select(
+        F.col("id").alias("feature_id"),
+        F.lit(SECTION_STOPS).alias("section"),
+        F.lit("StopPlace").alias("entity_type"),
+        F.col("geom_wkt").alias("geometry_wkt"),
+        point_lon(F.col("geom_wkt")).alias("lon"),
+        point_lat(F.col("geom_wkt")).alias("lat"),
+        _props_map(
+            *_zone_base_entries(p, F.col("id"), "StopPlace"),
+            _entry("submode", submode),
+            _entry("stopPlaceType", p["stopPlaceType"]),
+            _entry("finalStopPlaceType", final_type),
+            _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
+            _entry("weighting", p["weighting"]),
+            _entry(
+                "hasParentSiteRef",
+                F.when(p["parentSiteRef"].isNotNull(), "true").otherwise("false"),
+            ),
+            _entry("isParentStopPlace", keylist_value(p, "IS_PARENT_STOP_PLACE")),
+            _entry(
+                "isPrimaryAdjacentSite",
+                F.when(has_adj, is_primary.cast("string")),
+            ),
+        ).alias("properties"),
+        F.when(has_adj, adj_sorted).alias("adjacent_sites"),
+        "doc_id",
+    )
+
+
+def quay_features(quays: DataFrame, valid_stop_ids: DataFrame) -> DataFrame:
+    """P13/X1 — quays ride with their parent stop
+    (DeliveryPublicationStreamToGeoJson.java:259-267;
+    QuayToGeoJsonFeatureMapper.java:45-66): a quay is emitted iff its
+    parent stop survived validity filtering. ``valid_stop_ids`` is a
+    one-column frame (doc_id) — broadcast semi-join, no shuffle of the
+    quay side."""
+    p = F.col("props")
+    kept = quays.join(
+        F.broadcast(valid_stop_ids.select(F.col("doc_id").alias("parent_doc"))),
+        F.col("props")["parentDocId"] == F.col("parent_doc"),
+        "left_semi",
+    )
+    return kept.select(
+        F.col("id").alias("feature_id"),
+        F.lit(SECTION_STOPS).alias("section"),
+        F.lit("Quay").alias("entity_type"),
+        F.col("geom_wkt").alias("geometry_wkt"),
+        point_lon(F.col("geom_wkt")).alias("lon"),
+        point_lat(F.col("geom_wkt")).alias("lat"),
+        _props_map(
+            *_zone_base_entries(p, F.col("id"), "Quay"),
+            _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
+        ).alias("properties"),
+        F.lit(None).cast("array<string>").alias("adjacent_sites"),
+        "doc_id",
+    )
+
+
+def parking_features(parkings: DataFrame) -> DataFrame:
+    """P14 — ParkingToGeoJsonFeatureMapper.java:55-75. Capacities are
+    BigInteger→string (MapperHelper.java:50-54); parkingVehicleTypes is
+    the sorted, ','-joined enum-value list (A4, :64-69)."""
+    p = F.col("props")
+    return parkings.select(
+        F.col("id").alias("feature_id"),
+        F.lit(SECTION_PARKINGS).alias("section"),
+        F.lit("Parking").alias("entity_type"),
+        F.col("geom_wkt").alias("geometry_wkt"),
+        point_lon(F.col("geom_wkt")).alias("lon"),
+        point_lat(F.col("geom_wkt")).alias("lat"),
+        _props_map(
+            *_zone_base_entries(p, F.col("id"), "Parking"),
+            _entry("totalCapacity", p["totalCapacity"]),
+            _entry("principalCapacity", p["principalCapacity"]),
+            _entry("numberOfParkingLevels", p["numberOfParkingLevels"]),
+            _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
+            _entry("covered", p["covered"]),
+            _entry(
+                "parkingVehicleTypes",
+                F.when(
+                    p["parkingVehicleTypes"].isNotNull(),
+                    F.array_join(
+                        F.array_sort(F.split(p["parkingVehicleTypes"], ",")), ","
+                    ),
+                ),
+            ),
+            _entry(
+                "hasParentSiteRef",
+                F.when(p["parentSiteRef"].isNotNull(), "true").otherwise("false"),
+            ),
+        ).alias("properties"),
+        F.lit(None).cast("array<string>").alias("adjacent_sites"),
+        "doc_id",
+    )
+
+
+def tariff_zone_features(zones: DataFrame) -> DataFrame:
+    """P15 — TariffZoneToGeoJsonFeatureMapper.java:39-42 (zone base only)."""
+    p = F.col("props")
+    return zones.select(
+        F.col("id").alias("feature_id"),
+        F.lit(SECTION_TARIFF_ZONES).alias("section"),
+        F.lit("TariffZone").alias("entity_type"),
+        F.col("geom_wkt").alias("geometry_wkt"),
+        point_lon(F.col("geom_wkt")).alias("lon"),
+        point_lat(F.col("geom_wkt")).alias("lat"),
+        _props_map(*_zone_base_entries(p, F.col("id"), "TariffZone")).alias(
+            "properties"
+        ),
+        F.lit(None).cast("array<string>").alias("adjacent_sites"),
+        "doc_id",
+    )
+
+
+# -- the flagship pipeline ---------------------------------------------------
+
+def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
+    """docs → canonical feature table (E2's lineage, SURVEY.md §3).
+
+    Stages: extract → F1 validity → A1 dedup(id, version) → split by
+    discriminator → F2 geometry presence (stops/parkings/tariff zones;
+    quays follow their parent, matching the reference's handle() which
+    only checks the top-level zone) → per-type projections (+J1) →
+    U1 unionByName. Output is unordered; canonical order is
+    (section, feature_id) — the reference's within-section order is
+    HashSet-nondeterministic (SURVEY.md §7.3) so we sort only at sinks.
+    """
+    e = extract_entities(docs)
+    e = validity_filter(e, as_of)
+    e = e.dropDuplicates(["id", "version"])
+
+    stops = geometry_presence_filter(e.filter(F.col("entity_type") == "StopPlace"))
+    quays = e.filter(F.col("entity_type") == "Quay")
+    parkings = geometry_presence_filter(e.filter(F.col("entity_type") == "Parking"))
+    tz = geometry_presence_filter(e.filter(F.col("entity_type") == "TariffZone"))
+
+    return (
+        stop_features(stops)
+        .unionByName(quay_features(quays, stops.select("doc_id")))
+        .unionByName(parking_features(parkings))
+        .unionByName(tariff_zone_features(tz))
+    )

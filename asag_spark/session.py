@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the engine.
+
+Local sandbox runs on ``local[$SPARK_GRAFT_CPUS]`` (single JVM); the same
+conf block is what we'd ship in ``spark-submit --py-files`` on a real
+cluster — AQE on, Arrow on, shuffle partitions sized to cores (not the
+200 default, which at 100 TB would instead be set to ~2-3× total cores
+and AQE-coalesced).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "asag_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master=None`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the
+    sandbox). On a cluster the caller passes no master and lets
+    spark-submit decide.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("ASAG_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("ASAG_DRIVER_MEM", "8g"))
+        # timestamps in the docs model are zone-less local datetimes
+        # (NeTEx ValidBetween — reference ValidityFilter.java:41-49)
+        .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

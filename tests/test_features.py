@@ -1,0 +1,115 @@
+"""End-to-end feature-pipeline parity tests.
+
+Reproduces every assertion of the reference's
+DeliveryPublicationStreamToGeoJsonTest.java:60-195 and
+StopPlaceToGeoJsonFeatureMapperTest.java:60-146 on the docs-table
+encoding of the same fixtures (FIXTURES.md §1).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from asag_spark.datagen import AS_OF, fixture_docs
+from asag_spark.operators.enrich import build_features
+
+
+@pytest.fixture(scope="module")
+def features(spark):
+    rows = build_features(fixture_docs(spark), as_of=AS_OF).collect()
+    return {r["feature_id"]: r for r in rows}
+
+
+def test_membership(features):
+    # DeliveryPublicationStreamToGeoJsonTest.java:60-92 (present ids) and
+    # :159-195 (exclusions: no-geometry zone, expired stop)
+    present = {
+        "NSR:StopPlace:1", "NSR:StopPlace:10", "NSR:Quay:8",
+        "NSR:Parking:99", "VKT:TariffZone:729", "VKT:TariffZone:730",
+    }
+    assert present <= set(features)
+    assert "VKT:TariffZone:788" not in features   # no geometry
+    assert "NSR:StopPlace:22" not in features     # expired vs AS_OF
+
+
+def test_geometries_nonnull(features):
+    for r in features.values():
+        assert r["geometry_wkt"] is not None
+
+
+def test_zone_base_properties(features):
+    sp1 = features["NSR:StopPlace:1"]
+    assert sp1["properties"]["name"] == "Drangedal stasjon"
+    assert sp1["properties"]["nameLang"] == "nor"
+    assert sp1["properties"]["codeSpace"] == "NSR"
+    assert sp1["properties"]["entityType"] == "StopPlace"
+    assert sp1["properties"]["finalStopPlaceType"] == "railStation"
+    assert sp1["properties"]["stopPlaceType"] == "railStation"
+    assert sp1["lon"] == pytest.approx(10.758136)
+    assert sp1["lat"] == pytest.approx(59.911868)
+    tz = features["VKT:TariffZone:729"]
+    assert tz["properties"]["codeSpace"] == "VKT"
+    assert tz["section"] == 2
+    assert tz["geometry_wkt"].startswith("POLYGON((10.47906867027 59.19325200734")
+
+
+def test_quay(features):
+    q = features["NSR:Quay:8"]
+    assert q["properties"]["entityType"] == "Quay"
+    assert q["properties"]["publicCode"] == "2"
+    assert q["properties"]["privateCode"] == "2"
+    # description is an empty MultilingualString → property set to ""
+    # (MapperHelper.mapMultilingualString sets unconditionally)
+    assert q["properties"]["description"] == ""
+    assert q["properties"]["descriptionLang"] == "nor"
+
+
+def test_parking(features):
+    p = features["NSR:Parking:99"]
+    assert p["section"] == 1
+    assert p["properties"]["entityType"] == "Parking"
+    assert p["properties"]["hasParentSiteRef"] == "false"
+
+
+def test_adjacency(features):
+    # StopPlaceToGeoJsonFeatureMapperTest.java:60-101 via F-ADJ fixture
+    s = features["NSR:StopPlace:59881"]
+    assert s["adjacent_sites"] == ["NSR:StopPlace:59879", "NSR:StopPlace:59880"]
+    assert s["properties"]["isPrimaryAdjacentSite"] == "true"
+    assert s["properties"]["hasParentSiteRef"] == "true"
+    assert s["properties"]["isParentStopPlace"] == "false"
+    assert s["properties"]["finalStopPlaceType"] == "ferryStop_onstreetBus_railStation"
+    assert s["properties"]["stopPlaceType"] == "railStation"
+
+    # non-primary adjacent sites keep their own type
+    s79 = features["NSR:StopPlace:59879"]
+    assert s79["properties"]["isPrimaryAdjacentSite"] == "false"
+    assert s79["properties"]["finalStopPlaceType"] == "ferryStop"
+
+    # airSubmode=unknown must not produce submode / finalStopPlaceType
+    s83 = features["NSR:StopPlace:59883"]
+    assert "submode" not in s83["properties"]
+    assert "finalStopPlaceType" not in s83["properties"]
+    assert s83["properties"]["isParentStopPlace"] == "true"
+
+
+def test_composite_frame_docs(features):
+    # PublicationDeliveryHelperTest.java:55-72 via F-CF
+    assert features["NSR:StopPlace:999"]["properties"]["finalStopPlaceType"] == "busStation"
+    assert features["NSR:StopPlace:1000"]["properties"]["finalStopPlaceType"] == "railStation"
+
+
+def test_span_sequence_preserved(spark):
+    """Per-row invariant (input_hint): (kind, text, media_ref, order) of
+    every doc's spans survive extraction/enrichment unchanged."""
+    docs = fixture_docs(spark)
+    feats = build_features(docs, as_of=AS_OF)
+    out = feats.join(docs, feats["doc_id"] == docs["doc_id"], "inner")
+    orig = {r["doc_id"]: r["spans"] for r in docs.collect()}
+    # re-extract spans carried on the entity frame
+    from asag_spark.extract import extract_entities
+    carried = {r["doc_id"]: r["spans"] for r in extract_entities(docs).collect()}
+    for k, v in carried.items():
+        assert [(s["kind"], s["text"], s["media_ref"]) for s in v] == [
+            (s["kind"], s["text"], s["media_ref"]) for s in orig[k]
+        ]
+    assert out.count() > 0
