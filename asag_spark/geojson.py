@@ -1,0 +1,101 @@
+"""Feature → canonical GeoJSON (asag-compatible sink S6).
+
+The reference frames a FeatureCollection by hand and Jackson-serializes
+each feature (DeliveryPublicationStreamToGeoJson.java:254-287). Here the
+per-feature JSON is built with built-in ``to_json`` over a struct —
+JVM-side — and collection framing happens per tile group (tiles.py) or
+at single-file assembly.
+
+Canonical order is (section, feature_id) — the reference's HashSet
+iteration order is nondeterministic and its tests assert membership
+only (SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def json_str(c: Column) -> Column:
+    """JSON-escaped string literal of a string column (built-in only:
+    to_json needs a container type, so escape via a 1-element array
+    and strip the brackets)."""
+    arr = F.to_json(F.array(c))
+    return F.substr(arr, F.lit(2), F.length(arr) - F.lit(2))
+
+
+def geometry_json(geometry_wkt: Column, lon: Column, lat: Column) -> Column:
+    """GeoJSON geometry object as a JSON string.
+
+    Points use the carried lon/lat doubles (exact passthrough like the
+    reference's .doubleValue() — ZoneToGeoJsonFeatureMapper.java:78-79).
+    Polygons re-shape the WKT exterior ring into [[lon,lat],...] with
+    string manipulation — all built-in functions.
+    """
+    point = F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        lon.cast("string"), F.lit(","), lat.cast("string"), F.lit("]}"),
+    )
+    ring_body = F.regexp_replace(
+        F.regexp_extract(geometry_wkt, r"POLYGON\(\((.*)\)\)", 1),
+        r"([-\d.eE+]+) ([-\d.eE+]+)", r"[$1,$2]",
+    )
+    polygon = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[['),
+        F.regexp_replace(ring_body, r",\s*\[", ",["),
+        F.lit("]]}"),
+    )
+    return F.when(geometry_wkt.startswith("POINT"), point).when(
+        geometry_wkt.startswith("POLYGON"), polygon
+    )
+
+
+def feature_json(df: DataFrame) -> DataFrame:
+    """+ ``feature_json`` column: one GeoJSON Feature per row.
+
+    Properties are emitted key-sorted for determinism; adjacentSites
+    rides as a JSON array property like the reference's
+    Set<String> property (StopPlaceToGeoJsonFeatureMapper.java:80).
+    """
+    props_entries = F.array_sort(F.map_entries("properties"))
+    props_json = F.concat(
+        F.lit("{"),
+        F.array_join(
+            F.transform(
+                props_entries,
+                lambda e: F.concat(
+                    json_str(e["key"]), F.lit(":"), json_str(e["value"])
+                ),
+            ),
+            ",",
+        ),
+        F.when(
+            F.col("adjacent_sites").isNotNull(),
+            F.concat(
+                F.when(F.size(props_entries) > 0, F.lit(",")).otherwise(F.lit("")),
+                F.lit('"adjacentSites":'),
+                F.to_json("adjacent_sites"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    fj = F.concat(
+        F.lit('{"type":"Feature","id":'),
+        json_str(F.col("feature_id")),
+        F.lit(',"geometry":'),
+        F.coalesce(
+            geometry_json(F.col("geometry_wkt"), F.col("lon"), F.col("lat")),
+            F.lit("null"),
+        ),
+        F.lit(',"properties":'),
+        props_json,
+        F.lit("}"),
+    )
+    return df.withColumn("feature_json", fj)
+
+
+def feature_collection(features_json: list[str]) -> str:
+    """Driver-side framing for single-file output — mirrors the
+    reference's header/comma/footer framing (:274-287)."""
+    return '{"features": [' + ",".join(features_json) + '], "type": "FeatureCollection"}'

@@ -1,0 +1,98 @@
+"""Point-in-polygon join (SURVEY.md §2.3, the operator the north_rule
+adds beyond the reference).
+
+Strategy (100 TB-ready):
+
+1. The polygon side (tariff zones / municipalities) is SMALL relative
+   to the point side — registry-scale, like the reference's zone set.
+   Its exterior rings are parsed once and broadcast to every executor
+   (the "broadcast R-tree side" of BASELINE.json; here a dict keyed by
+   hex cell instead of an STRtree — same role: O(1) candidate lookup).
+2. Candidate pruning is a CELL PRE-JOIN: each zone is expanded to the
+   res-7 hex cells covering its bbox (cover_bbox), each point gets its
+   res-7 cell — a broadcast equi-join on the cell id. The big point
+   side never shuffles.
+3. Exact refine: even-odd ray cast (geo.wkt.points_in_ring) inside an
+   Arrow-batched pandas UDF, vectorized across the batch per zone.
+
+Skew: dense urban cells only inflate the candidate row count of those
+cells' points; the join stays broadcast so no shuffle hotspot exists.
+A salt column is unnecessary here — there is no shuffle to skew.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import hexgrid
+from ..geo.wkt import parse_polygon, points_in_ring, ring_bbox
+
+PIP_RES = 7
+
+
+def _zone_index(zones_rows: list) -> tuple[dict, dict]:
+    """rings[zone_id] = (N,2) ring; cover[cell_qr] = [zone_id, ...]."""
+    rings: dict[str, np.ndarray] = {}
+    cover: dict[tuple[int, int], list[str]] = {}
+    for row in zones_rows:
+        ring = parse_polygon(row["geom_wkt"])
+        rings[row["zone_id"]] = ring
+        bb = ring_bbox(ring)
+        for qr in hexgrid.cover_bbox(*bb, res=PIP_RES):
+            cover.setdefault(qr, []).append(row["zone_id"])
+    return rings, cover
+
+
+def pip_join(points: DataFrame, zones: DataFrame,
+             id_col: str = "feature_id",
+             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """(point id, zone_id) pairs for every point inside a zone polygon.
+
+    ``points``: any frame with id/lon/lat. ``zones``: schema.ZONES.
+    Output columns: (<id_col>, zone_id) — matching pip_golden
+    (FIXTURES.md §4).
+    """
+    spark = points.sparkSession
+    rings, cover = _zone_index(zones.collect())
+    bc = spark.sparkContext.broadcast((rings, cover))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("zone_id", T.StringType()),
+        ]
+    )
+
+    def refine(batches):
+        rings_l, cover_l = bc.value
+        for pdf in batches:
+            lon = pdf[lon_col].to_numpy(dtype="float64", na_value=np.nan)
+            lat = pdf[lat_col].to_numpy(dtype="float64", na_value=np.nan)
+            ids = pdf[id_col].to_numpy(dtype=object)
+            ok = ~(np.isnan(lon) | np.isnan(lat))
+            if not ok.any():
+                yield pd.DataFrame({id_col: [], "zone_id": []})
+                continue
+            lon, lat, ids = lon[ok], lat[ok], ids[ok]
+            q, r = hexgrid.cell_qr(lon, lat, PIP_RES)
+            # group points by candidate zone: cell -> zones lookup
+            zone_to_pts: dict[str, list[int]] = {}
+            for pi, qr in enumerate(zip(q.tolist(), r.tolist())):
+                for zid in cover_l.get(qr, ()):
+                    zone_to_pts.setdefault(zid, []).append(pi)
+            out_ids, out_zones = [], []
+            for zid, pis in zone_to_pts.items():
+                pis_a = np.asarray(pis)
+                inside = points_in_ring(lon[pis_a], lat[pis_a], rings_l[zid])
+                hit = pis_a[inside]
+                out_ids.extend(ids[hit])
+                out_zones.extend([zid] * len(hit))
+            yield pd.DataFrame({id_col: out_ids, "zone_id": out_zones})
+
+    return points.select(id_col, lon_col, lat_col).mapInPandas(
+        refine, schema=out_schema
+    )

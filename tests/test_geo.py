@@ -1,0 +1,93 @@
+"""Unit tests for the numpy geo kernels (no Spark needed)."""
+
+import numpy as np
+import pytest
+
+from asag_spark.geo import hexgrid, s2
+from asag_spark.geo.wkt import (
+    haversine_m, parse_polygon, points_in_ring, ring_bbox, ring_centroid,
+)
+
+
+# ---- S2 ---------------------------------------------------------------
+
+def test_s2_face_tokens():
+    # canonical S2 level-0 tokens for the six face centers
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lat = np.array([0.0, 0.0, 90.0, 0.0, 0.0, -90.0])
+    toks = s2.token(s2.parent_id(s2.leaf_cell_id(lon, lat), 0))
+    assert list(toks) == ["1", "3", "5", "7", "9", "b"]
+
+
+def test_s2_hierarchy():
+    lon = np.array([10.757933, 5.741593, 31.0, -122.3321])
+    lat = np.array([59.911491, 58.956267, 70.1, 47.6062])
+    leaf = s2.leaf_cell_id(lon, lat)
+    for lv in (4, 10, 16, 25):
+        parents = s2.parent_id(leaf, lv)
+        # parent must contain the leaf: leaf in [parent - lsb + 1, parent + lsb - 1]
+        lsb = np.uint64(1) << np.uint64(2 * (30 - lv))
+        assert np.all(leaf >= parents - lsb + np.uint64(1))
+        assert np.all(leaf <= parents + lsb - np.uint64(1))
+        assert all(s2.cell_level(int(p)) == lv for p in parents)
+
+
+def test_s2_locality_and_determinism():
+    lon = np.array([10.0, 10.0000001, 11.0])
+    lat = np.array([59.0, 59.0000001, 59.0])
+    c16 = s2.token(s2.cell_id_at(lon, lat, 16))
+    assert c16[0] == c16[1]        # ~1cm apart → same level-16 cell
+    assert c16[0] != c16[2]        # ~57km apart → different
+    again = s2.token(s2.cell_id_at(lon, lat, 16))
+    assert list(c16) == list(again)
+
+
+# ---- hexgrid ----------------------------------------------------------
+
+def test_hexgrid_stability_and_resolution():
+    lon = np.array([10.757933, 10.757933, 10.76, 12.0])
+    lat = np.array([59.911491, 59.911491, 59.9116, 60.0])
+    c7 = hexgrid.cell_id(lon, lat, 7)
+    assert c7[0] == c7[1]
+    assert c7[0] != c7[3]
+    # nearby points merge at coarse res, split at fine res
+    c10 = hexgrid.cell_id(lon, lat, 10)
+    assert c10[0] != c10[2]
+
+
+def test_hexgrid_disk_and_parse():
+    cells = hexgrid.grid_disk(5, -3, 1)
+    assert len(cells) == 7 and (5, -3) in cells
+    assert hexgrid.parse_cell("h7_5_-3") == (7, 5, -3)
+
+
+def test_hexgrid_cover_contains_point_cell():
+    q, r = hexgrid.cell_qr(np.array([10.5]), np.array([59.2]), 7)
+    cover = hexgrid.cover_bbox(10.4, 59.1, 10.6, 59.3, 7)
+    assert (int(q[0]), int(r[0])) in cover
+
+
+# ---- WKT / ray cast ---------------------------------------------------
+
+BOX = "POLYGON((10.95 58.97, 10.97 58.97, 10.97 58.99, 10.95 58.99, 10.95 58.97))"
+
+
+def test_ray_cast():
+    ring = parse_polygon(BOX)
+    lon = np.array([10.957167, 10.5, 10.9699, 10.9501])
+    lat = np.array([58.981227, 59.2, 58.9899, 58.9701])
+    inside = points_in_ring(lon, lat, ring)
+    assert inside.tolist() == [True, False, True, True]
+    assert ring_bbox(ring) == (10.95, 58.97, 10.97, 58.99)
+    cx, cy = ring_centroid(ring)
+    assert cx == pytest.approx(10.96, abs=1e-6)
+    assert cy == pytest.approx(58.98, abs=1e-6)
+
+
+def test_haversine():
+    # Oslo S -> Drangedal ~ 120 km
+    d = haversine_m(np.array([10.7522]), np.array([59.9139]),
+                    np.array([9.0646]), np.array([59.0962]))
+    assert 90_000 < d[0] < 150_000
+    assert haversine_m(np.array([10.0]), np.array([59.0]),
+                       np.array([10.0]), np.array([59.0]))[0] == 0.0

@@ -1,0 +1,109 @@
+"""Spark-level spatial operator tests: tile assignment, PIP join, kNN,
+tile assembly, raster↔vector — on the FIXTURES.md golden expectations."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from asag_spark.datagen import AS_OF, fixture_docs, fixture_zones
+from asag_spark.functions import assign_tiles
+from asag_spark.geo.tiles import (
+    rasterize_density, tile_feature_collections, vectorize_cells,
+)
+from asag_spark.operators.enrich import build_features
+from asag_spark.operators.knn import knn_join
+from asag_spark.operators.pip import pip_join
+
+
+@pytest.fixture(scope="module")
+def features(spark):
+    return build_features(fixture_docs(spark), as_of=AS_OF).cache()
+
+
+@pytest.fixture(scope="module")
+def tiled(features):
+    return assign_tiles(features).cache()
+
+
+def test_tile_assignment_complete(tiled):
+    rows = {r["feature_id"]: r for r in tiled.collect()}
+    assert len(rows) == 12
+    for r in rows.values():
+        # every feature (point or polygon) gets all cells
+        for c in ("h3_r7", "h3_r8", "h3_r9", "h3_r10", "s2_cell"):
+            assert r[c], f"{r['feature_id']} missing {c}"
+        assert r["s2_cover"] and len(r["s2_cover"]) == 4
+    # same location → same cells (StopPlace:10 and :22's twin :10 vs :1000)
+    assert rows["NSR:StopPlace:10"]["h3_r10"] == rows["NSR:StopPlace:1000"]["h3_r10"]
+    assert rows["NSR:StopPlace:1"]["h3_r7"] != rows["NSR:StopPlace:10"]["h3_r7"]
+    # both Bolærene polygons share identical cells (same ring)
+    assert rows["VKT:TariffZone:729"]["s2_cell"] == rows["VKT:TariffZone:730"]["s2_cell"]
+
+
+def test_tile_assignment_parallelism_invariant(spark, features):
+    t1 = assign_tiles(features.repartition(1))
+    t8 = assign_tiles(features.repartition(8))
+    a = {(r["feature_id"], r["h3_r7"], r["h3_r10"], r["s2_cell"]) for r in t1.collect()}
+    b = {(r["feature_id"], r["h3_r7"], r["h3_r10"], r["s2_cell"]) for r in t8.collect()}
+    assert a == b
+
+
+def test_pip_golden(spark, tiled):
+    """FIXTURES.md §2: all four F-ADJ stops are inside MUNI:ADJ; no
+    fixture point is inside the Bolærene polygons; NSR:StopPlace:1
+    (Oslo-ish 10.758,59.912) is inside MUNI:0301."""
+    pairs = {
+        (r["feature_id"], r["zone_id"])
+        for r in pip_join(tiled.filter(F.col("lat").isNotNull()),
+                          fixture_zones(spark)).collect()
+    }
+    expected = {
+        ("NSR:StopPlace:59881", "MUNI:ADJ"),
+        ("NSR:StopPlace:59883", "MUNI:ADJ"),
+        ("NSR:StopPlace:59879", "MUNI:ADJ"),
+        ("NSR:StopPlace:59880", "MUNI:ADJ"),
+        ("NSR:StopPlace:1", "MUNI:0301"),
+        ("NSR:StopPlace:999", "MUNI:0301"),
+    }
+    assert pairs == expected
+
+
+def test_knn_golden(spark, features):
+    """The four F-ADJ stops are within ~100 m of each other and >50 km
+    from everything else → each one's 3-NN are exactly the other three."""
+    knn = knn_join(features.filter(F.col("lat").isNotNull()), k=3)
+    rows = knn.collect()
+    adj = {f"NSR:StopPlace:{n}" for n in (59879, 59880, 59881, 59883)}
+    got = {}
+    for r in rows:
+        got.setdefault(r["feature_id"], set()).add(r["neighbor_id"])
+    for sid in adj:
+        assert got[sid] == adj - {sid}, sid
+    # ranks deterministic and 1-based
+    ranks = sorted(r["rank"] for r in rows if r["feature_id"] == "NSR:StopPlace:59881")
+    assert ranks == [1, 2, 3]
+
+
+def test_tile_feature_collections(tiled):
+    tiles = tile_feature_collections(tiled, tile_col="h3_r7").collect()
+    assert sum(t["n_features"] for t in tiles) == 12
+    for t in tiles:
+        fc = t["feature_collection"]
+        assert fc.startswith('{"features": [') and fc.endswith('"type": "FeatureCollection"}')
+        import json
+
+        parsed = json.loads(fc)
+        assert len(parsed["features"]) == t["n_features"]
+        for feat in parsed["features"]:
+            assert feat["type"] == "Feature"
+            assert feat["geometry"]["type"] in ("Point", "Polygon")
+            assert "entityType" in feat["properties"]
+
+
+def test_raster_vector_roundtrip(tiled):
+    raster = rasterize_density(tiled, tile_col="h3_r9")
+    assert raster.agg(F.sum("n")).first()[0] == 12
+    vec = vectorize_cells(raster).collect()
+    for r in vec:
+        assert r["geom_wkt"].startswith("POLYGON((")
+        # 6 vertices + closing point
+        assert r["geom_wkt"].count(",") == 6
