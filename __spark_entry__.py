@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship: derive the interleaved docs table from the
+               sf0.001 ``documents`` parquet, run the full
+               docs → features → tile-assignment pipeline.
+queries()    — one entry per implemented operator (SURVEY.md §2 + the
+               training-data ops); each takes (spark, sf_dir).
+oracle_sql() — DuckDB-runnable ANSI SQL producing identical rows.
+               Fixture-based geospatial queries are pinned against
+               literal golden rows (pure deterministic functions —
+               FIXTURES.md §4); rows-only entries (no oracle) are the
+               genuinely non-SQL-expressible ops (simhash/crc32, the
+               full flagship pipeline, stub media features).
 """
 
 from __future__ import annotations
@@ -12,27 +18,654 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+AS_OF = "2018-06-01T00:00:00"
+
+
+def _docs(spark):
+    from asag_spark.datagen import fixture_docs
+
+    return fixture_docs(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: documents parquet → interleaved
+    docs table → feature extraction → tile assignment."""
+    from asag_spark.functions import assign_tiles
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.sources import docs_from_documents
+
+    docs = docs_from_documents(spark, "/root/testdata/sf0.001")
+    feats = build_features(docs, as_of=AS_OF)
+    return assign_tiles(feats).select(
+        "feature_id", "entity_type", "lon", "lat",
+        "h3_r7", "h3_r8", "h3_r9", "h3_r10", "s2_cell",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_features_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.enrich import build_features
+
+    f = build_features(_docs(spark), as_of=AS_OF)
+    return f.select(
+        "feature_id",
+        F.col("section").cast("int").alias("section"),
+        "entity_type",
+        F.col("properties")["codeSpace"].alias("code_space"),
+        F.col("properties")["finalStopPlaceType"].alias("final_type"),
+        F.col("properties")["name"].alias("name"),
+    )
+
+
+def _q_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.extract import extract_entities
+    from asag_spark.operators.filters import validity_filter
+
+    e = validity_filter(extract_entities(_docs(spark)), AS_OF)
+    return e.select(F.col("id").alias("entity_id")).orderBy("entity_id")
+
+
+def _q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.extract import extract_entities
+    from asag_spark.operators.enrich import adjacency_final_types
+
+    stops = extract_entities(_docs(spark)).filter(
+        F.col("entity_type") == "StopPlace"
+    )
+    return adjacency_final_types(stops).select(
+        F.col("id").alias("stop_id"), "final_joined_type"
+    )
+
+
+def _q_codespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.extract import extract_entities
+    from asag_spark.operators.enrich import codespace
+
+    e = extract_entities(_docs(spark))
+    return e.select(
+        F.col("id").alias("entity_id"), codespace(F.col("id")).alias("code_space")
+    )
+
+
+def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.operators.pip import pip_join
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return pip_join(feats.filter(F.col("lat").isNotNull()), fixture_zones(spark))
+
+
+def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.operators.knn import knn_join
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return knn_join(feats.filter(F.col("lat").isNotNull()), k=3).select(
+        "feature_id", "neighbor_id", "rank"
+    )
+
+
+def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.functions import assign_tiles
+    from asag_spark.operators.enrich import build_features
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return assign_tiles(feats).select("feature_id", "h3_r7", "h3_r10", "s2_cell")
+
+
+def _q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+def _q5_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def _q_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def _q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select("c_custkey")
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+        )
+    )
+
+
+def _q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        c.select(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").cast("int").alias("nationkey")))
+        .distinct()
+    )
+
+
+def _q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import token_count
+
+    return token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import quality_score
+
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.2
+    )
+
+
+def _t_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.dedup import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.similarity import cosine_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+def _t_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.3
+    )
+
+
+def _t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.dedup import simhash_near_dups
+
+    return simhash_near_dups(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=3
+    )
+
+
+def _t_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.media import extract_media, media_features
+    from asag_spark.sources import docs_from_documents
+
+    docs = docs_from_documents(spark, sf_dir)
+    return media_features(extract_media(docs)).select(
+        "doc_id", "media_ref", F.size("feature").alias("dim")
+    )
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.functions import assign_tiles
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.sources import docs_from_documents
+
+    docs = docs_from_documents(spark, sf_dir)
+    feats = build_features(docs, as_of=AS_OF)
+    return assign_tiles(feats).select(
+        "feature_id", "entity_type", "h3_r7", "h3_r9", "s2_cell"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # geospatial core (fixture-pinned golden oracles)
+        "features_fixture": _q_features_fixture,
+        "validity_filter": _q_validity,
+        "adjacency_types": _q_adjacency,
+        "codespace": _q_codespace,
+        "pip_fixture": _q_pip,
+        "knn_fixture": _q_knn,
+        "tile_cells_fixture": _q_tiles,
+        # relational operator coverage (live SQL oracles)
+        "q1_agg": _q1_agg,
+        "q3_topk": _q3_topk,
+        "q5_multijoin": _q5_multijoin,
+        "q_window_topk": _q_window,
+        "q_anti_join": _q_anti,
+        "q_rollup": _q_rollup,
+        "q_union_distinct": _q_union_distinct,
+        "q_explode_tokens": _q_explode_tokens,
+        "q_events_hourly": _q_events_hourly,
+        # training-data ops (live SQL oracles)
+        "t_token_count": _t_token_count,
+        "t_quality": _t_quality,
+        "t_langid": _t_langid,
+        "t_exact_dedup": _t_exact_dedup,
+        "t_jaccard_pairs": _t_jaccard,
+        "t_minhash_lsh": _t_minhash_lsh,
+        "t_cosine_topk": _t_cosine_topk,
+        "t_emb_near_dups": _t_emb_near_dups,
+        # rows-only (non-SQL-expressible: crc32 simhash, stub media,
+        # full pipeline)
+        "t_simhash_near_dups": _t_simhash,
+        "t_media_features": _t_media,
+        "flagship_tiles": _flagship,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_FEATURES_GOLDEN = """
+SELECT * FROM (VALUES
+  ('NSR:Parking:99',      CAST(1 AS INTEGER), 'Parking',    'NSR', NULL, 'Parkeringen'),
+  ('NSR:Quay:8',          CAST(0 AS INTEGER), 'Quay',       'NSR', NULL, NULL),
+  ('NSR:StopPlace:1',     CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'railStation', 'Drangedal stasjon'),
+  ('NSR:StopPlace:10',    CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'onstreetBus', 'Paradis'),
+  ('NSR:StopPlace:1000',  CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'railStation', NULL),
+  ('NSR:StopPlace:59879', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'ferryStop', NULL),
+  ('NSR:StopPlace:59880', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'onstreetBus', NULL),
+  ('NSR:StopPlace:59881', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'ferryStop_onstreetBus_railStation', NULL),
+  ('NSR:StopPlace:59883', CAST(0 AS INTEGER), 'StopPlace',  'NSR', NULL, NULL),
+  ('NSR:StopPlace:999',   CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'busStation', NULL),
+  ('VKT:TariffZone:729',  CAST(2 AS INTEGER), 'TariffZone', 'VKT', NULL, 'Bolærene'),
+  ('VKT:TariffZone:730',  CAST(2 AS INTEGER), 'TariffZone', 'VKT', NULL, 'Bolærene')
+) AS t(feature_id, section, entity_type, code_space, final_type, name)
+"""
+
+_VALIDITY_GOLDEN = """
+SELECT entity_id FROM (VALUES
+  ('NSR:StopPlace:1'), ('NSR:StopPlace:10'), ('NSR:Quay:8'),
+  ('NSR:Parking:99'), ('VKT:TariffZone:729'), ('VKT:TariffZone:788'),
+  ('VKT:TariffZone:730'), ('NSR:StopPlace:59881'), ('NSR:StopPlace:59883'),
+  ('NSR:StopPlace:59879'), ('NSR:StopPlace:59880'), ('NSR:StopPlace:999'),
+  ('NSR:StopPlace:1000')
+) AS t(entity_id) ORDER BY entity_id
+"""
+
+_ADJACENCY_GOLDEN = """
+SELECT * FROM (VALUES
+  ('NSR:StopPlace:59881', 'ferryStop_onstreetBus_railStation'),
+  ('NSR:StopPlace:59879', 'ferryStop_railStation'),
+  ('NSR:StopPlace:59880', 'onstreetBus_railStation')
+) AS t(stop_id, final_joined_type)
+"""
+
+_CODESPACE_GOLDEN = """
+WITH ids(entity_id) AS (VALUES
+  ('NSR:StopPlace:1'), ('NSR:StopPlace:22'), ('NSR:StopPlace:10'),
+  ('NSR:Quay:8'), ('NSR:Parking:99'), ('VKT:TariffZone:729'),
+  ('VKT:TariffZone:788'), ('VKT:TariffZone:730'), ('NSR:StopPlace:59881'),
+  ('NSR:StopPlace:59883'), ('NSR:StopPlace:59879'), ('NSR:StopPlace:59880'),
+  ('NSR:StopPlace:999'), ('NSR:StopPlace:1000')
+)
+SELECT entity_id,
+       CASE WHEN len(string_split(entity_id, ':')) = 3
+            THEN string_split(entity_id, ':')[1] END AS code_space
+FROM ids
+"""
+
+_PIP_GOLDEN = """
+SELECT * FROM (VALUES
+  ('NSR:StopPlace:59879', 'MUNI:ADJ'),
+  ('NSR:StopPlace:59880', 'MUNI:ADJ'),
+  ('NSR:StopPlace:59881', 'MUNI:ADJ'),
+  ('NSR:StopPlace:59883', 'MUNI:ADJ'),
+  ('NSR:StopPlace:1',   'MUNI:0301'),
+  ('NSR:StopPlace:999', 'MUNI:0301')
+) AS t(feature_id, zone_id)
+"""
+
+_KNN_GOLDEN = """
+SELECT feature_id, neighbor_id, CAST(rank AS INTEGER) AS rank FROM (VALUES
+  ('NSR:StopPlace:1',     'NSR:StopPlace:999',   1),
+  ('NSR:StopPlace:999',   'NSR:StopPlace:1',     1),
+  ('NSR:StopPlace:10',    'NSR:StopPlace:1000',  1),
+  ('NSR:StopPlace:1000',  'NSR:StopPlace:10',    1),
+  ('NSR:StopPlace:59879', 'NSR:StopPlace:59883', 1),
+  ('NSR:StopPlace:59879', 'NSR:StopPlace:59880', 2),
+  ('NSR:StopPlace:59879', 'NSR:StopPlace:59881', 3),
+  ('NSR:StopPlace:59880', 'NSR:StopPlace:59883', 1),
+  ('NSR:StopPlace:59880', 'NSR:StopPlace:59881', 2),
+  ('NSR:StopPlace:59880', 'NSR:StopPlace:59879', 3),
+  ('NSR:StopPlace:59881', 'NSR:StopPlace:59883', 1),
+  ('NSR:StopPlace:59881', 'NSR:StopPlace:59880', 2),
+  ('NSR:StopPlace:59881', 'NSR:StopPlace:59879', 3),
+  ('NSR:StopPlace:59883', 'NSR:StopPlace:59881', 1),
+  ('NSR:StopPlace:59883', 'NSR:StopPlace:59880', 2),
+  ('NSR:StopPlace:59883', 'NSR:StopPlace:59879', 3)
+) AS t(feature_id, neighbor_id, rank)
+"""
+
+_TILES_GOLDEN = """
+SELECT * FROM (VALUES
+  ('NSR:Parking:99',      'h7_-1671_3851', 'h10_-30954_71320', '466d3daa5'),
+  ('NSR:Quay:8',          'h7_-1550_3589', 'h10_-28699_66467', '46476b31b'),
+  ('NSR:StopPlace:1',     'h7_-1536_3639', 'h10_-28439_67384', '46416e601'),
+  ('NSR:StopPlace:10',    'h7_-1634_3580', 'h10_-30270_66309', '463a353dd'),
+  ('NSR:StopPlace:1000',  'h7_-1634_3580', 'h10_-30270_66309', '463a353dd'),
+  ('NSR:StopPlace:59879', 'h7_-1494_3582', 'h10_-27669_66338', '46442243d'),
+  ('NSR:StopPlace:59880', 'h7_-1494_3582', 'h10_-27669_66338', '46442243d'),
+  ('NSR:StopPlace:59881', 'h7_-1494_3582', 'h10_-27669_66337', '46442243d'),
+  ('NSR:StopPlace:59883', 'h7_-1494_3582', 'h10_-27669_66338', '46442243d'),
+  ('NSR:StopPlace:999',   'h7_-1536_3639', 'h10_-28439_67384', '46416e601'),
+  ('VKT:TariffZone:729',  'h7_-1514_3595', 'h10_-28029_66573', '4646bada5'),
+  ('VKT:TariffZone:730',  'h7_-1514_3595', 'h10_-28029_66573', '4646bada5')
+) AS t(feature_id, h3_r7, h3_r10, s2_cell)
+"""
+
+_STOPWORDS_SQL = "['the','and','of','to','a','in','is','it']"
+
+_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       ROUND(length(regexp_replace(text, '[^!?.,;:]', '', 'g'))
+             / GREATEST(length(text), 1), 6) AS punct_ratio,
+       ROUND(len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, lower(x))))
+             / GREATEST(len(toks), 1), 6) AS stopword_ratio,
+       ROUND(0.5 * LEAST(len(toks) / 100.0, 1.0)
+             + 0.3 * (1.0 - length(regexp_replace(text, '[^!?.,;:]', '', 'g'))
+                            / GREATEST(length(text), 1))
+             + 0.2 * (len(list_filter(toks, x -> list_contains({_STOPWORDS_SQL}, lower(x))))
+                            / GREATEST(len(toks), 1)), 6) AS quality
+FROM base
+"""
+
+_SHINGLE_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS g(i)
+)
+"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    rows_per_band = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_cases = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr=" || '|' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+{_SHINGLE_CTE},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, b, CASE b {band_cases} END AS bkey
+  FROM sig, UNNEST([0,1,2,3]) AS u(b)
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
+WHERE x.doc_id < y.doc_id
+"""
+
+
+_JACCARD_SQL = f"""
+{_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+_COSINE_TOPK_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
+scored AS (
+  SELECT q_id AS query_id, n_id AS neighbor_id,
+         ROUND(list_dot_product(qv, nv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cosine
+  FROM q CROSS JOIN c WHERE q_id <> n_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+
+_EMB_ND_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+         CAST(embedding[1] >= 0 AS INTEGER) || CAST(embedding[2] >= 0 AS INTEGER)
+         || CAST(embedding[3] >= 0 AS INTEGER) || CAST(embedding[4] >= 0 AS INTEGER) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cosine
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "features_fixture": _FEATURES_GOLDEN,
+        "validity_filter": _VALIDITY_GOLDEN,
+        "adjacency_types": _ADJACENCY_GOLDEN,
+        "codespace": _CODESPACE_GOLDEN,
+        "pip_fixture": _PIP_GOLDEN,
+        "knn_fixture": _KNN_GOLDEN,
+        "tile_cells_fixture": _TILES_GOLDEN,
+        "q1_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_topk": """
+            SELECT o_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_multijoin": """
+            SELECT r_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey  = o_orderkey
+            JOIN customer ON o_custkey   = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_window_topk": """
+            SELECT o_custkey, o_orderkey, CAST(rn AS INTEGER) AS rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 2
+        """,
+        "q_anti_join": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "q_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_union_distinct": """
+            SELECT CAST(c_nationkey AS INTEGER) AS nationkey FROM customer
+            UNION
+            SELECT CAST(s_nationkey AS INTEGER) AS nationkey FROM supplier
+        """,
+        "q_explode_tokens": """
+            SELECT token, COUNT(*) AS cnt FROM (
+              SELECT UNNEST(string_split_regex(trim(lower(text)), '\\s+')) AS token
+              FROM documents
+            ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+        """,
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "t_token_count": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+                   CAST(CEIL(length(text) / 4.0) AS BIGINT) AS n_subwords_est
+            FROM documents
+        """,
+        "t_quality": _QUALITY_SQL,
+        "t_langid": r"""
+            SELECT doc_id,
+                   CASE
+                     WHEN regexp_matches(lower(text), '\b(the|and|of)\b') THEN 'en'
+                     WHEN regexp_matches(lower(text), '\b(el|la|los|de)\b') THEN 'es'
+                     WHEN regexp_matches(lower(text), '\b(der|die|das|und)\b') THEN 'de'
+                     WHEN regexp_matches(lower(text), '\b(le|la|les|et)\b') THEN 'fr'
+                     ELSE 'und'
+                   END AS lang_pred
+            FROM documents
+        """,
+        "t_exact_dedup": r"""
+            SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+                   MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        """,
+        "t_jaccard_pairs": _JACCARD_SQL,
+        "t_minhash_lsh": _minhash_sql(),
+        "t_cosine_topk": _COSINE_TOPK_SQL,
+        "t_emb_near_dups": _EMB_ND_SQL,
+    }

@@ -1,0 +1,82 @@
+"""Text-analysis operators for training-data pipelines (task brief:
+language-ID, quality scoring, token counting, document fingerprinting).
+
+All pure built-in column expressions — designed so an ANSI-SQL oracle
+(DuckDB) reproduces values bit-for-bit: md5 for fingerprints, explicit
+rounding where float math is involved, deterministic tie-breaks.
+Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it")
+
+# marker-word heuristics per language (n-gram-ish language ID --
+# deliberately simple and SQL-mirrorable; priority order breaks ties)
+LANG_MARKERS = [
+    ("en", r"\b(the|and|of)\b"),
+    ("es", r"\b(el|la|los|de)\b"),
+    ("de", r"\b(der|die|das|und)\b"),
+    ("fr", r"\b(le|la|les|et)\b"),
+]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count (BPE-ish subword estimate = ceil(chars/4)
+    alongside, the common LLM heuristic)."""
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("n_subwords_est"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punctuation/stopword quality heuristic in [0,1]:
+    0.5·min(tokens/100,1) + 0.3·(1-punct_ratio) + 0.2·stopword_ratio,
+    rounded to 6 decimals for cross-engine float parity."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    punct_ratio = F.length(F.regexp_replace(t, r"[^!?.,;:]", "")) / F.greatest(
+        F.length(t), F.lit(1)
+    )
+    stop_hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS)))
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.lit(0.5) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.2) * stop_ratio
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language ID with fixed priority; 'und' when no
+    marker fires. (The synthetic corpus is English-ish so this mostly
+    exercises the expression plumbing + oracle parity.)"""
+    t = F.lower(F.col(text_col))
+    pred = F.lit("und")
+    for code, pattern in reversed(LANG_MARKERS):
+        pred = F.when(F.regexp_count(t, F.lit(pattern)) > 0, code).otherwise(pred)
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lower-cased
+    text (the exact-dedup key; md5 matches any SQL engine)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))

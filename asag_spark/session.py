@@ -31,6 +31,14 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
+    # make the package importable in worker processes regardless of the
+    # driver's cwd (cluster deployments ship --py-files instead)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("ASAG_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
@@ -45,6 +53,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("ASAG_DRIVER_MEM", "8g"))
         # timestamps in the docs model are zone-less local datetimes
         # (NeTEx ValidBetween — reference ValidityFilter.java:41-49)

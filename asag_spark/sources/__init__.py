@@ -1,0 +1,108 @@
+"""Sources: testdata parquet loaders + the docs-table derivation.
+
+``docs_from_documents`` turns the driver-provided ``documents`` parquet
+into the engine's interleaved text+media docs shape (input_hint)
+DETERMINISTICALLY — every value is a pure function of the source row,
+so the derived table is identical at any parallelism level. All span
+assembly is built-in expressions (array/struct/aggregate) — JVM-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+# Norway-ish bbox used for deterministic coordinate derivation
+_LON0, _LON1 = 4.5, 31.0
+_LAT0, _LAT1 = 57.9, 71.2
+
+
+def _u(col, stream: int):
+    """Deterministic U[0,1) per row: xxhash64 of (doc_id, stream) —
+    JVM-side, no Python."""
+    h = F.xxhash64(col, F.lit(stream))
+    return (F.pmod(h, F.lit(1 << 40))).cast("double") / F.lit(float(1 << 40))
+
+
+def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id,text,lang,source,n_chars) → docs(doc_id, spans).
+
+    Encoding (FIXTURES.md §1): meta span, name/stopPlaceType prop spans
+    derived from the text, POINT geometry from hashed coordinates
+    (clustered: 1 of 32 hash-derived cluster anchors + scatter so the
+    H3-cell distribution is skewed), and a media span for every 8th doc
+    — interleaved text+media, exercising the full pipeline on real
+    table input.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cluster = F.pmod(F.xxhash64("doc_id", F.lit(101)), F.lit(32))
+    # Zipf-ish skew: map uniform cluster id through a quadratic so low
+    # ids (hot clusters) absorb most docs
+    hot = F.pow(_u(F.col("doc_id"), 7), 2.0)  # density toward 0
+    anchor_lon = F.lit(_LON0) + (F.pmod(cluster * F.lit(37), F.lit(97)) / 97.0) * (
+        _LON1 - _LON0
+    )
+    anchor_lat = F.lit(_LAT0) + (F.pmod(cluster * F.lit(53), F.lit(89)) / 89.0) * (
+        _LAT1 - _LAT0
+    )
+    lon = F.round(anchor_lon + (_u(F.col("doc_id"), 1) - 0.5) * 0.2 * (1.0 + hot), 7)
+    lat = F.round(anchor_lat + (_u(F.col("doc_id"), 2) - 0.5) * 0.1, 7)
+
+    sid = F.concat(F.lit("DOC:StopPlace:"), F.col("doc_id").cast("string"))
+    stop_type = F.element_at(
+        F.array(*[F.lit(t) for t in
+                  ("onstreetBus", "railStation", "ferryStop", "busStation", "metroStation")]),
+        (F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(5)) + 1).cast("int"),
+    )
+    name = F.concat(F.lit("Stop "), F.substring("text", 1, 16))
+
+    texts = F.array(
+        F.concat(F.lit("entity_type=StopPlace;id="), sid, F.lit(";version=1")),
+        F.concat(F.lit("name="), name),
+        F.concat(F.lit("nameLang="), F.col("lang")),
+        F.concat(F.lit("stopPlaceType="), stop_type),
+        F.concat(F.lit("POINT("), lon.cast("string"), F.lit(" "),
+                 lat.cast("string"), F.lit(")")),
+    )
+    kinds = F.array(F.lit("meta"), F.lit("prop"), F.lit("prop"), F.lit("prop"),
+                    F.lit("geom"))
+    has_media = F.pmod(F.col("doc_id"), F.lit(8)) == 0
+    media_ref = F.concat(F.lit("img://"), sid, F.lit(".jpg"))
+
+    # offsets: cumulative length of preceding texts (tiny arrays — the
+    # quadratic aggregate is constant work per row)
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(texts)),
+        lambda i: F.struct(
+            F.element_at(kinds, i).alias("kind"),
+            F.element_at(texts, i).alias("text"),
+            F.lit("").alias("media_ref"),
+            F.aggregate(
+                F.slice(texts, 1, i - 1), F.lit(0),
+                lambda acc, x: acc + F.length(x)
+            ).cast("int").alias("offset"),
+        ),
+    )
+    total_len = F.aggregate(texts, F.lit(0), lambda acc, x: acc + F.length(x))
+    media_span = F.struct(
+        F.lit("media").alias("kind"), F.lit("").alias("text"),
+        media_ref.alias("media_ref"), total_len.cast("int").alias("offset"),
+    )
+    spans_full = F.when(
+        has_media, F.concat(spans, F.array(media_span))
+    ).otherwise(spans)
+    return d.select(sid.alias("doc_id"), spans_full.alias("spans"))

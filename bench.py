@@ -1,0 +1,143 @@
+"""Bench harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. The geospatial
+headline runs on the deterministic scale docs table (FIXTURES.md §3 —
+seeded generator, Zipf-skewed cells; no external data), materialized
+once to parquet under /tmp so timings measure the pipeline, not
+datagen.
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., plus throughput extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from asag_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("ASAG_BENCH_DOCS", "200000"))
+AS_OF = "2018-06-01T00:00:00"
+
+
+def bench_docs_path(spark) -> str:
+    """Materialize the deterministic scale docs table once per size."""
+    path = f"/tmp/asag_bench/docs_{N_DOCS}"
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        from asag_spark.datagen import generate_docs
+
+        generate_docs(spark, N_DOCS).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    spark = get_spark("asag_bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=max(CPUS, 16))
+    from asag_spark.datagen import generate_zones
+    from asag_spark.functions import assign_tiles
+    from asag_spark.geo.tiles import rasterize_density, tile_feature_collections
+    from asag_spark.operators.dedup import lsh_candidate_pairs
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.operators.knn import knn_join
+    from asag_spark.operators.pip import pip_join
+    from asag_spark.operators.similarity import cosine_topk
+
+    docs_path = bench_docs_path(spark)
+    docs = spark.read.parquet(docs_path)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # 1. flagship: docs → features → tile assignment (the north-rule metric)
+    feats = build_features(docs, as_of=AS_OF)
+    tiled = assign_tiles(feats)
+    n_tiled = timed("tile_assignment", lambda: tiled.count())
+    extras["docs_per_sec_tile_assignment"] = round(N_DOCS / timings["tile_assignment"], 1)
+    extras["n_features"] = n_tiled
+
+    feats_pts = build_features(docs, as_of=AS_OF).filter(
+        F.col("lat").isNotNull()
+    ).select("feature_id", "lon", "lat").cache()
+    n_pts = feats_pts.count()
+
+    # 2. PIP join against the 50 municipality polygons (broadcast side)
+    zones = generate_zones(spark)
+    n_pip = timed("pip_join", lambda: pip_join(feats_pts, zones).count())
+    extras["pip_pairs"] = n_pip
+    extras["pip_points_per_sec"] = round(n_pts / timings["pip_join"], 1)
+
+    # 3. kNN on a deterministic 1-in-20 subsample (bounded-radius contract)
+    sample = feats_pts.filter(F.pmod(F.xxhash64("feature_id"), F.lit(20)) == 0)
+    extras["knn_pairs"] = timed(
+        "knn_join", lambda: knn_join(sample, k=3).count()
+    )
+
+    # 4. tile assembly + raster density
+    timings_src = tiled.select("h3_r7", "section", "feature_id",
+                               "geometry_wkt", "lon", "lat", "properties",
+                               "adjacent_sites")
+    extras["n_tiles"] = timed(
+        "tile_assembly",
+        lambda: tile_feature_collections(timings_src, "h3_r7").count(),
+    )
+    extras["raster_cells"] = timed(
+        "rasterize", lambda: rasterize_density(tiled, "h3_r9").count()
+    )
+
+    # 5. training-data ops on the provided tables
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("minhash_lsh", lambda: lsh_candidate_pairs(documents).count())
+    timed(
+        "cosine_topk",
+        lambda: cosine_topk(
+            embeddings, embeddings.filter(F.col("vec_id") < 16), k=10
+        ).count(),
+    )
+
+    # 6. relational headliners
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed(
+        "q1_agg",
+        lambda: li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.count(F.lit(1)))
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "stop_place_tile_assignment_plus_headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "cpus": CPUS,
+                "bench_docs": N_DOCS,
+                "extras": extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Streaming (availableNow == batch) and checkpoint/resume idempotency."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from asag_spark.plans.checkpoint import CheckpointedPipeline
+from asag_spark.streaming import (
+    hourly_counts, read_events_stream, run_available_now, sessionize,
+)
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmp_path):
+    # the file stream source requires a directory — stage the table file
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    shutil.copy(path, stream_dir / "part-0.parquet")
+    stream = read_events_stream(spark, str(stream_dir))
+    agg = hourly_counts(stream)
+    run_available_now(agg, str(tmp_path / "ckpt"), "hourly_stream")
+    streamed = {
+        (r["hour_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from hourly_stream").collect()
+    }
+    batch = {
+        (r["hour_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in (
+            spark.read.parquet(path)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.col("w.start").alias("hour_start"), "event_type", "n",
+                    "sum_value")
+        ).collect()
+    }
+    assert streamed == batch
+
+
+def test_sessionize(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 7, "click", 2.0, "{}"),
+        (3, "2024-01-01 12:00:00", 7, "click", 3.0, "{}"),   # 110-min gap → new session
+        (4, "2024-01-01 10:05:00", 8, "view", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sess = sessionize(df, gap_minutes=30).collect()
+    u7 = sorted([r for r in sess if r["user_id"] == 7], key=lambda r: r["session_start"])
+    assert len(u7) == 2
+    assert u7[0]["n_events"] == 2 and u7[1]["n_events"] == 1
+    assert len([r for r in sess if r["user_id"] == 8]) == 1
+
+
+def test_checkpoint_resume(spark, sf_dir, tmp_path):
+    workdir = str(tmp_path / "wd")
+
+    calls = {"a": 0, "b": 0}
+
+    def build_a():
+        calls["a"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    def make(pipe):
+        a = pipe.run_stage("stage_a", build_a)
+
+        def build_b():
+            calls["b"] += 1
+            return a.groupBy((F.col("id") % 10).alias("k")).agg(
+                F.sum("v").alias("s")
+            )
+
+        return pipe.run_stage("stage_b", build_b)
+
+    p1 = CheckpointedPipeline(spark, workdir, input_fp="fp0")
+    out1 = sorted(make(p1).collect())
+    assert calls == {"a": 1, "b": 1}
+    assert [s["resumed"] for s in p1.stage_log] == [False, False]
+
+    # resume: nothing recomputes, identical output
+    p2 = CheckpointedPipeline(spark, workdir, input_fp="fp0")
+    out2 = sorted(make(p2).collect())
+    assert calls == {"a": 1, "b": 1}
+    assert [s["resumed"] for s in p2.stage_log] == [True, True]
+    assert out1 == out2
+
+    # changed input fingerprint → full recompute
+    p3 = CheckpointedPipeline(spark, workdir, input_fp="fp1")
+    make(p3)
+    assert calls == {"a": 2, "b": 2}
+
+    # metrics table carries lineage rows
+    m = p3.metrics().collect()
+    assert {r["stage"] for r in m} == {"stage_a", "stage_b"}
+    assert all(r["row_count"] > 0 for r in m)
+    # partial resume: delete stage_b only → a resumes, b recomputes
+    shutil.rmtree(os.path.join(workdir, "stage_b"))
+    p4 = CheckpointedPipeline(spark, workdir, input_fp="fp1")
+    make(p4)
+    assert calls == {"a": 2, "b": 3}
+    assert [s["resumed"] for s in p4.stage_log] == [True, False]
