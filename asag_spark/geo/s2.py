@@ -120,13 +120,21 @@ def cell_id_at(lon: np.ndarray, lat: np.ndarray, level: int) -> np.ndarray:
     return parent_id(leaf_cell_id(lon, lat), level)
 
 
+_HEX_DIGITS = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
 def token(cell_ids: np.ndarray) -> np.ndarray:
-    """S2 hex tokens: 16-hex-digit id with trailing zeros stripped."""
-    out = []
-    for c in np.asarray(cell_ids, dtype=np.uint64):
-        s = format(int(c), "016x").rstrip("0")
-        out.append(s if s else "X")
-    return np.array(out, dtype=object)
+    """S2 hex tokens: 16-hex-digit id with trailing zeros stripped.
+    Fully vectorized (byte→hex-digit table, no per-element format)."""
+    ids = np.ascontiguousarray(np.asarray(cell_ids, dtype=np.uint64))
+    b = ids.byteswap().view(np.uint8).reshape(-1, 8)
+    chars = np.empty((len(ids), 16), dtype=np.uint8)
+    chars[:, 0::2] = _HEX_DIGITS[b >> 4]
+    chars[:, 1::2] = _HEX_DIGITS[b & 0xF]
+    full = chars.view("S16").ravel().astype("U16")
+    trimmed = np.char.rstrip(full, "0")
+    out = np.where(trimmed == "", "X", trimmed)
+    return out.astype(object)
 
 
 def cell_level(cell_id: int) -> int:
@@ -136,10 +144,24 @@ def cell_level(cell_id: int) -> int:
     return MAX_LEVEL - (lsb.bit_length() - 1) // 2
 
 
+COVER_LEVELS = (10, 12, 14, 16)
+
+
 def cover_point(lon: np.ndarray, lat: np.ndarray,
-                levels: tuple[int, ...] = (10, 12, 14, 16)) -> list[list[str]]:
+                levels: tuple[int, ...] = COVER_LEVELS) -> list[list[str]]:
     """Multi-level covering tokens per point (a point's 'cover' is its
     ancestor chain — cheap and exact)."""
     leafs = leaf_cell_id(lon, lat)
     per_level = [token(parent_id(leafs, lv)) for lv in levels]
     return [list(t) for t in zip(*per_level)]
+
+
+def cover_point_joined(leafs: np.ndarray,
+                       levels: tuple[int, ...] = COVER_LEVELS) -> np.ndarray:
+    """Ancestor-cover tokens '|'-joined per point — a flat string array
+    (cheap Arrow transfer; split back to array<string> JVM-side)."""
+    per_level = [token(parent_id(leafs, lv)).astype("U16") for lv in levels]
+    out = per_level[0]
+    for nxt in per_level[1:]:
+        out = np.char.add(np.char.add(out, "|"), nxt)
+    return out.astype(object)

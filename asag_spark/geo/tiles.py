@@ -36,21 +36,29 @@ TILE_SCHEMA = "tile string, n_features long, feature_collection string"
 
 
 def tile_feature_collections(features: DataFrame, tile_col: str = "h3_r7") -> DataFrame:
-    """features (with tile cell column) → one FeatureCollection per tile."""
+    """features (with tile cell column) → one FeatureCollection per tile.
+
+    Pure built-in aggregation (collect_list + array_sort + array_join):
+    stays in the JVM, benefits from AQE coalescing, and sorts features
+    (section, feature_id) inside each tile via struct ordering."""
     rendered = feature_json(features).select(
         F.col(tile_col).alias("tile"), "section", "feature_id", "feature_json"
     ).filter(F.col("tile").isNotNull())
-
-    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["section", "feature_id"])
-        body = ",".join(pdf["feature_json"])
-        fc = '{"features": [' + body + '], "type": "FeatureCollection"}'
-        return pd.DataFrame(
-            {"tile": [pdf["tile"].iloc[0]], "n_features": [len(pdf)],
-             "feature_collection": [fc]}
-        )
-
-    return rendered.groupBy("tile").applyInPandas(assemble, schema=TILE_SCHEMA)
+    entry = F.struct("section", "feature_id", "feature_json")
+    return rendered.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_features"),
+        F.concat(
+            F.lit('{"features": ['),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)),
+                    lambda e: e["feature_json"],
+                ),
+                ",",
+            ),
+            F.lit('], "type": "FeatureCollection"}'),
+        ).alias("feature_collection"),
+    )
 
 
 def rasterize_density(features: DataFrame, tile_col: str = "h3_r9") -> DataFrame:

@@ -121,6 +121,32 @@ def adjacent_sites_sorted(props: Column) -> Column:
     )
 
 
+def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
+    """J1/A3 over the thin aux frame (id, own_type, adj_sorted) — see
+    adjacency_final_types for semantics/citations."""
+    types = stops_aux.select(
+        F.col("id").alias("ref_id"), F.col("own_type").alias("ref_type")
+    )
+    probes = stops_aux.select(
+        "id", "own_type", F.explode("adj_sorted").alias("ref")
+    )
+    found = probes.join(
+        F.broadcast(types), probes["ref"] == types["ref_id"], "left"
+    )
+    return found.groupBy("id").agg(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.array_append(
+                        F.collect_set("ref_type"), F.first("own_type")
+                    )
+                )
+            ),
+            "_",
+        ).alias("final_joined_type")
+    )
+
+
 def adjacency_final_types(stops: DataFrame) -> DataFrame:
     """J1/A3 — per stop with adjacentSites: probe every ref against the
     broadcast ``id → ownType`` map, union the found types with the own
@@ -185,7 +211,9 @@ def stop_features(stops: DataFrame) -> DataFrame:
     )
     submode = resolved_submode(p)
     base_final = F.coalesce(submode, p["stopPlaceType"])
-    enriched = stops.join(adj, "id", "left")
+    # adj is small (only stops WITH adjacent sites, two thin columns) —
+    # broadcast so the full stop side never shuffles for this join
+    enriched = stops.join(F.broadcast(adj), "id", "left")
     final_type = F.when(
         has_adj & is_primary, F.col("final_joined_type")
     ).otherwise(base_final)
@@ -306,17 +334,12 @@ def tariff_zone_features(zones: DataFrame) -> DataFrame:
 
 # -- the flagship pipeline ---------------------------------------------------
 
-def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
-    """docs → canonical feature table (E2's lineage, SURVEY.md §3).
-
-    Stages: extract → F1 validity → A1 dedup(id, version) → split by
-    discriminator → F2 geometry presence (stops/parkings/tariff zones;
-    quays follow their parent, matching the reference's handle() which
-    only checks the top-level zone) → per-type projections (+J1) →
-    U1 unionByName. Output is unordered; canonical order is
-    (section, feature_id) — the reference's within-section order is
-    HashSet-nondeterministic (SURVEY.md §7.3) so we sort only at sinks.
-    """
+def build_features_union(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
+    """Reference-shaped 4-branch union variant (one branch per entity
+    type, mirroring E2's per-type write loops). Semantically identical
+    to build_features; kept for parity reading — the branch-per-type
+    plan re-scans the source once per branch, so the single-pass
+    variant below is the production path."""
     e = extract_entities(docs)
     e = validity_filter(e, as_of)
     e = e.dropDuplicates(["id", "version"])
@@ -331,4 +354,147 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
         .unionByName(quay_features(quays, stops.select("doc_id")))
         .unionByName(parking_features(parkings))
         .unionByName(tariff_zone_features(tz))
+    )
+
+
+def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
+    """docs → canonical feature table (E2's lineage, SURVEY.md §3) —
+    SINGLE-PASS plan for scale.
+
+    Stages: extract → F1 validity → A1 dedup(id, version) → one
+    conditional projection (CASE per entity_type building each type's
+    property map) with two broadcast joins: the adjacency result (J1)
+    and the valid-stop doc_id set (quay parent gate, X1). F2 geometry
+    presence folds into the keep-predicate (quays follow their parent,
+    matching the reference's handle() which only checks the top-level
+    zone).
+
+    Scan count: 1 full scan for the main path + 1 thin aux scan for the
+    adjacency build side (a global stop→type map needs a second pass by
+    construction — the reference buffers everything for the same
+    reason, DeliveryPublicationStreamToGeoJson.java:135). The 4-branch
+    union variant cost 7 scans / 8 shuffles at 200k docs.
+
+    Output is unordered; canonical order is (section, feature_id) —
+    the reference's within-section order is HashSet-nondeterministic
+    (SURVEY.md §7.3) so we sort only at sinks.
+    """
+    e0 = validity_filter(extract_entities(docs), as_of)
+    e = e0.dropDuplicates(["id", "version"])
+
+    # Thin aux frame for the adjacency build/probe sides and the quay
+    # parent gate — persisted so its three consumers cost ONE scan.
+    # Dedup is unnecessary here: the adjacency agg collect_set and the
+    # distinct() below are idempotent under duplicate (id, version)
+    # rows (the reference's toMap would throw on a dup id — undefined
+    # input we tolerate).
+    stops_aux = (
+        e0.filter(
+            (F.col("entity_type") == "StopPlace") & F.col("geom_wkt").isNotNull()
+        )
+        .select(
+            "doc_id",
+            "id",
+            own_stop_type(F.col("props")).alias("own_type"),
+            adjacent_sites_sorted(F.col("props")).alias("adj_sorted"),
+        )
+        .persist()
+    )
+    adj = adjacency_final_types_from_aux(stops_aux)
+    valid_stop_docs = stops_aux.select(
+        F.col("doc_id").alias("parent_doc")
+    ).distinct()
+
+    p = F.col("props")
+    et = F.col("entity_type")
+    joined = (
+        e.join(F.broadcast(adj), "id", "left")
+        .join(
+            F.broadcast(valid_stop_docs),
+            p["parentDocId"] == F.col("parent_doc"),
+            "left",
+        )
+    )
+
+    keep = F.when(et == "Quay", F.col("parent_doc").isNotNull()).otherwise(
+        F.col("geom_wkt").isNotNull()
+    )
+
+    adj_sorted = adjacent_sites_sorted(p)
+    has_adj = adj_sorted.isNotNull() & (F.size(adj_sorted) > 0)
+    is_primary = has_adj & (
+        F.size(
+            F.filter(adj_sorted, lambda r: F.lower(r) > F.lower(F.col("id")))
+        )
+        == 0
+    )
+    submode = resolved_submode(p)
+    final_type = F.when(
+        has_adj & is_primary, F.col("final_joined_type")
+    ).otherwise(F.coalesce(submode, p["stopPlaceType"]))
+
+    def base(entity_type_lit):
+        return _zone_base_entries(p, F.col("id"), entity_type_lit)
+
+    stop_map = _props_map(
+        *_zone_base_entries(p, F.col("id"), "StopPlace"),
+        _entry("submode", submode),
+        _entry("stopPlaceType", p["stopPlaceType"]),
+        _entry("finalStopPlaceType", final_type),
+        _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
+        _entry("weighting", p["weighting"]),
+        _entry(
+            "hasParentSiteRef",
+            F.when(p["parentSiteRef"].isNotNull(), "true").otherwise("false"),
+        ),
+        _entry("isParentStopPlace", keylist_value(p, "IS_PARENT_STOP_PLACE")),
+        _entry(
+            "isPrimaryAdjacentSite", F.when(has_adj, is_primary.cast("string"))
+        ),
+    )
+    quay_map = _props_map(
+        *_zone_base_entries(p, F.col("id"), "Quay"),
+        _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
+    )
+    parking_map = _props_map(
+        *_zone_base_entries(p, F.col("id"), "Parking"),
+        _entry("totalCapacity", p["totalCapacity"]),
+        _entry("principalCapacity", p["principalCapacity"]),
+        _entry("numberOfParkingLevels", p["numberOfParkingLevels"]),
+        _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
+        _entry("covered", p["covered"]),
+        _entry(
+            "parkingVehicleTypes",
+            F.when(
+                p["parkingVehicleTypes"].isNotNull(),
+                F.array_join(
+                    F.array_sort(F.split(p["parkingVehicleTypes"], ",")), ","
+                ),
+            ),
+        ),
+        _entry(
+            "hasParentSiteRef",
+            F.when(p["parentSiteRef"].isNotNull(), "true").otherwise("false"),
+        ),
+    )
+    tz_map = _props_map(*_zone_base_entries(p, F.col("id"), "TariffZone"))
+
+    return joined.filter(keep).select(
+        F.col("id").alias("feature_id"),
+        F.when(et == "Parking", SECTION_PARKINGS)
+        .when(et == "TariffZone", SECTION_TARIFF_ZONES)
+        .otherwise(SECTION_STOPS)
+        .cast("int")
+        .alias("section"),
+        et.alias("entity_type"),
+        F.col("geom_wkt").alias("geometry_wkt"),
+        point_lon(F.col("geom_wkt")).alias("lon"),
+        point_lat(F.col("geom_wkt")).alias("lat"),
+        F.when(et == "StopPlace", stop_map)
+        .when(et == "Quay", quay_map)
+        .when(et == "Parking", parking_map)
+        .otherwise(tz_map)
+        .alias("properties"),
+        F.when((et == "StopPlace") & has_adj, adj_sorted).alias("adjacent_sites"),
+        "doc_id",
     )

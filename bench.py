@@ -65,15 +65,19 @@ def main() -> None:
         return out
 
     # 1. flagship: docs → features → tile assignment (the north-rule metric)
+    # NB: no cache of the wide frame — in-memory columnar caching of the
+    # map/array columns measured 26 s alone; shuffle reuse makes the
+    # recompute for downstream consumers ~4 s instead.
     feats = build_features(docs, as_of=AS_OF)
     tiled = assign_tiles(feats)
     n_tiled = timed("tile_assignment", lambda: tiled.count())
     extras["docs_per_sec_tile_assignment"] = round(N_DOCS / timings["tile_assignment"], 1)
     extras["n_features"] = n_tiled
 
-    feats_pts = build_features(docs, as_of=AS_OF).filter(
-        F.col("lat").isNotNull()
-    ).select("feature_id", "lon", "lat").cache()
+    # thin (id, lon, lat) frame is cheap to cache and feeds pip + knn
+    feats_pts = tiled.filter(F.col("lat").isNotNull()).select(
+        "feature_id", "lon", "lat"
+    ).cache()
     n_pts = feats_pts.count()
 
     # 2. PIP join against the 50 municipality polygons (broadcast side)
