@@ -119,6 +119,45 @@ def _q_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_tiles(feats).select("feature_id", "h3_r7", "h3_r10", "s2_cell")
 
 
+def _q_zone_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.pip import zone_covers
+
+    return zone_covers(fixture_zones(spark), res=7).groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("cell").alias("min_cell"),
+        F.max("cell").alias("max_cell"),
+    )
+
+
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n", "sum_qty",
+        )
+    )
+
+
+def _q_sorted_stragg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), "_"
+            ).alias("segments")
+        )
+    )
+
+
 def _q1_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
@@ -239,6 +278,24 @@ def _q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.events import asof_join_window
+
+    return asof_join_window(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.events import asof_join_pandas
+
+    return asof_join_pandas(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_topk_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.events import topk_per_user
+
+    return topk_per_user(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import token_count
 
@@ -275,6 +332,14 @@ def _t_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.dedup import lsh_candidate_pairs
 
     return lsh_candidate_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.dedup import minhash_dedup
+
+    return minhash_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.2
+    )
 
 
 def _t_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,7 +397,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_fixture": _q_pip,
         "knn_fixture": _q_knn,
         "tile_cells_fixture": _q_tiles,
+        "zone_cover_stats": _q_zone_cover,
         # relational operator coverage (live SQL oracles)
+        "q_cube": _q_cube,
+        "q_sorted_stragg": _q_sorted_stragg,
         "q1_agg": _q1_agg,
         "q3_topk": _q3_topk,
         "q5_multijoin": _q5_multijoin,
@@ -342,6 +410,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_distinct": _q_union_distinct,
         "q_explode_tokens": _q_explode_tokens,
         "q_events_hourly": _q_events_hourly,
+        "q_asof_window": _q_asof_window,
+        "q_asof_pandas": _q_asof_pandas,
+        "q_topk_per_user": _q_topk_user,
         # training-data ops (live SQL oracles)
         "t_token_count": _t_token_count,
         "t_quality": _t_quality,
@@ -349,6 +420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_exact_dedup": _t_exact_dedup,
         "t_jaccard_pairs": _t_jaccard,
         "t_minhash_lsh": _t_minhash_lsh,
+        "t_minhash_dedup": _t_minhash_dedup,
         "t_cosine_topk": _t_cosine_topk,
         "t_emb_near_dups": _t_emb_near_dups,
         # rows-only (non-SQL-expressible: crc32 simhash, stub media,
@@ -579,6 +651,26 @@ def oracle_sql() -> dict[str, str]:
         "pip_fixture": _PIP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,
         "tile_cells_fixture": _TILES_GOLDEN,
+        "zone_cover_stats": """
+            SELECT * FROM (VALUES
+              ('VKT:TariffZone:729', CAST(99 AS BIGINT), 'h7_-1509_3591', 'h7_-1519_3599'),
+              ('VKT:TariffZone:730', CAST(99 AS BIGINT), 'h7_-1509_3591', 'h7_-1519_3599'),
+              ('MUNI:ADJ',           CAST(25 AS BIGINT), 'h7_-1492_3580', 'h7_-1496_3584'),
+              ('MUNI:0301',          CAST(270 AS BIGINT), 'h7_-1527_3631', 'h7_-1544_3645')
+            ) AS t(zone_id, n_cells, min_cell, max_cell)
+        """,
+        "q_cube": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+                   COALESCE(l_linestatus, 'ALL') AS ls,
+                   COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_sorted_stragg": """
+            SELECT n_name,
+                   string_agg(DISTINCT c_mktsegment, '_' ORDER BY c_mktsegment) AS segments
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
         "q1_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -641,6 +733,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "q_asof_window": """
+            SELECT p.event_id, p.user_id, p.ts, b.ts AS matched_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+              ON p.user_id = b.user_id AND p.ts >= b.ts
+        """,
+        "q_asof_pandas": """
+            SELECT p.event_id, p.user_id, p.ts, b.ts AS matched_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+              ON p.user_id = b.user_id AND p.ts >= b.ts
+        """,
+        "q_topk_per_user": """
+            SELECT user_id, event_id, CAST(rk AS INTEGER) AS rk,
+                   ROUND(value, 2) AS value
+            FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id ASC) AS rk
+              FROM events
+            ) WHERE rk <= 3
+        """,
         "t_token_count": """
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
@@ -666,6 +780,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_jaccard_pairs": _JACCARD_SQL,
         "t_minhash_lsh": _minhash_sql(),
+        "t_minhash_dedup": f"""
+            SELECT j.doc_a, j.doc_b, j.jaccard
+            FROM ({_JACCARD_SQL}) j
+            WHERE EXISTS (
+              SELECT 1 FROM ({_minhash_sql()}) l
+              WHERE l.doc_a = j.doc_a AND l.doc_b = j.doc_b
+            )
+        """,
         "t_cosine_topk": _COSINE_TOPK_SQL,
         "t_emb_near_dups": _EMB_ND_SQL,
     }

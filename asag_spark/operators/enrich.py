@@ -361,13 +361,13 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     """docs → canonical feature table (E2's lineage, SURVEY.md §3) —
     SINGLE-PASS plan for scale.
 
-    Stages: extract → F1 validity → A1 dedup(id, version) → one
-    conditional projection (CASE per entity_type building each type's
-    property map) with two broadcast joins: the adjacency result (J1)
-    and the valid-stop doc_id set (quay parent gate, X1). F2 geometry
-    presence folds into the keep-predicate (quays follow their parent,
-    matching the reference's handle() which only checks the top-level
-    zone).
+    Stages: extract → F1 validity → one wide shuffle keyed on
+    coalesce(parentDocId, doc_id) carrying BOTH the A1 dedup and the X1
+    quay-parent gate as windows → broadcast join of the (small) J1
+    adjacency result → one conditional projection (CASE per entity_type
+    building each type's property map). F2 geometry presence folds into
+    the keep-predicate (quays follow their parent, matching the
+    reference's handle() which only checks the top-level zone).
 
     Scan count: 1 full scan for the main path + 1 thin aux scan for the
     adjacency build side (a global stop→type map needs a second pass by
@@ -380,43 +380,64 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     (SURVEY.md §7.3) so we sort only at sinks.
     """
     e0 = validity_filter(extract_entities(docs), as_of)
-    e = e0.dropDuplicates(["id", "version"])
 
-    # Thin aux frame for the adjacency build/probe sides and the quay
-    # parent gate — persisted so its three consumers cost ONE scan.
-    # Dedup is unnecessary here: the adjacency agg collect_set and the
-    # distinct() below are idempotent under duplicate (id, version)
+    # Thin aux frame for the adjacency build/probe sides. NOT persisted:
+    # its two consumers recompute a fully-parallel lineage (scan +
+    # extract + filter), which scales; an in-function persist() leaks
+    # cache entries across repeated invocations and the resulting
+    # eviction churn measured worse than the recompute. (In the
+    # checkpointed job the aux pass reads the materialized entity
+    # stage instead — plans/job.py.) Dedup is unnecessary here: the
+    # adjacency collect_set is idempotent under duplicate (id, version)
     # rows (the reference's toMap would throw on a dup id — undefined
     # input we tolerate).
-    stops_aux = (
-        e0.filter(
-            (F.col("entity_type") == "StopPlace") & F.col("geom_wkt").isNotNull()
-        )
-        .select(
-            "doc_id",
-            "id",
-            own_stop_type(F.col("props")).alias("own_type"),
-            adjacent_sites_sorted(F.col("props")).alias("adj_sorted"),
-        )
-        .persist()
+    stops_aux = e0.filter(
+        (F.col("entity_type") == "StopPlace") & F.col("geom_wkt").isNotNull()
+    ).select(
+        "doc_id",
+        "id",
+        own_stop_type(F.col("props")).alias("own_type"),
+        adjacent_sites_sorted(F.col("props")).alias("adj_sorted"),
     )
     adj = adjacency_final_types_from_aux(stops_aux)
-    valid_stop_docs = stops_aux.select(
-        F.col("doc_id").alias("parent_doc")
-    ).distinct()
 
     p = F.col("props")
     et = F.col("entity_type")
-    joined = (
-        e.join(F.broadcast(adj), "id", "left")
-        .join(
-            F.broadcast(valid_stop_docs),
-            p["parentDocId"] == F.col("parent_doc"),
-            "left",
-        )
-    )
+    # ONE wide shuffle for both A1 dedup and the X1 quay parent gate,
+    # and NO driver-side broadcast of the stop-id set (which would
+    # serialize ~N_stops through the driver — measured as the scaling
+    # bottleneck; impossible at 10^9 docs). Key trick: partition by
+    # coalesce(parentDocId, doc_id) —
+    # * duplicate (id, version) rows share a doc_id, hence a key, so
+    #   sorting within the key makes duplicates adjacent (A1);
+    # * a quay lands in the SAME window group as its parent stop, so a
+    #   per-group max computes "my parent is a kept stop" (X1);
+    # both windows share the exchange, and keys are distinct entity ids
+    # → no skew.
+    from pyspark.sql import Window
 
-    keep = F.when(et == "Quay", F.col("parent_doc").isNotNull()).otherwise(
+    keyed = e0.withColumn(
+        "_pkey", F.coalesce(F.col("props")["parentDocId"], F.col("doc_id"))
+    )
+    w_sorted = Window.partitionBy("_pkey").orderBy("id", "version")
+    e = keyed.withColumn(
+        "_is_first",
+        F.lag("id").over(w_sorted).isNull()
+        | (F.lag("id").over(w_sorted) != F.col("id"))
+        | (F.lag("version").over(w_sorted) != F.col("version")),
+    ).filter(F.col("_is_first"))
+
+    gated = e.withColumn(
+        "_parent_ok",
+        F.max(
+            F.when(
+                (et == "StopPlace") & F.col("geom_wkt").isNotNull(), 1
+            ).otherwise(0)
+        ).over(Window.partitionBy("_pkey")),
+    )
+    joined = gated.join(F.broadcast(adj), "id", "left")
+
+    keep = F.when(et == "Quay", F.col("_parent_ok") == 1).otherwise(
         F.col("geom_wkt").isNotNull()
     )
 

