@@ -32,17 +32,12 @@ from .schema import DOCS, ZONES
 # reference's wall-clock LocalDateTime.now() (ValidityFilter.java:41).
 AS_OF = "2018-06-01T00:00:00"
 
-# FIXTURES.md §1 span-encoding prop-key order.
-PROP_KEY_ORDER = [
-    "name", "nameLang", "description", "descriptionLang", "privateCode",
-    "publicCode", "stopPlaceType",
-    "airSubmode", "busSubmode", "coachSubmode", "funicularSubmode",
-    "metroSubmode", "railSubmode", "tramSubmode", "telecabinSubmode",
-    "waterSubmode", "snowAndIceSubmode",
-    "weighting", "parentSiteRef", "adjacentSites", "keyList",
-    "totalCapacity", "principalCapacity", "numberOfParkingLevels",
-    "covered", "parkingVehicleTypes", "validFrom", "validTo", "parentDocId",
-]
+# FIXTURES.md §1 span-encoding prop-key order — canonical list lives in
+# schema.ENTITY_PROP_KEYS (the extract kernel and the generator must
+# agree on the key set).
+from .schema import ENTITY_PROP_KEYS
+
+PROP_KEY_ORDER = list(ENTITY_PROP_KEYS)
 
 BOLAERENE_WKT = (
     "POLYGON((10.47906867027 59.19325200734, 10.47434798241 59.18555854825, "

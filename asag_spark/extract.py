@@ -4,39 +4,124 @@ The reference does a selective StAX scan that materializes only
 StopPlace/Parking/TariffZone elements
 (/root/reference/src/main/java/org/entur/asag/mapbox/
 DeliveryPublicationStreamToGeoJson.java:95-125). Here the docs table is
-columnar, so "selective scan" = column pruning + span-kind filtering —
-all with built-in higher-order functions (JVM-side, whole-stage
-codegen). No Python runs per row.
+columnar and the extraction is a ``mapInArrow`` kernel over the Arrow
+child buffers: the span kinds/texts of a whole batch are FLAT arrays,
+so kind dispatch and key matching run as pyarrow C++ compute calls —
+no per-row or per-span Python, and no per-element interpreted eval.
+
+Why not pyspark.sql higher-order functions: HOFs (filter/transform/
+aggregate) are CodegenFallback — Spark interprets the whole lambda
+tree per element — and Catalyst inlines a multi-referenced projection
+alias into each consumer, so the span traversals re-ran once per
+extracted field (measured 22 s / 10M docs at 16 cores for the HOF
+formulation vs ~3 s for this kernel; scan alone is 1.8 s).
 
 Per-row invariant (input_hint): the original ``spans`` array rides
 through unchanged so span-sequence equality can be asserted on any
 downstream output.
+
+``props`` is a typed struct over the fixed NeTEx property key set
+(schema.ENTITY_PROP_KEYS) rather than map<string,string>: every
+consumer reads known keys, struct field access is O(1) whole-stage
+codegen, and null means "property absent".
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-
-def _first_span_text(kind: str) -> Column:
-    return F.try_element_at(
-        F.filter("spans", lambda s: s["kind"] == F.lit(kind)), F.lit(1)
-    )["text"]
+from .schema import ENTITY_PROP_KEYS, SPAN
 
 
-def _kv_entries(texts: Column) -> Column:
-    """array<'k=v' string> → array<struct<key,value>> splitting on the
-    FIRST '=' only (values may contain '=')."""
-    return F.transform(
-        texts,
-        lambda t: F.struct(
-            F.substring_index(t, "=", 1).alias("key"),
-            F.substr(
-                t, F.length(F.substring_index(t, "=", 1)) + F.lit(2)
-            ).alias("value"),
-        ),
-    )
+def _first_assign(dest: np.ndarray, rows: np.ndarray, values: np.ndarray) -> None:
+    """dest[rows] = values with FIRST occurrence per row winning (the
+    reference's findFirst semantics — assign reversed so earlier spans
+    overwrite later ones)."""
+    dest[rows[::-1]] = values[::-1]
+
+
+def _extract_batches(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        doc_id = batch.column(0)
+        spans = batch.column(1)
+        n = len(spans)
+        lens = pc.list_value_length(spans).to_numpy(zero_copy_only=False)
+        lens = np.nan_to_num(lens.astype("float64"), nan=0.0).astype(np.int64)
+        vals = spans.flatten()
+        kinds = vals.field("kind")
+        texts = vals.field("text")
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+        out = {
+            k: np.full(n, None, dtype=object)
+            for k in ("entity_type", "id", "version", "geom_wkt")
+        }
+        props = {k: np.full(n, None, dtype=object) for k in ENTITY_PROP_KEYS}
+
+        meta_mask = pc.equal(kinds, "meta")
+        meta_np = meta_mask.to_numpy(zero_copy_only=False).astype(bool)
+        if meta_np.any():
+            meta_texts = texts.filter(meta_mask)
+            meta_rows = row_idx[meta_np]
+            for field in ("entity_type", "id", "version"):
+                ext = pc.extract_regex(meta_texts, f"{field}=(?P<v>[^;]*)")
+                _first_assign(
+                    out[field], meta_rows,
+                    ext.field("v").to_numpy(zero_copy_only=False),
+                )
+
+        geom_mask = pc.equal(kinds, "geom")
+        geom_np = geom_mask.to_numpy(zero_copy_only=False).astype(bool)
+        if geom_np.any():
+            _first_assign(
+                out["geom_wkt"], row_idx[geom_np],
+                texts.filter(geom_mask).to_numpy(zero_copy_only=False),
+            )
+
+        prop_mask = pc.equal(kinds, "prop")
+        prop_np = prop_mask.to_numpy(zero_copy_only=False).astype(bool)
+        if prop_np.any():
+            prop_texts = texts.filter(prop_mask)
+            prop_rows = row_idx[prop_np]
+            for key in ENTITY_PROP_KEYS:
+                kmask = pc.starts_with(prop_texts, key + "=")
+                kmask_np = kmask.to_numpy(zero_copy_only=False).astype(bool)
+                if not kmask_np.any():
+                    continue
+                # value = everything after the FIRST '=' (values may
+                # contain '=' — KeyValuesHelper-style split semantics)
+                vals_k = pc.utf8_slice_codeunits(
+                    prop_texts.filter(kmask), len(key) + 1, 2**30
+                )
+                _first_assign(
+                    props[key], prop_rows[kmask_np],
+                    vals_k.to_numpy(zero_copy_only=False),
+                )
+
+        props_arr = pa.StructArray.from_arrays(
+            [pa.array(props[k], type=pa.string()) for k in ENTITY_PROP_KEYS],
+            names=list(ENTITY_PROP_KEYS),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                doc_id,
+                pa.array(out["entity_type"], type=pa.string()),
+                pa.array(out["id"], type=pa.string()),
+                pa.array(out["version"], type=pa.string()),
+                props_arr,
+                pa.array(out["geom_wkt"], type=pa.string()),
+                spans,
+            ],
+            names=[
+                "doc_id", "entity_type", "id", "version", "props",
+                "geom_wkt", "spans",
+            ],
+        )
 
 
 def extract_entities(docs: DataFrame) -> DataFrame:
@@ -45,31 +130,38 @@ def extract_entities(docs: DataFrame) -> DataFrame:
     meta span: ``entity_type=X;id=Y;version=Z`` → discriminator columns
     (the reference's polymorphic instanceof dispatch, F3 —
     PublicationDeliveryHelper.java:60-61 — collapses to a column).
-    prop spans: ``key=value`` → ``props`` map. geom span: WKT passthrough.
+    prop spans: ``key=value`` → typed ``props`` struct. geom span: WKT
+    passthrough. First span of a kind wins (findFirst semantics).
     """
-    meta = F.str_to_map(_first_span_text("meta"), F.lit(";"), F.lit("="))
-    prop_texts = F.transform(
-        F.filter("spans", lambda s: s["kind"] == F.lit("prop")),
-        lambda s: s["text"],
+    from pyspark.sql import types as T
+
+    from .schema import ENTITY_PROPS
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("entity_type", T.StringType(), True),
+            T.StructField("id", T.StringType(), True),
+            T.StructField("version", T.StringType(), True),
+            T.StructField("props", ENTITY_PROPS, True),
+            T.StructField("geom_wkt", T.StringType(), True),
+            T.StructField("spans", T.ArrayType(SPAN, containsNull=False), False),
+        ]
     )
-    out = docs.select(
+    parsed = docs.select("doc_id", "spans").mapInArrow(
+        _extract_batches, out_schema
+    )
+    return parsed.select(
         "doc_id",
-        meta.alias("_meta"),
-        F.map_from_entries(_kv_entries(prop_texts)).alias("props"),
-        _first_span_text("geom").alias("geom_wkt"),
-        "spans",
-    ).select(
-        "doc_id",
-        F.col("_meta")["entity_type"].alias("entity_type"),
-        F.col("_meta")["id"].alias("id"),
-        F.col("_meta")["version"].alias("version"),
+        "entity_type",
+        "id",
+        "version",
         "props",
         "geom_wkt",
         F.to_timestamp_ntz(F.col("props")["validFrom"]).alias("valid_from"),
         F.to_timestamp_ntz(F.col("props")["validTo"]).alias("valid_to"),
         "spans",
     )
-    return out
 
 
 def keylist_value(props: Column, key: str) -> Column:
@@ -77,13 +169,13 @@ def keylist_value(props: Column, key: str) -> Column:
     may contain ':'). Mirrors KeyValuesHelper.getValueByKey
     (/root/reference/.../mapper/KeyValuesHelper.java:28-39): first
     match wins, absent → null (property not set).
+
+    Regex-based rather than filter()+substring: a higher-order
+    ``filter`` is CodegenFallback (interpreted per row in the feature
+    projection's hot path); ``rlike``/``regexp_extract`` stay in
+    whole-stage codegen. ``key`` is a fixed NeTEx key identifier
+    ([A-Z_]+ — no regex metacharacters).
     """
-    entries = F.filter(
-        F.split(props["keyList"], r"\|"),
-        lambda kv: F.substring_index(kv, ":", 1) == F.lit(key),
-    )
-    first = F.try_element_at(entries, F.lit(1))
-    return F.when(
-        first.isNotNull(),
-        F.substr(first, F.length(F.substring_index(first, ":", 1)) + F.lit(2)),
-    )
+    kl = props["keyList"]
+    pat = "(^|\\|)" + key + ":([^|]*)"
+    return F.when(kl.rlike(pat), F.regexp_extract(kl, pat, 2))

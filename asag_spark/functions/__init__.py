@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..geo import hexgrid, s2
-from ..geo.wkt import parse_polygon, ring_bbox, ring_centroid
+from ..geo.wkt import parse_polygon, ring_bbox, ring_centroid, rings_centroids
 
 # ---------------------------------------------------------------------------
 # JVM-side hex-cell + polygon-centroid expressions (no Python): exact
@@ -56,43 +56,60 @@ def hex_cell_expr(lon: Column, lat: Column, res: int) -> Column:
 
 def polygon_centroid_expr(wkt: Column) -> tuple[Column, Column]:
     """Shoelace centroid of the exterior ring — pure column expressions
-    (matches geo.wkt.ring_centroid; sequential summation order)."""
+    (matches geo.wkt.ring_centroid; sequential summation order).
+
+    Implemented as ONE ``aggregate`` fold with a struct accumulator.
+    Spark's higher-order functions are CodegenFallback (interpreted
+    eval), and inside an interpreted lambda every ``element_at(pts, i)``
+    re-evaluates the whole parse tree — a previous indexed formulation
+    re-parsed the ring once per vertex access, O(n²) full-string splits
+    per polygon (measured 100×+ the cost of the rest of the tile
+    pipeline). The fold parses each vertex exactly once and carries
+    (area2, centroid sums, vertex sums, prev vertex) through the
+    accumulator: O(n) with identical float summation order.
+    """
     inner = F.regexp_extract(wkt, r"POLYGON\(\((.*)\)\)", 1)
-    pts = F.transform(
-        F.split(inner, ","),
-        lambda p: F.struct(
-            F.split(F.trim(p), " ")[0].cast("double").alias("x"),
-            F.split(F.trim(p), " ")[1].cast("double").alias("y"),
-        ),
+    parts = F.split(inner, ",")
+    n = F.size(parts)
+    zero = F.struct(
+        F.lit(0.0).alias("area2"),
+        F.lit(0.0).alias("cxa"),
+        F.lit(0.0).alias("cya"),
+        F.lit(0.0).alias("sx"),
+        F.lit(0.0).alias("sy"),
+        F.lit(None).cast("double").alias("px"),
+        F.lit(None).cast("double").alias("py"),
     )
-    n = F.size(pts)
-    idx = F.sequence(F.lit(1), n - 1)
 
-    def _cross(i):
-        a = F.element_at(pts, i)
-        b = F.element_at(pts, i + 1)
-        return a["x"] * b["y"] - b["x"] * a["y"]
+    def _step(a, s):
+        sp = F.split(F.trim(s), " ")
+        x = sp[0].cast("double")
+        y = sp[1].cast("double")
+        cross = a["px"] * y - x * a["py"]
+        first = a["px"].isNull()
+        return F.struct(
+            F.when(first, a["area2"]).otherwise(a["area2"] + cross).alias("area2"),
+            F.when(first, a["cxa"])
+            .otherwise(a["cxa"] + (a["px"] + x) * cross)
+            .alias("cxa"),
+            F.when(first, a["cya"])
+            .otherwise(a["cya"] + (a["py"] + y) * cross)
+            .alias("cya"),
+            (a["sx"] + x).alias("sx"),
+            (a["sy"] + y).alias("sy"),
+            x.alias("px"),
+            y.alias("py"),
+        )
 
-    area2 = F.aggregate(idx, F.lit(0.0), lambda acc, i: acc + _cross(i))
-    cx = F.aggregate(
-        idx, F.lit(0.0),
-        lambda acc, i: acc
-        + (F.element_at(pts, i)["x"] + F.element_at(pts, i + 1)["x"]) * _cross(i),
-    ) / (F.lit(3.0) * area2)
-    cy = F.aggregate(
-        idx, F.lit(0.0),
-        lambda acc, i: acc
-        + (F.element_at(pts, i)["y"] + F.element_at(pts, i + 1)["y"]) * _cross(i),
-    ) / (F.lit(3.0) * area2)
-    # degenerate ring → vertex mean (same fallback as ring_centroid)
-    mean_x = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p["x"]) / n
-    mean_y = F.aggregate(pts, F.lit(0.0), lambda acc, p: acc + p["y"]) / n
+    acc = F.aggregate(parts, zero, _step)
+    area2 = acc["area2"]
     tiny = F.abs(area2) < F.lit(2e-18)
+    # degenerate ring → vertex mean (same fallback as ring_centroid)
     return (
         F.when(wkt.startswith("POLYGON"),
-               F.when(tiny, mean_x).otherwise(cx)),
+               F.when(tiny, acc["sx"] / n).otherwise(acc["cxa"] / (F.lit(3.0) * area2))),
         F.when(wkt.startswith("POLYGON"),
-               F.when(tiny, mean_y).otherwise(cy)),
+               F.when(tiny, acc["sy"] / n).otherwise(acc["cya"] / (F.lit(3.0) * area2))),
     )
 
 
@@ -198,41 +215,82 @@ def s2_cells(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"s2_cell": cell, "s2_cover_joined": cover})
 
 
+_TC_SCHEMA = T.StructType(
+    [
+        T.StructField("h3_r7", T.StringType()),
+        T.StructField("h3_r8", T.StringType()),
+        T.StructField("h3_r9", T.StringType()),
+        T.StructField("h3_r10", T.StringType()),
+        T.StructField("s2_cell", T.StringType()),
+        T.StructField("s2_cover_joined", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_TC_SCHEMA)
+def _tile_cells(wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """All tile cells in ONE Arrow pass: effective point (the point
+    itself, else the bulk-vectorized exterior-ring centroid), hex cells
+    res 7-10, S2 level-16 cell + ancestor-cover tokens.
+
+    This is deliberately a pandas UDF rather than column expressions:
+    the shoelace fold over WKT vertices needs higher-order functions,
+    which are CodegenFallback — interpreted per row, and re-interpreted
+    per REFERENCE once coalesce() feeds them into the 8 hex/S2
+    consumers (measured 34 µs/polygon × 8 evaluations; this UDF does
+    the whole batch in ~2 µs/row). Covers travel as '|'-joined flat
+    strings — list-of-list Arrow transfer measured 3× slower.
+    """
+    import numpy as np
+
+    lon_v = lon.to_numpy(dtype="float64", na_value=float("nan"))
+    lat_v = lat.to_numpy(dtype="float64", na_value=float("nan"))
+    n = len(lon_v)
+    is_poly = (
+        wkt.str.startswith("POLYGON").fillna(False).to_numpy(dtype=bool)
+        & np.isnan(lon_v)
+    )
+    if is_poly.any():
+        cx, cy = rings_centroids(wkt[is_poly].tolist())
+        lon_v = lon_v.copy()
+        lat_v = lat_v.copy()
+        lon_v[is_poly] = cx
+        lat_v[is_poly] = cy
+    valid = ~(np.isnan(lon_v) | np.isnan(lat_v))
+    cols = {
+        k: np.full(n, None, dtype=object)
+        for k in ("h3_r7", "h3_r8", "h3_r9", "h3_r10", "s2_cell", "s2_cover_joined")
+    }
+    if valid.any():
+        lo, la = lon_v[valid], lat_v[valid]
+        for res in hexgrid.RESOLUTIONS:
+            cols[f"h3_r{res}"][valid] = hexgrid.cell_id(lo, la, res)
+        leafs = s2.leaf_cell_id(lo, la)
+        cols["s2_cell"][valid] = s2.token(s2.parent_id(leafs, 16))
+        cols["s2_cover_joined"][valid] = s2.cover_point_joined(leafs)
+    return pd.DataFrame(cols)
+
+
 def assign_tiles(features, lon_col: str = "lon", lat_col: str = "lat"):
     """features(+lon/lat) → + tile cell columns (schema.TILES fields).
 
     Point features use their coordinates; polygon features use the
-    exterior-ring centroid (JVM shoelace expression). Hex cells are
-    pure column expressions (whole-stage codegen); only the S2 Hilbert
-    interleave crosses to Python — one Arrow pass on two doubles.
-    """
-    c_lon, c_lat = polygon_centroid_expr(F.col("geometry_wkt"))
-    with_pt = features.withColumn(
-        "_eff",
-        F.struct(
-            F.coalesce(F.col(lon_col), c_lon).alias("lon"),
-            F.coalesce(F.col(lat_col), c_lat).alias("lat"),
-        ),
-    )
-    out = with_pt
+    exterior-ring centroid. Everything runs in the single Arrow pass of
+    ``_tile_cells`` (see its docstring for why this beats JVM column
+    expressions here); the UDF result is one physical column, so the
+    per-cell projections below are free field reads."""
+    cells = _tile_cells(F.col("geometry_wkt"), F.col(lon_col), F.col(lat_col))
+    out = features.withColumn("_tc", cells)
     for res in hexgrid.RESOLUTIONS:
-        out = out.withColumn(
-            f"h3_r{res}",
-            F.when(
-                F.col("_eff.lon").isNotNull(),
-                hex_cell_expr(F.col("_eff.lon"), F.col("_eff.lat"), res),
-            ),
-        )
-    cells = s2_cells(F.col("_eff.lon"), F.col("_eff.lat"))
+        out = out.withColumn(f"h3_r{res}", F.col(f"_tc.h3_r{res}"))
     return (
-        out.withColumn("_s2", cells)
-        .withColumn("s2_cell", F.col("_s2.s2_cell"))
+        out.withColumn("s2_cell", F.col("_tc.s2_cell"))
         .withColumn(
             "s2_cover",
             F.when(
-                F.col("_s2.s2_cover_joined").isNotNull(),
-                F.split(F.col("_s2.s2_cover_joined"), r"\|"),
+                F.col("_tc.s2_cover_joined").isNotNull(),
+                F.split(F.col("_tc.s2_cover_joined"), r"\|"),
             ),
         )
-        .drop("_s2", "_eff")
+        .drop("_tc")
     )

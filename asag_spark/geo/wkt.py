@@ -67,6 +67,48 @@ def points_in_ring(lon: np.ndarray, lat: np.ndarray, ring: np.ndarray) -> np.nda
     return (crossings % 2).astype(bool)
 
 
+def rings_centroids(wkts) -> tuple[np.ndarray, np.ndarray]:
+    """Bulk shoelace centroids for a sequence of 'POLYGON((...))' WKTs.
+
+    Fully vectorized: one float parse over the concatenated coordinate
+    blob, then segmented shoelace sums via ``np.add.reduceat`` — no
+    per-vertex Python. Semantics identical to ring_centroid (exterior
+    ring only; degenerate ring → vertex mean)."""
+    inners = [w[w.index("((") + 2:] for w in wkts]
+    inners = [s[: s.index(")")] for s in inners]
+    counts = np.array([s.count(",") + 1 for s in inners], dtype=np.int64)
+    blob = ",".join(inners).replace(",", " ")
+    vals = np.array(blob.split(), dtype=np.float64)
+    x, y = vals[0::2], vals[1::2]
+    total = counts.sum()
+    ends = np.cumsum(counts)
+    starts = ends - counts
+    # consecutive-pair terms, zeroed at ring boundaries
+    cr = np.zeros(total, dtype=np.float64)
+    tx = np.zeros(total, dtype=np.float64)
+    ty = np.zeros(total, dtype=np.float64)
+    cr[:-1] = x[:-1] * y[1:] - x[1:] * y[:-1]
+    tx[:-1] = (x[:-1] + x[1:]) * cr[:-1]
+    ty[:-1] = (y[:-1] + y[1:]) * cr[:-1]
+    last = ends - 1
+    cr[last] = 0.0
+    tx[last] = 0.0
+    ty[last] = 0.0
+    area2 = np.add.reduceat(cr, starts)
+    cxa = np.add.reduceat(tx, starts)
+    cya = np.add.reduceat(ty, starts)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cx = cxa / (3.0 * area2)
+        cy = cya / (3.0 * area2)
+    tiny = np.abs(area2) < 2e-18
+    if tiny.any():
+        mx = np.add.reduceat(x, starts) / counts
+        my = np.add.reduceat(y, starts) / counts
+        cx = np.where(tiny, mx, cx)
+        cy = np.where(tiny, my, cy)
+    return cx, cy
+
+
 def ring_centroid(ring: np.ndarray) -> tuple[float, float]:
     """Area-weighted centroid of the exterior ring (shoelace)."""
     x, y = ring[:-1, 0], ring[:-1, 1]

@@ -54,26 +54,32 @@ def geometry_json(geometry_wkt: Column, lon: Column, lat: Column) -> Column:
 def feature_json(df: DataFrame) -> DataFrame:
     """+ ``feature_json`` column: one GeoJSON Feature per row.
 
-    Properties are emitted key-sorted for determinism; adjacentSites
-    rides as a JSON array property like the reference's
-    Set<String> property (StopPlaceToGeoJsonFeatureMapper.java:80).
+    Properties are emitted key-sorted for determinism; null struct
+    fields (absent properties) drop out natively because ``concat_ws``
+    skips null fragments — the whole JSON build is whole-stage codegen
+    (no HOFs). adjacentSites rides as a JSON array property like the
+    reference's Set<String> property
+    (StopPlaceToGeoJsonFeatureMapper.java:80).
     """
-    props_entries = F.array_sort(F.map_entries("properties"))
+    from .schema import PROP_FIELDS
+
+    frags = [
+        F.when(
+            F.col("properties")[k].isNotNull(),
+            F.concat(
+                F.lit(f'"{k}":'), json_str(F.col("properties")[k])
+            ),
+        )
+        for k in sorted(PROP_FIELDS)
+    ]
+    props_body = F.concat_ws(",", *frags)
     props_json = F.concat(
         F.lit("{"),
-        F.array_join(
-            F.transform(
-                props_entries,
-                lambda e: F.concat(
-                    json_str(e["key"]), F.lit(":"), json_str(e["value"])
-                ),
-            ),
-            ",",
-        ),
+        props_body,
         F.when(
             F.col("adjacent_sites").isNotNull(),
             F.concat(
-                F.when(F.size(props_entries) > 0, F.lit(",")).otherwise(F.lit("")),
+                F.when(F.length(props_body) > 0, F.lit(",")).otherwise(F.lit("")),
                 F.lit('"adjacentSites":'),
                 F.to_json("adjacent_sites"),
             ),

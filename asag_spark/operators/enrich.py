@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..extract import extract_entities, keylist_value
-from ..schema import SUBMODE_KEYS
+from ..schema import PROP_FIELDS, SUBMODE_KEYS
 from ..datagen import AS_OF
 from .filters import validity_filter, geometry_presence_filter
 
@@ -71,33 +71,33 @@ def point_lat(wkt: Column) -> Column:
     return F.regexp_extract(wkt, r"POINT\(([-\d.]+) ([-\d.]+)\)", 2).try_cast("double")
 
 
-def _entry(key: str, value: Column) -> Column:
-    return F.struct(F.lit(key).alias("key"), value.alias("value"))
-
-
-def _props_map(*entries: Column) -> Column:
-    """Build map<string,string> dropping entries whose value is null —
-    the reference simply never calls setProperty for absent values."""
-    arr = F.filter(F.array(*entries), lambda e: e["value"].isNotNull())
-    return F.map_from_entries(arr)
+def _props_struct(present: dict) -> Column:
+    """properties struct: ``present`` maps field → Column; every other
+    canonical field is a null literal."""
+    return F.struct(
+        *[
+            (present[k] if k in present else F.lit(None).cast("string")).alias(k)
+            for k in PROP_FIELDS
+        ]
+    )
 
 
 def _zone_base_entries(df_props: Column, id_col: Column,
-                       entity_type: str) -> list[Column]:
+                       entity_type: str) -> dict:
     """P1 — shared Zone→Feature projection
     (ZoneToGeoJsonFeatureMapper.java:51-66). name/description are set
     whenever the MultilingualString exists (even empty — MapperHelper
     .java:34-41); privateCode is skipped when empty (:56-62)."""
-    return [
-        _entry("name", df_props["name"]),
-        _entry("nameLang", df_props["nameLang"]),
-        _entry("description", df_props["description"]),
-        _entry("descriptionLang", df_props["descriptionLang"]),
-        _entry("privateCode", F.nullif(df_props["privateCode"], F.lit(""))),
-        _entry("id", id_col),
-        _entry("codeSpace", codespace(id_col)),
-        _entry("entityType", F.lit(entity_type)),
-    ]
+    return {
+        "name": df_props["name"],
+        "nameLang": df_props["nameLang"],
+        "description": df_props["description"],
+        "descriptionLang": df_props["descriptionLang"],
+        "privateCode": F.nullif(df_props["privateCode"], F.lit("")),
+        "id": id_col,
+        "codeSpace": codespace(id_col),
+        "entityType": F.lit(entity_type),
+    }
 
 
 # -- J1: adjacency broadcast self-join --------------------------------------
@@ -108,30 +108,73 @@ def adjacent_sites_sorted(props: Column) -> Column:
     .java:92-104). Ties (refs equal modulo case) break lexicographically
     — documented deviation, reference behavior undefined."""
     refs = F.array_distinct(F.split(props["adjacentSites"], ","))
+    # sort on struct(lower(r), r): native struct ordering gives the
+    # case-insensitive order with lexicographic tie-break WITHOUT a
+    # comparator lambda — a lambda comparator interprets its whole
+    # expression tree once per comparison (HOFs are CodegenFallback;
+    # measured +37 s / 10M rows at 16 cores)
+    keyed = F.transform(
+        refs, lambda r: F.struct(F.lower(r).alias("k"), r.alias("v"))
+    )
     return F.when(
         props["adjacentSites"].isNotNull(),
-        F.array_sort(
-            refs,
-            lambda a, b: F.when(F.lower(a) < F.lower(b), -1)
-            .when(F.lower(a) > F.lower(b), 1)
-            .when(a < b, -1)
-            .when(a > b, 1)
-            .otherwise(0),
-        ),
+        F.transform(F.array_sort(keyed), lambda s: s["v"]),
     )
 
 
 def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
     """J1/A3 over the thin aux frame (id, own_type, adj_sorted) — see
-    adjacency_final_types for semantics/citations."""
-    types = stops_aux.select(
-        F.col("id").alias("ref_id"), F.col("own_type").alias("ref_type")
-    )
+    adjacency_final_types for semantics/citations.
+
+    Scale plan: the naive build side is the FULL ``id → own_type`` map
+    over every stop — broadcasting that serializes the whole stop table
+    through the driver (measured as the scaling bottleneck at 10M docs;
+    impossible at 10^9). Only stops that appear as somebody's adjacent
+    ref ever matter, and adjacency is sparse (few % of stops —
+    reference registries have ~10^2 adjacency groups in ~10^5 stops).
+    So:
+
+    Only ids that appear as somebody's adjacent ref ever matter, and
+    adjacency is sparse (few % of stops — reference registries have
+    ~10^2 adjacency groups in ~10^5 stops). So:
+
+    1. explode the probe side (stops WITH adjacentSites);
+    2. its distinct refs semi-join-filter the full ``id → own_type``
+       map, pruning it map-side during the (fully parallel) scan;
+    3. the pruned (small) map joins the probes.
+
+    Both small sides carry explicit ``broadcast()`` hints: the static
+    planner's size estimates for sub-aggregates are scan-sized, so
+    without hints it cascades SortMergeJoins that exchange+sort the
+    full O(|stops|) side (measured +80 s / 10M docs at 16 cores; AQE
+    did not demote them at runtime). The hints keep every exchange
+    O(|adjacency edges|). Adjacency-dense inputs past broadcastable
+    size would drop the hints and shuffle on ref — still never a
+    driver-side O(|stops|) materialization. Refs with no carrier
+    resolve to null, which ``collect_set`` drops (the reference's
+    Optional.ifPresent, DeliveryPublicationStreamToGeoJson
+    .java:153-154).
+
+    This shape reads the aux lineage twice (probe pass + map pass).
+    Measured alternatives that scan once both lost: a groupBy co-group
+    dies in ObjectHashAggregate's sort-based fallback over |stops|
+    distinct keys (7× extract wall); a single-exchange window-max
+    resolve pays a 10M-row sort (5× extract wall); persist() of the
+    aux frame thrashes the block manager at high parallelism. Two
+    fully-parallel columnar scans are the cheapest global-map build —
+    the reference buffers everything in memory for the same structural
+    reason (DeliveryPublicationStreamToGeoJson.java:135).
+    """
     probes = stops_aux.select(
         "id", "own_type", F.explode("adj_sorted").alias("ref")
     )
+    refs = probes.select(F.col("ref").alias("ref_id")).distinct()
+    types = stops_aux.select(
+        F.col("id").alias("ref_id"), F.col("own_type").alias("ref_type")
+    )
+    needed = types.join(F.broadcast(refs), "ref_id", "left_semi")
     found = probes.join(
-        F.broadcast(types), probes["ref"] == types["ref_id"], "left"
+        F.broadcast(needed), probes["ref"] == needed["ref_id"], "left"
     )
     return found.groupBy("id").agg(
         F.array_join(
@@ -155,35 +198,14 @@ def adjacency_final_types(stops: DataFrame) -> DataFrame:
     (Optional.ifPresent at :153-154).
 
     Returns (id, final_joined_type) for stops that HAVE adjacent sites.
+    collect_set drops nulls, so missing refs contribute nothing.
     """
-    types = stops.select(
-        F.col("id").alias("ref_id"), own_stop_type(F.col("props")).alias("ref_type")
-    )
-    probes = stops.select(
+    aux = stops.select(
         "id",
         own_stop_type(F.col("props")).alias("own_type"),
-        F.explode(adjacent_sites_sorted(F.col("props"))).alias("ref"),
+        adjacent_sites_sorted(F.col("props")).alias("adj_sorted"),
     )
-    found = probes.join(
-        F.broadcast(types), probes["ref"] == types["ref_id"], "left"
-    )
-    return (
-        found.groupBy("id")
-        .agg(
-            F.array_join(
-                F.array_sort(
-                    F.array_distinct(
-                        F.array_append(
-                            # collect_set drops nulls (missing refs) and dups
-                            F.collect_set("ref_type"),
-                            F.first("own_type"),
-                        )
-                    )
-                ),
-                "_",
-            ).alias("final_joined_type")
-        )
-    )
+    return adjacency_final_types_from_aux(aux)
 
 
 # -- per-entity-type feature projections ------------------------------------
@@ -225,22 +247,20 @@ def stop_features(stops: DataFrame) -> DataFrame:
         F.col("geom_wkt").alias("geometry_wkt"),
         point_lon(F.col("geom_wkt")).alias("lon"),
         point_lat(F.col("geom_wkt")).alias("lat"),
-        _props_map(
-            *_zone_base_entries(p, F.col("id"), "StopPlace"),
-            _entry("submode", submode),
-            _entry("stopPlaceType", p["stopPlaceType"]),
-            _entry("finalStopPlaceType", final_type),
-            _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
-            _entry("weighting", p["weighting"]),
-            _entry(
-                "hasParentSiteRef",
-                F.when(p["parentSiteRef"].isNotNull(), "true").otherwise("false"),
-            ),
-            _entry("isParentStopPlace", keylist_value(p, "IS_PARENT_STOP_PLACE")),
-            _entry(
-                "isPrimaryAdjacentSite",
-                F.when(has_adj, is_primary.cast("string")),
-            ),
+        _props_struct(
+            {
+                **_zone_base_entries(p, F.col("id"), "StopPlace"),
+                "submode": submode,
+                "stopPlaceType": p["stopPlaceType"],
+                "finalStopPlaceType": final_type,
+                "publicCode": F.nullif(p["publicCode"], F.lit("")),
+                "weighting": p["weighting"],
+                "hasParentSiteRef": F.when(
+                    p["parentSiteRef"].isNotNull(), "true"
+                ).otherwise("false"),
+                "isParentStopPlace": keylist_value(p, "IS_PARENT_STOP_PLACE"),
+                "isPrimaryAdjacentSite": F.when(has_adj, is_primary.cast("string")),
+            }
         ).alias("properties"),
         F.when(has_adj, adj_sorted).alias("adjacent_sites"),
         "doc_id",
@@ -267,9 +287,11 @@ def quay_features(quays: DataFrame, valid_stop_ids: DataFrame) -> DataFrame:
         F.col("geom_wkt").alias("geometry_wkt"),
         point_lon(F.col("geom_wkt")).alias("lon"),
         point_lat(F.col("geom_wkt")).alias("lat"),
-        _props_map(
-            *_zone_base_entries(p, F.col("id"), "Quay"),
-            _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
+        _props_struct(
+            {
+                **_zone_base_entries(p, F.col("id"), "Quay"),
+                "publicCode": F.nullif(p["publicCode"], F.lit("")),
+            }
         ).alias("properties"),
         F.lit(None).cast("array<string>").alias("adjacent_sites"),
         "doc_id",
@@ -288,30 +310,30 @@ def parking_features(parkings: DataFrame) -> DataFrame:
         F.col("geom_wkt").alias("geometry_wkt"),
         point_lon(F.col("geom_wkt")).alias("lon"),
         point_lat(F.col("geom_wkt")).alias("lat"),
-        _props_map(
-            *_zone_base_entries(p, F.col("id"), "Parking"),
-            _entry("totalCapacity", p["totalCapacity"]),
-            _entry("principalCapacity", p["principalCapacity"]),
-            _entry("numberOfParkingLevels", p["numberOfParkingLevels"]),
-            _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
-            _entry("covered", p["covered"]),
-            _entry(
-                "parkingVehicleTypes",
-                F.when(
-                    p["parkingVehicleTypes"].isNotNull(),
-                    F.array_join(
-                        F.array_sort(F.split(p["parkingVehicleTypes"], ",")), ","
-                    ),
-                ),
-            ),
-            _entry(
-                "hasParentSiteRef",
-                F.when(p["parentSiteRef"].isNotNull(), "true").otherwise("false"),
-            ),
-        ).alias("properties"),
+        _props_struct(_parking_entries(p)).alias("properties"),
         F.lit(None).cast("array<string>").alias("adjacent_sites"),
         "doc_id",
     )
+
+
+def _parking_entries(p: Column) -> dict:
+    return {
+        **_zone_base_entries(p, F.col("id"), "Parking"),
+        "totalCapacity": p["totalCapacity"],
+        "principalCapacity": p["principalCapacity"],
+        "numberOfParkingLevels": p["numberOfParkingLevels"],
+        "publicCode": F.nullif(p["publicCode"], F.lit("")),
+        "covered": p["covered"],
+        "parkingVehicleTypes": F.when(
+            p["parkingVehicleTypes"].isNotNull(),
+            F.array_join(
+                F.array_sort(F.split(p["parkingVehicleTypes"], ",")), ","
+            ),
+        ),
+        "hasParentSiteRef": F.when(
+            p["parentSiteRef"].isNotNull(), "true"
+        ).otherwise("false"),
+    }
 
 
 def tariff_zone_features(zones: DataFrame) -> DataFrame:
@@ -324,7 +346,7 @@ def tariff_zone_features(zones: DataFrame) -> DataFrame:
         F.col("geom_wkt").alias("geometry_wkt"),
         point_lon(F.col("geom_wkt")).alias("lon"),
         point_lat(F.col("geom_wkt")).alias("lat"),
-        _props_map(*_zone_base_entries(p, F.col("id"), "TariffZone")).alias(
+        _props_struct(_zone_base_entries(p, F.col("id"), "TariffZone")).alias(
             "properties"
         ),
         F.lit(None).cast("array<string>").alias("adjacent_sites"),
@@ -381,26 +403,6 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     """
     e0 = validity_filter(extract_entities(docs), as_of)
 
-    # Thin aux frame for the adjacency build/probe sides. NOT persisted:
-    # its two consumers recompute a fully-parallel lineage (scan +
-    # extract + filter), which scales; an in-function persist() leaks
-    # cache entries across repeated invocations and the resulting
-    # eviction churn measured worse than the recompute. (In the
-    # checkpointed job the aux pass reads the materialized entity
-    # stage instead — plans/job.py.) Dedup is unnecessary here: the
-    # adjacency collect_set is idempotent under duplicate (id, version)
-    # rows (the reference's toMap would throw on a dup id — undefined
-    # input we tolerate).
-    stops_aux = e0.filter(
-        (F.col("entity_type") == "StopPlace") & F.col("geom_wkt").isNotNull()
-    ).select(
-        "doc_id",
-        "id",
-        own_stop_type(F.col("props")).alias("own_type"),
-        adjacent_sites_sorted(F.col("props")).alias("adj_sorted"),
-    )
-    adj = adjacency_final_types_from_aux(stops_aux)
-
     p = F.col("props")
     et = F.col("entity_type")
     # ONE wide shuffle for both A1 dedup and the X1 quay parent gate,
@@ -416,9 +418,14 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     # → no skew.
     from pyspark.sql import Window
 
+    # _adj_sorted is materialized as a REAL column below the window
+    # shuffle: every later reference is then an attribute read. Left
+    # inline, the sorted-array HOF tree (CodegenFallback, interpreted)
+    # would be re-evaluated once per referencing expression in the
+    # final projection — ~6× per row (measured +37 s / 10M docs).
     keyed = e0.withColumn(
         "_pkey", F.coalesce(F.col("props")["parentDocId"], F.col("doc_id"))
-    )
+    ).withColumn("_adj_sorted", adjacent_sites_sorted(F.col("props")))
     w_sorted = Window.partitionBy("_pkey").orderBy("id", "version")
     e = keyed.withColumn(
         "_is_first",
@@ -435,13 +442,37 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
             ).otherwise(0)
         ).over(Window.partitionBy("_pkey")),
     )
+
+    # Thin aux frame for the adjacency pass, rooted at e0: one extra
+    # full extract pass. Measured alternatives all lost: deriving it
+    # from the windowed frame does NOT get exchange reuse (column
+    # pruning gives each consumer a different ReadSchema, so the
+    # exchange subtrees never canonicalize equal — the plan ran the
+    # scan 4×); persist() thrashed the block manager at high
+    # parallelism. A global id→type map fundamentally needs a second
+    # pass — the reference buffers the whole registry in RAM for the
+    # same reason (DeliveryPublicationStreamToGeoJson.java:135). In
+    # the checkpointed job the aux pass reads the materialized entity
+    # stage instead (plans/job.py). Dedup is unnecessary here: the
+    # adjacency aggregation is idempotent under duplicate (id, version)
+    # rows (the reference's toMap would throw on a dup id — undefined
+    # input we tolerate).
+    stops_aux = e0.filter(
+        (et == "StopPlace") & F.col("geom_wkt").isNotNull()
+    ).select(
+        "doc_id",
+        "id",
+        own_stop_type(p).alias("own_type"),
+        adjacent_sites_sorted(p).alias("adj_sorted"),
+    )
+    adj = adjacency_final_types_from_aux(stops_aux)
     joined = gated.join(F.broadcast(adj), "id", "left")
 
     keep = F.when(et == "Quay", F.col("_parent_ok") == 1).otherwise(
         F.col("geom_wkt").isNotNull()
     )
 
-    adj_sorted = adjacent_sites_sorted(p)
+    adj_sorted = F.col("_adj_sorted")
     has_adj = adj_sorted.isNotNull() & (F.size(adj_sorted) > 0)
     is_primary = has_adj & (
         F.size(
@@ -454,51 +485,29 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
         has_adj & is_primary, F.col("final_joined_type")
     ).otherwise(F.coalesce(submode, p["stopPlaceType"]))
 
-    def base(entity_type_lit):
-        return _zone_base_entries(p, F.col("id"), entity_type_lit)
-
-    stop_map = _props_map(
-        *_zone_base_entries(p, F.col("id"), "StopPlace"),
-        _entry("submode", submode),
-        _entry("stopPlaceType", p["stopPlaceType"]),
-        _entry("finalStopPlaceType", final_type),
-        _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
-        _entry("weighting", p["weighting"]),
-        _entry(
-            "hasParentSiteRef",
-            F.when(p["parentSiteRef"].isNotNull(), "true").otherwise("false"),
-        ),
-        _entry("isParentStopPlace", keylist_value(p, "IS_PARENT_STOP_PLACE")),
-        _entry(
-            "isPrimaryAdjacentSite", F.when(has_adj, is_primary.cast("string"))
-        ),
+    stop_map = _props_struct(
+        {
+            **_zone_base_entries(p, F.col("id"), "StopPlace"),
+            "submode": submode,
+            "stopPlaceType": p["stopPlaceType"],
+            "finalStopPlaceType": final_type,
+            "publicCode": F.nullif(p["publicCode"], F.lit("")),
+            "weighting": p["weighting"],
+            "hasParentSiteRef": F.when(
+                p["parentSiteRef"].isNotNull(), "true"
+            ).otherwise("false"),
+            "isParentStopPlace": keylist_value(p, "IS_PARENT_STOP_PLACE"),
+            "isPrimaryAdjacentSite": F.when(has_adj, is_primary.cast("string")),
+        }
     )
-    quay_map = _props_map(
-        *_zone_base_entries(p, F.col("id"), "Quay"),
-        _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
+    quay_map = _props_struct(
+        {
+            **_zone_base_entries(p, F.col("id"), "Quay"),
+            "publicCode": F.nullif(p["publicCode"], F.lit("")),
+        }
     )
-    parking_map = _props_map(
-        *_zone_base_entries(p, F.col("id"), "Parking"),
-        _entry("totalCapacity", p["totalCapacity"]),
-        _entry("principalCapacity", p["principalCapacity"]),
-        _entry("numberOfParkingLevels", p["numberOfParkingLevels"]),
-        _entry("publicCode", F.nullif(p["publicCode"], F.lit(""))),
-        _entry("covered", p["covered"]),
-        _entry(
-            "parkingVehicleTypes",
-            F.when(
-                p["parkingVehicleTypes"].isNotNull(),
-                F.array_join(
-                    F.array_sort(F.split(p["parkingVehicleTypes"], ",")), ","
-                ),
-            ),
-        ),
-        _entry(
-            "hasParentSiteRef",
-            F.when(p["parentSiteRef"].isNotNull(), "true").otherwise("false"),
-        ),
-    )
-    tz_map = _props_map(*_zone_base_entries(p, F.col("id"), "TariffZone"))
+    parking_map = _props_struct(_parking_entries(p))
+    tz_map = _props_struct(_zone_base_entries(p, F.col("id"), "TariffZone"))
 
     return joined.filter(keep).select(
         F.col("id").alias("feature_id"),

@@ -48,6 +48,26 @@ SUBMODE_KEYS = [
     "snowAndIceSubmode",
 ]
 
+# The fixed NeTEx property key set carried in prop spans (FIXTURES.md
+# span encoding; mirrors the reference's bean fields). ``props`` is a
+# typed struct over these keys, not map<string,string>: consumers read
+# known keys only, struct access is O(1) whole-stage codegen, null =
+# absent.
+ENTITY_PROP_KEYS = (
+    "name", "nameLang", "description", "descriptionLang", "privateCode",
+    "publicCode", "stopPlaceType", "airSubmode", "busSubmode",
+    "coachSubmode", "funicularSubmode", "metroSubmode", "railSubmode",
+    "tramSubmode", "telecabinSubmode", "waterSubmode",
+    "snowAndIceSubmode", "weighting", "parentSiteRef", "adjacentSites",
+    "keyList", "totalCapacity", "principalCapacity",
+    "numberOfParkingLevels", "covered", "parkingVehicleTypes",
+    "validFrom", "validTo", "parentDocId",
+)
+
+ENTITY_PROPS = T.StructType(
+    [T.StructField(k, T.StringType(), True) for k in ENTITY_PROP_KEYS]
+)
+
 # Typed entity frame produced by extract.extract_entities().
 ENTITIES = T.StructType(
     [
@@ -55,7 +75,7 @@ ENTITIES = T.StructType(
         T.StructField("entity_type", T.StringType(), True),
         T.StructField("id", T.StringType(), True),
         T.StructField("version", T.StringType(), True),
-        T.StructField("props", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("props", ENTITY_PROPS, True),
         T.StructField("geom_wkt", T.StringType(), True),
         T.StructField("valid_from", T.TimestampNTZType(), True),
         T.StructField("valid_to", T.TimestampNTZType(), True),
@@ -63,10 +83,32 @@ ENTITIES = T.StructType(
     ]
 )
 
+# Canonical property field set — the union of every property any of
+# the four reference mappers can set (SURVEY.md §2 P1-P15). null field
+# = property absent (the reference never calls setProperty for absent
+# values, MapperHelper.java:44-62).
+PROP_FIELDS = (
+    "name", "nameLang", "description", "descriptionLang", "privateCode",
+    "id", "codeSpace", "entityType", "submode", "stopPlaceType",
+    "finalStopPlaceType", "publicCode", "weighting", "hasParentSiteRef",
+    "isParentStopPlace", "isPrimaryAdjacentSite", "totalCapacity",
+    "principalCapacity", "numberOfParkingLevels", "covered",
+    "parkingVehicleTypes",
+)
+
+PROPS = T.StructType(
+    [T.StructField(k, T.StringType(), True) for k in PROP_FIELDS]
+)
+
 # Canonical feature row (asag GeoJSON Feature equivalent —
 # ZoneToGeoJsonFeatureMapper.java:51-66 + per-type extras). A fixed
-# wide StructType instead of a map so Catalyst can prune columns; the
-# string property map is materialized only at the GeoJSON sink.
+# wide StructType instead of a map so Catalyst can prune fields AND so
+# the property build stays in whole-stage codegen — every null-dropping
+# map constructor is (or contains) a CodegenFallback expression that
+# forces interpreted eval of the whole ~25-value subtree per row
+# (measured +75 s / 10M docs at 16 cores). The null-skipped string
+# property map exists only in the GeoJSON text at the sink
+# (geojson.feature_json, via concat_ws which drops null fragments).
 FEATURES = T.StructType(
     [
         T.StructField("feature_id", T.StringType(), False),
@@ -75,7 +117,7 @@ FEATURES = T.StructType(
         T.StructField("geometry_wkt", T.StringType(), True),
         T.StructField("lon", T.DoubleType(), True),  # point features only
         T.StructField("lat", T.DoubleType(), True),
-        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField("properties", PROPS, False),
         T.StructField("adjacent_sites", T.ArrayType(T.StringType()), True),
     ]
 )

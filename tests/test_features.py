@@ -87,8 +87,9 @@ def test_adjacency(features):
 
     # airSubmode=unknown must not produce submode / finalStopPlaceType
     s83 = features["NSR:StopPlace:59883"]
-    assert "submode" not in s83["properties"]
-    assert "finalStopPlaceType" not in s83["properties"]
+    # properties is a fixed struct: null field == property absent
+    assert s83["properties"]["submode"] is None
+    assert s83["properties"]["finalStopPlaceType"] is None
     assert s83["properties"]["isParentStopPlace"] == "true"
 
 
