@@ -42,8 +42,13 @@ def bench_docs_path(spark) -> str:
 
 
 def main() -> None:
+    # 16m split size: the bench parquet files are small, and the default
+    # 128m bin-packing collapses the scan (and with it the Arrow
+    # extraction stage) into a handful of partitions.
+    os.environ.setdefault("ASAG_DRIVER_MEM", "20g")
     spark = get_spark("asag_bench", master=f"local[{CPUS}]",
-                      shuffle_partitions=max(CPUS, 16))
+                      shuffle_partitions=max(CPUS, 16),
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "16m"})
     from asag_spark.datagen import generate_zones
     from asag_spark.functions import assign_tiles
     from asag_spark.geo.tiles import rasterize_density, tile_feature_collections
@@ -64,15 +69,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
+    def materialize(df):
+        # Full materialization via the noop sink: count() lets Catalyst
+        # prune computed columns (properties, tile cells) out of the
+        # plan and under-measures the pipeline >5x.
+        df.write.format("noop").mode("overwrite").save()
+
     # 1. flagship: docs → features → tile assignment (the north-rule metric)
     # NB: no cache of the wide frame — in-memory columnar caching of the
     # map/array columns measured 26 s alone; shuffle reuse makes the
     # recompute for downstream consumers ~4 s instead.
     feats = build_features(docs, as_of=AS_OF)
     tiled = assign_tiles(feats)
-    n_tiled = timed("tile_assignment", lambda: tiled.count())
+    timed("tile_assignment", lambda: materialize(tiled))
     extras["docs_per_sec_tile_assignment"] = round(N_DOCS / timings["tile_assignment"], 1)
-    extras["n_features"] = n_tiled
+    extras["n_features"] = tiled.count()
 
     # thin (id, lon, lat) frame is cheap to cache and feeds pip + knn
     feats_pts = tiled.filter(F.col("lat").isNotNull()).select(
@@ -82,37 +93,37 @@ def main() -> None:
 
     # 2. PIP join against the 50 municipality polygons (broadcast side)
     zones = generate_zones(spark)
-    n_pip = timed("pip_join", lambda: pip_join(feats_pts, zones).count())
-    extras["pip_pairs"] = n_pip
+    pip = pip_join(feats_pts, zones)
+    timed("pip_join", lambda: materialize(pip))
+    extras["pip_pairs"] = pip.count()
     extras["pip_points_per_sec"] = round(n_pts / timings["pip_join"], 1)
 
     # 3. kNN on a deterministic 1-in-20 subsample (bounded-radius contract)
     sample = feats_pts.filter(F.pmod(F.xxhash64("feature_id"), F.lit(20)) == 0)
-    extras["knn_pairs"] = timed(
-        "knn_join", lambda: knn_join(sample, k=3).count()
-    )
+    knn = knn_join(sample, k=3)
+    timed("knn_join", lambda: materialize(knn))
+    extras["knn_pairs"] = knn.count()
 
     # 4. tile assembly + raster density
     timings_src = tiled.select("h3_r7", "section", "feature_id",
                                "geometry_wkt", "lon", "lat", "properties",
                                "adjacent_sites")
-    extras["n_tiles"] = timed(
-        "tile_assembly",
-        lambda: tile_feature_collections(timings_src, "h3_r7").count(),
-    )
-    extras["raster_cells"] = timed(
-        "rasterize", lambda: rasterize_density(tiled, "h3_r9").count()
-    )
+    tiles_fc = tile_feature_collections(timings_src, "h3_r7")
+    timed("tile_assembly", lambda: materialize(tiles_fc))
+    extras["n_tiles"] = tiles_fc.count()
+    raster = rasterize_density(tiled, "h3_r9")
+    timed("rasterize", lambda: materialize(raster))
+    extras["raster_cells"] = raster.count()
 
     # 5. training-data ops on the provided tables
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    timed("minhash_lsh", lambda: lsh_candidate_pairs(documents).count())
+    timed("minhash_lsh", lambda: materialize(lsh_candidate_pairs(documents)))
     timed(
         "cosine_topk",
-        lambda: cosine_topk(
+        lambda: materialize(cosine_topk(
             embeddings, embeddings.filter(F.col("vec_id") < 16), k=10
-        ).count(),
+        )),
     )
 
     # 6. relational headliners
