@@ -42,7 +42,7 @@ def _first_assign(dest: np.ndarray, rows: np.ndarray, values: np.ndarray) -> Non
     dest[rows[::-1]] = values[::-1]
 
 
-def _extract_batches(batches):
+def _extract_batches(batches, prop_keys=ENTITY_PROP_KEYS, spans_through=True):
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -61,7 +61,7 @@ def _extract_batches(batches):
             k: np.full(n, None, dtype=object)
             for k in ("entity_type", "id", "version", "geom_wkt")
         }
-        props = {k: np.full(n, None, dtype=object) for k in ENTITY_PROP_KEYS}
+        props = {k: np.full(n, None, dtype=object) for k in prop_keys}
 
         meta_mask = pc.equal(kinds, "meta")
         meta_np = meta_mask.to_numpy(zero_copy_only=False).astype(bool)
@@ -88,7 +88,7 @@ def _extract_batches(batches):
         if prop_np.any():
             prop_texts = texts.filter(prop_mask)
             prop_rows = row_idx[prop_np]
-            for key in ENTITY_PROP_KEYS:
+            for key in prop_keys:
                 kmask = pc.starts_with(prop_texts, key + "=")
                 kmask_np = kmask.to_numpy(zero_copy_only=False).astype(bool)
                 if not kmask_np.any():
@@ -104,27 +104,29 @@ def _extract_batches(batches):
                 )
 
         props_arr = pa.StructArray.from_arrays(
-            [pa.array(props[k], type=pa.string()) for k in ENTITY_PROP_KEYS],
-            names=list(ENTITY_PROP_KEYS),
+            [pa.array(props[k], type=pa.string()) for k in prop_keys],
+            names=list(prop_keys),
         )
-        yield pa.RecordBatch.from_arrays(
-            [
-                doc_id,
-                pa.array(out["entity_type"], type=pa.string()),
-                pa.array(out["id"], type=pa.string()),
-                pa.array(out["version"], type=pa.string()),
-                props_arr,
-                pa.array(out["geom_wkt"], type=pa.string()),
-                spans,
-            ],
-            names=[
-                "doc_id", "entity_type", "id", "version", "props",
-                "geom_wkt", "spans",
-            ],
-        )
+        arrays = [
+            doc_id,
+            pa.array(out["entity_type"], type=pa.string()),
+            pa.array(out["id"], type=pa.string()),
+            pa.array(out["version"], type=pa.string()),
+            props_arr,
+            pa.array(out["geom_wkt"], type=pa.string()),
+        ]
+        names = ["doc_id", "entity_type", "id", "version", "props", "geom_wkt"]
+        if spans_through:
+            arrays.append(spans)
+            names.append("spans")
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
-def extract_entities(docs: DataFrame) -> DataFrame:
+def extract_entities(
+    docs: DataFrame,
+    prop_keys: tuple[str, ...] = ENTITY_PROP_KEYS,
+    spans_through: bool = True,
+) -> DataFrame:
     """docs(doc_id, spans) → typed entity frame (schema.ENTITIES).
 
     meta span: ``entity_type=X;id=Y;version=Z`` → discriminator columns
@@ -132,26 +134,46 @@ def extract_entities(docs: DataFrame) -> DataFrame:
     PublicationDeliveryHelper.java:60-61 — collapses to a column).
     prop spans: ``key=value`` → typed ``props`` struct. geom span: WKT
     passthrough. First span of a kind wins (findFirst semantics).
+
+    ``prop_keys`` / ``spans_through`` prune the KERNEL OUTPUT — the
+    manual equivalent of column pruning, which Catalyst cannot push
+    through an opaque mapInArrow (the Python side always materializes
+    and Arrow-transfers its full declared schema; the JVM discards
+    pruned columns only after the transfer). Consumers that don't need
+    the span passthrough invariant or the full property set (the
+    adjacency aux pass reads 4 of 29 keys) skip re-encoding ``spans``
+    — the widest column in the frame — and the per-key prefix scans.
+    Defaults preserve the full ENTITIES schema.
     """
     from pyspark.sql import types as T
 
-    from .schema import ENTITY_PROPS
+    fields = [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("entity_type", T.StringType(), True),
+        T.StructField("id", T.StringType(), True),
+        T.StructField("version", T.StringType(), True),
+        T.StructField(
+            "props",
+            T.StructType(
+                [T.StructField(k, T.StringType(), True) for k in prop_keys]
+            ),
+            True,
+        ),
+        T.StructField("geom_wkt", T.StringType(), True),
+    ]
+    if spans_through:
+        fields.append(
+            T.StructField("spans", T.ArrayType(SPAN, containsNull=False), False)
+        )
+    out_schema = T.StructType(fields)
 
-    out_schema = T.StructType(
-        [
-            T.StructField("doc_id", T.StringType(), False),
-            T.StructField("entity_type", T.StringType(), True),
-            T.StructField("id", T.StringType(), True),
-            T.StructField("version", T.StringType(), True),
-            T.StructField("props", ENTITY_PROPS, True),
-            T.StructField("geom_wkt", T.StringType(), True),
-            T.StructField("spans", T.ArrayType(SPAN, containsNull=False), False),
-        ]
-    )
-    parsed = docs.select("doc_id", "spans").mapInArrow(
-        _extract_batches, out_schema
-    )
-    return parsed.select(
+    def run(batches):
+        return _extract_batches(
+            batches, prop_keys=prop_keys, spans_through=spans_through
+        )
+
+    parsed = docs.select("doc_id", "spans").mapInArrow(run, out_schema)
+    cols = [
         "doc_id",
         "entity_type",
         "id",
@@ -160,8 +182,10 @@ def extract_entities(docs: DataFrame) -> DataFrame:
         "geom_wkt",
         F.to_timestamp_ntz(F.col("props")["validFrom"]).alias("valid_from"),
         F.to_timestamp_ntz(F.col("props")["validTo"]).alias("valid_to"),
-        "spans",
-    )
+    ]
+    if spans_through:
+        cols.append("spans")
+    return parsed.select(*cols)
 
 
 def keylist_value(props: Column, key: str) -> Column:

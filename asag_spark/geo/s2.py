@@ -79,9 +79,11 @@ def _face_uv(x: np.ndarray, y: np.ndarray, z: np.ndarray):
 
 def _st(u: np.ndarray) -> np.ndarray:
     """Quadratic uv→st projection (S2_QUADRATIC_PROJECTION)."""
-    return np.where(
-        u >= 0.0, 0.5 * np.sqrt(1.0 + 3.0 * u), 1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u)
-    )
+    # single sqrt over |u|: 1-3u == 1+3|u| for u<0, and evaluating both
+    # np.where branches would take sqrt of negatives (RuntimeWarning +
+    # NaN path) for |u|>1/3
+    s = 0.5 * np.sqrt(1.0 + 3.0 * np.abs(u))
+    return np.where(u >= 0.0, s, 1.0 - s)
 
 
 def leaf_cell_id(lon: np.ndarray, lat: np.ndarray) -> np.ndarray:

@@ -401,7 +401,13 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     the reference's within-section order is HashSet-nondeterministic
     (SURVEY.md §7.3) so we sort only at sinks.
     """
-    e0 = validity_filter(extract_entities(docs), as_of)
+    # spans_through=False: build_features never emits spans, but
+    # Catalyst cannot prune a mapInArrow output column — the kernel
+    # would Arrow-encode and ship the widest column of the frame
+    # (the full span array) back to the JVM on every pass just to be
+    # discarded. Callers needing the span-sequence invariant use
+    # extract_entities(docs) directly.
+    e0 = validity_filter(extract_entities(docs, spans_through=False), as_of)
 
     p = F.col("props")
     et = F.col("entity_type")
@@ -457,13 +463,24 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     # adjacency aggregation is idempotent under duplicate (id, version)
     # rows (the reference's toMap would throw on a dup id — undefined
     # input we tolerate).
-    stops_aux = e0.filter(
+    # The aux kernel extracts only the 14 keys this pass reads (own
+    # type resolution + adjacency + validity) and skips the span
+    # passthrough — manual column pruning through the opaque mapInArrow
+    # (see extract_entities docstring). Cuts each aux extraction pass
+    # to ~1/3 of the full-kernel cost.
+    aux_keys = (*SUBMODE_KEYS, "stopPlaceType", "adjacentSites",
+                "validFrom", "validTo")
+    e0_aux = validity_filter(
+        extract_entities(docs, prop_keys=aux_keys, spans_through=False),
+        as_of,
+    )
+    stops_aux = e0_aux.filter(
         (et == "StopPlace") & F.col("geom_wkt").isNotNull()
     ).select(
         "doc_id",
         "id",
-        own_stop_type(p).alias("own_type"),
-        adjacent_sites_sorted(p).alias("adj_sorted"),
+        own_stop_type(F.col("props")).alias("own_type"),
+        adjacent_sites_sorted(F.col("props")).alias("adj_sorted"),
     )
     adj = adjacency_final_types_from_aux(stops_aux)
     joined = gated.join(F.broadcast(adj), "id", "left")

@@ -59,6 +59,16 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("ASAG_DRIVER_MEM", "8g"))
+        # the wide feature projection (60-field struct × 4 CASE branches)
+        # plus AQE's per-stage re-codegen generate enough classes to
+        # thrash the JVM's default 240m code cache: the JIT stops
+        # compiling and whole runs execute interpreted (measured 5 s →
+        # 100+ s wall swings on identical actions). 1g removes the
+        # cliff; UseCodeCacheFlushing is default-on but kept explicit.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         # timestamps in the docs model are zone-less local datetimes
         # (NeTEx ValidBetween — reference ValidityFilter.java:41-49)
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
