@@ -375,6 +375,80 @@ def _t_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tile_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.functions import assign_tiles
+    from asag_spark.geo.tiles import tile_feature_collections
+    from asag_spark.operators.enrich import build_features
+
+    tiled = assign_tiles(build_features(_docs(spark), as_of=AS_OF))
+    return tile_feature_collections(tiled, "h3_r7").select(
+        "tile", "n_features",
+        F.length("feature_collection").cast("int").alias("fc_len"),
+    )
+
+
+def _q_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.functions import assign_tiles
+    from asag_spark.geo.tiles import rasterize_density
+    from asag_spark.operators.enrich import build_features
+
+    tiled = assign_tiles(build_features(_docs(spark), as_of=AS_OF))
+    return rasterize_density(tiled, "h3_r9")
+
+
+def _q_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.functions import assign_tiles
+    from asag_spark.geo.tiles import rasterize_density, vectorize_cells
+    from asag_spark.operators.enrich import build_features
+
+    tiled = assign_tiles(build_features(_docs(spark), as_of=AS_OF))
+    return vectorize_cells(rasterize_density(tiled, "h3_r9"))
+
+
+def _q_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.functions import assign_tiles
+    from asag_spark.geojson import feature_json
+    from asag_spark.operators.enrich import build_features
+
+    tiled = assign_tiles(build_features(_docs(spark), as_of=AS_OF))
+    return feature_json(tiled).select("feature_id", "feature_json").filter(
+        F.col("feature_id").isin(
+            "NSR:StopPlace:1", "NSR:StopPlace:59881",
+            "NSR:Parking:99", "VKT:TariffZone:729",
+        )
+    )
+
+
+def _s_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (availableNow) over the events table; the
+    oracle is the BATCH hourly SQL — streaming must match batch."""
+    import shutil
+    import tempfile
+
+    from asag_spark.streaming import (
+        hourly_counts, read_events_stream, run_available_now,
+    )
+
+    work = tempfile.mkdtemp(prefix="asag_stream_")
+    stream_dir = f"{work}/events"
+    import os
+
+    os.makedirs(stream_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-0.parquet")
+    agg = hourly_counts(read_events_stream(spark, stream_dir))
+    run_available_now(agg, f"{work}/ckpt", "s_hourly_stream_tbl")
+    return spark.sql("SELECT * FROM s_hourly_stream_tbl")
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.streaming import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet")).select(
+        "user_id", F.col("session_seq").cast("bigint").alias("session_seq"),
+        "session_start", "session_end", "n_events", "sum_value",
+    )
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.functions import assign_tiles
     from asag_spark.operators.enrich import build_features
@@ -398,6 +472,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_fixture": _q_knn,
         "tile_cells_fixture": _q_tiles,
         "zone_cover_stats": _q_zone_cover,
+        "tile_assembly_fixture": _q_tile_assembly,
+        "rasterize_fixture": _q_rasterize,
+        "vectorize_fixture": _q_vectorize,
+        "geojson_fixture": _q_geojson,
         # relational operator coverage (live SQL oracles)
         "q_cube": _q_cube,
         "q_sorted_stragg": _q_sorted_stragg,
@@ -413,6 +491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_window": _q_asof_window,
         "q_asof_pandas": _q_asof_pandas,
         "q_topk_per_user": _q_topk_user,
+        "q_sessionize": _q_sessionize,
+        "s_hourly_stream": _s_hourly_stream,
         # training-data ops (live SQL oracles)
         "t_token_count": _t_token_count,
         "t_quality": _t_quality,
@@ -531,6 +611,68 @@ SELECT * FROM (VALUES
   ('VKT:TariffZone:729',  'h7_-1514_3595', 'h10_-28029_66573', '4646bada5'),
   ('VKT:TariffZone:730',  'h7_-1514_3595', 'h10_-28029_66573', '4646bada5')
 ) AS t(feature_id, h3_r7, h3_r10, s2_cell)
+"""
+
+_TILE_ASSEMBLY_GOLDEN = """
+SELECT tile, CAST(n_features AS BIGINT) AS n_features,
+       CAST(fc_len AS INTEGER) AS fc_len
+FROM (VALUES
+  ('h7_-1494_3582', 4, 1620),
+  ('h7_-1514_3595', 2, 1220),
+  ('h7_-1536_3639', 2, 648),
+  ('h7_-1550_3589', 1, 291),
+  ('h7_-1634_3580', 2, 642),
+  ('h7_-1671_3851', 1, 292)
+) AS t(tile, n_features, fc_len)
+"""
+
+_RASTER_GOLDEN = """
+SELECT cell, CAST(n AS BIGINT) AS n FROM (VALUES
+  ('h9_-10458_25073', 3), ('h9_-10458_25074', 1), ('h9_-10594_25163', 2),
+  ('h9_-10749_25469', 2), ('h9_-10847_25122', 1), ('h9_-11441_25063', 2),
+  ('h9_-11700_26957', 1)
+) AS t(cell, n)
+"""
+
+_VECTORIZE_GOLDEN = """
+SELECT cell, CAST(n AS BIGINT) AS n, geom_wkt FROM (VALUES
+  ('h9_-10458_25073', 3, 'POLYGON((10.9582535 58.9797445, 10.9582535 58.9813127, 10.9556181 58.9820968, 10.9529826 58.9813127, 10.9529826 58.9797445, 10.9556181 58.9789604, 10.9582535 58.9797445))'),
+  ('h9_-10458_25074', 1, 'POLYGON((10.9616374 58.9820968, 10.9616374 58.9836651, 10.9590018 58.9844492, 10.9563661 58.9836651, 10.9563661 58.9820968, 10.9590018 58.9813127, 10.9616374 58.9820968))'),
+  ('h9_-10594_25163', 2, 'POLYGON((10.5434596 59.1914562, 10.5434596 59.1930244, 10.5408078 59.1938085, 10.5381560 59.1930244, 10.5381560 59.1914562, 10.5408078 59.1906721, 10.5434596 59.1914562))'),
+  ('h9_-10749_25469', 2, 'POLYGON((10.7604014 59.9112760, 10.7604014 59.9128442, 10.7576923 59.9136283, 10.7549833 59.9128442, 10.7549833 59.9112760, 10.7576923 59.9104919, 10.7604014 59.9112760))'),
+  ('h9_-10847_25122', 1, 'POLYGON((9.0673549 59.0950097, 9.0673549 59.0965780, 9.0647106 59.0973621, 9.0620663 59.0965780, 9.0620663 59.0950097, 9.0647106 59.0942256, 9.0673549 59.0950097))'),
+  ('h9_-11441_25063', 2, 'POLYGON((5.7466563 58.9562210, 5.7466563 58.9577892, 5.7440226 58.9585733, 5.7413889 58.9577892, 5.7413889 58.9562210, 5.7440226 58.9554368, 5.7466563 58.9562210))'),
+  ('h9_-11700_26957', 1, 'POLYGON((10.7966845 63.4115762, 10.7966845 63.4131444, 10.7936500 63.4139285, 10.7906155 63.4131444, 10.7906155 63.4115762, 10.7936500 63.4107921, 10.7966845 63.4115762))')
+) AS t(cell, n, geom_wkt)
+"""
+
+_GEOJSON_GOLDEN = """
+SELECT * FROM (VALUES
+  ('NSR:StopPlace:1', '{"type":"Feature","id":"NSR:StopPlace:1","geometry":{"type":"Point","coordinates":[10.758136,59.911868]},"properties":{"codeSpace":"NSR","entityType":"StopPlace","finalStopPlaceType":"railStation","hasParentSiteRef":"false","id":"NSR:StopPlace:1","name":"Drangedal stasjon","nameLang":"nor","stopPlaceType":"railStation"}}'),
+  ('NSR:StopPlace:59881', '{"type":"Feature","id":"NSR:StopPlace:59881","geometry":{"type":"Point","coordinates":[10.957167,58.981227]},"properties":{"codeSpace":"NSR","entityType":"StopPlace","finalStopPlaceType":"ferryStop_onstreetBus_railStation","hasParentSiteRef":"true","id":"NSR:StopPlace:59881","isParentStopPlace":"false","isPrimaryAdjacentSite":"true","stopPlaceType":"railStation","weighting":"interchangeAllowed","adjacentSites":["NSR:StopPlace:59879","NSR:StopPlace:59880"]}}'),
+  ('NSR:Parking:99', '{"type":"Feature","id":"NSR:Parking:99","geometry":{"type":"Point","coordinates":[10.794161,63.411566]},"properties":{"codeSpace":"NSR","entityType":"Parking","hasParentSiteRef":"false","id":"NSR:Parking:99","name":"Parkeringen","nameLang":"nor"}}'),
+  ('VKT:TariffZone:729', '{"type":"Feature","id":"VKT:TariffZone:729","geometry":{"type":"Polygon","coordinates":[[[10.47906867027,59.19325200734],[10.47434798241,59.18555854825],[10.4628582,59.1552823],[10.4883382988,59.14873791493],[10.54670316696,59.15252299004],[10.60695631027,59.16686726457],[10.61759931564,59.19993296444],[10.55768949509,59.23683024321],[10.50550443649,59.24130791157],[10.49983961105,59.24034218969],[10.49468976974,59.21654167617],[10.47906867027,59.19325200734]]]},"properties":{"codeSpace":"VKT","entityType":"TariffZone","id":"VKT:TariffZone:729","name":"Bolærene","nameLang":"nor"}}')
+) AS t(feature_id, feature_json)
+"""
+
+_SESSIONIZE_SQL = """
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - coalesce(
+                epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)), 0)
+              > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marks
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM sess GROUP BY 1, 2
 """
 
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','it']"
@@ -658,6 +800,16 @@ def oracle_sql() -> dict[str, str]:
               ('MUNI:ADJ',           CAST(25 AS BIGINT), 'h7_-1492_3580', 'h7_-1496_3584'),
               ('MUNI:0301',          CAST(270 AS BIGINT), 'h7_-1527_3631', 'h7_-1544_3645')
             ) AS t(zone_id, n_cells, min_cell, max_cell)
+        """,
+        "tile_assembly_fixture": _TILE_ASSEMBLY_GOLDEN,
+        "rasterize_fixture": _RASTER_GOLDEN,
+        "vectorize_fixture": _VECTORIZE_GOLDEN,
+        "geojson_fixture": _GEOJSON_GOLDEN,
+        "q_sessionize": _SESSIONIZE_SQL,
+        "s_hourly_stream": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         "q_cube": """
             SELECT COALESCE(l_returnflag, 'ALL') AS rf,

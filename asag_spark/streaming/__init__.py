@@ -80,10 +80,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap = F.lag("ts").over(w)
+    # TIMESTAMP_NTZ has no direct long cast in Spark 4; hop via TIMESTAMP
+    # (same session-tz offset on both sides, so deltas are exact)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = F.lag(secs).over(w)
     new_session = (
-        F.col("ts").cast("long") - F.coalesce(gap.cast("long"), F.lit(0))
-        > gap_minutes * 60
+        secs - F.coalesce(gap, F.lit(0)) > gap_minutes * 60
     ).cast("int")
     sess_id = F.sum(new_session).over(
         Window.partitionBy("user_id").orderBy("ts")

