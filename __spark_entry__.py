@@ -9,8 +9,8 @@ oracle_sql() — DuckDB-runnable ANSI SQL producing identical rows.
                Fixture-based geospatial queries are pinned against
                literal golden rows (pure deterministic functions —
                FIXTURES.md §4); rows-only entries (no oracle) are the
-               genuinely non-SQL-expressible ops (simhash/crc32, the
-               full flagship pipeline, stub media features).
+               genuinely non-SQL-expressible ops (the full flagship
+               pipeline and the stub media features).
 """
 
 from __future__ import annotations
@@ -503,9 +503,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_dedup": _t_minhash_dedup,
         "t_cosine_topk": _t_cosine_topk,
         "t_emb_near_dups": _t_emb_near_dups,
-        # rows-only (non-SQL-expressible: crc32 simhash, stub media,
-        # full pipeline)
         "t_simhash_near_dups": _t_simhash,
+        # rows-only (non-SQL-expressible: stub media decode, full
+        # geo pipeline)
         "t_media_features": _t_media,
         "flagship_tiles": _flagship,
     }
@@ -710,15 +710,20 @@ sh AS (
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    from asag_spark.operators.dedup import MINHASH_P, MINHASH_PARAMS
+
     rows_per_band = num_hashes // bands
+    h60 = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MINHASH_P})"
     mins = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+        f"min(({a} * {h60} + {b}) % {MINHASH_P}) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
     )
     band_cases = " ".join(
         "WHEN {b} THEN {expr}".format(
             b=b,
             expr=" || '|' || ".join(
-                f"h{b * rows_per_band + r}" for r in range(rows_per_band)
+                f"h{b * rows_per_band + r}::VARCHAR"
+                for r in range(rows_per_band)
             ),
         )
         for b in range(bands)
@@ -733,6 +738,42 @@ bands AS (
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
 FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey
 WHERE x.doc_id < y.doc_id
+"""
+
+
+def _simhash_sql(max_hamming: int = 3) -> str:
+    """Mirror of operators/dedup.simhash + simhash_near_dups: per-token
+    md5-derived 32-bit hash, 32 vote sums, bit-band join, popcount."""
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4294967296 AS h32
+  FROM toks
+),
+sig AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
+sh AS (SELECT doc_id, ({assemble})::BIGINT AS simhash FROM sig),
+banded AS (
+  SELECT doc_id, simhash, 'hi:' || (simhash >> 16)::VARCHAR AS bkey FROM sh
+  UNION ALL
+  SELECT doc_id, simhash, 'lo:' || (simhash & 65535)::VARCHAR AS bkey FROM sh
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM banded a JOIN banded b USING (bkey)
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
@@ -942,4 +983,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t_cosine_topk": _COSINE_TOPK_SQL,
         "t_emb_near_dups": _EMB_ND_SQL,
+        "t_simhash_near_dups": _simhash_sql(),
     }

@@ -11,7 +11,8 @@ Scale design:
   (numHashes aggregates, one shuffle), banding via one more
   groupBy(band_key). Candidates per band bucket; Jaccard verify only
   on candidates. All md5-based so a SQL oracle matches exactly.
-* SimHash — 32-bit crc-based, Arrow-batched numpy kernel.
+* SimHash — 32-bit, md5-derived token hashes, pure built-in
+  expressions (32 vote sums in one hash aggregate).
 * embedding cosine — sign-LSH bucketing (first SIGN_DIMS dims) to
   keep the self-join within buckets; exact cosine refine.
 """
@@ -84,37 +85,53 @@ def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
     )
 
 
+# One md5 per shingle, then cheap affine rehash per minhash function:
+# h_i = (a_i * h + b_i) mod MINHASH_P over h = first 60 bits of
+# md5(shingle). 16x fewer md5 evaluations than md5('{i}:'||shingle)
+# per shingle, identical SQL on DuckDB (('0x'||hex)::BIGINT), and the
+# affine family is the textbook universal-hash construction.
+MINHASH_P = 2147483647  # 2^31-1; products stay < 2^62 (no overflow)
+MINHASH_PARAMS = [
+    ((i * 2654435761 + 1) % MINHASH_P, (i * 40503 + 17) % MINHASH_P)
+    for i in range(64)
+]
+
+
+def _shingle_hash60(shingle):
+    """First 15 hex chars of md5 → bigint (same on DuckDB)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
                        text_col: str = "text") -> DataFrame:
-    """MinHash signature columns h0..h{n-1}: per-doc min of
-    md5('{i}:'||shingle) — engine-portable (md5 everywhere)."""
+    """MinHash signature columns h0..h{n-1}: per-doc min of affine
+    rehashes of the shingle's 60-bit md5 prefix (engine-portable)."""
     sh = shingles(docs, text_col)
+    h = (_shingle_hash60(F.col("shingle")) % MINHASH_P).alias("h")
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.select("doc_id", h).groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
                         text_col: str = "text") -> DataFrame:
     """MinHash-LSH candidates: docs sharing any band bucket.
-    Output (doc_a, doc_b) distinct, doc_a < doc_b."""
+    Output (doc_a, doc_b) distinct, doc_a < doc_b. Banding is a single
+    posexplode over the signature row (one scan, one shuffle)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, text_col)
-    band_frames = []
-    for b in range(bands):
-        cols = [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]
-        band_frames.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *[F.col(c) for c in cols]).alias("bkey"),
-            )
-        )
-    buckets = band_frames[0]
-    for bf in band_frames[1:]:
-        buckets = buckets.unionByName(bf)
+    band_keys = F.array(*[
+        F.concat_ws("|", *[
+            F.col(f"h{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ])
+        for b in range(bands)
+    ])
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
     x = buckets.alias("x")
     y = buckets.alias("y")
     return (
@@ -145,35 +162,38 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.8,
     return verified.join(cands, ["doc_a", "doc_b"], "left_semi")
 
 
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("simhash", T.LongType()),
-    ]
-)
-
-
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over crc32 token hashes (Arrow-batched numpy;
-    crc32 is deterministic across runs, unlike Python's str hash)."""
-    import zlib
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = np.zeros(len(pdf), dtype=np.int64)
-            for row_i, text in enumerate(pdf[text_col]):
-                toks = (text or "").lower().split()
-                if not toks:
-                    continue
-                hashes = np.array(
-                    [zlib.crc32(t.encode()) for t in toks], dtype=np.uint32
-                )
-                bits = (hashes[:, None] >> np.arange(32)[None, :]) & 1
-                votes = (2 * bits - 1).sum(axis=0)
-                out[row_i] = int((votes > 0).astype(np.uint32) @ (1 << np.arange(32, dtype=np.uint64)))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
-
-    return docs.select("doc_id", text_col).mapInPandas(kernel, schema=_SIMHASH_SCHEMA)
+    """32-bit SimHash over md5-derived token hashes — pure built-in
+    expressions (whole-stage codegen, no Python workers), and the md5
+    base makes the whole operator DuckDB-expressible so the near-dup
+    query carries a full value oracle. Per token occurrence (multiset,
+    matching classic SimHash): bit j votes +1 if bit j of the hash is
+    set else -1; signature bit j = (votes_j > 0)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    h32 = F.pmod(
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
+        F.lit(1 << 32),
+    )
+    exploded = docs.select(
+        "doc_id", F.explode_outer(toks).alias("tok")
+    ).select("doc_id", "tok", h32.alias("h32"))
+    aggs = [
+        F.sum(
+            F.when(F.col("tok").isNull(), 0)
+            .when(F.shiftright(F.col("h32"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(32)
+    ]
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    bits = [
+        F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(32)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return sig.select("doc_id", acc.cast("long").alias("simhash"))
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,

@@ -59,10 +59,10 @@ tiles = assign_tiles(build_features(docs, as_of="2018-06-01T00:00:00"))
 def run_tiles():
     tiles.write.format("noop").mode("overwrite").save()
 
-# 3 warm-up actions: tiered JIT over the wide codegen'd projection
-# needs 2-3 full passes to reach steady state (measured: runs 1-3 are
-# 2-8x slower than run 4+ even with the 1g code cache)
-for _ in range(3):
+# warm-up actions: tiered JIT over the wide codegen'd projection needs
+# 2-3 full passes on SHORT runs; one pass of a multi-minute run is
+# plenty (JIT warms with executed bytecode, not pass count)
+for _ in range({warm}):
     run_tiles()
 tile_wall = 1e9
 for _ in range({repeats}):
@@ -91,9 +91,9 @@ spark.stop()
 """
 
 
-def run_level(cores: int, docs_path: str, repeats: int) -> dict:
+def run_level(cores: int, docs_path: str, repeats: int, warm: int) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, docs_path=docs_path,
-                              repeats=repeats)
+                              repeats=repeats, warm=warm)
     env = dict(os.environ, PYTHONPATH=REPO, OPENBLAS_NUM_THREADS="1",
                OMP_NUM_THREADS="1",
                ASAG_DRIVER_MEM=os.environ.get("ASAG_DRIVER_MEM", "20g"))
@@ -113,6 +113,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--small", type=int, default=4)
     ap.add_argument("--big", type=int, default=16)
+    ap.add_argument("--warm", type=int, default=3)
     args = ap.parse_args()
 
     docs_path = f"/tmp/asag_bench/docs_{args.docs}"
@@ -127,7 +128,7 @@ def main() -> None:
 
     results = {}
     for cores in (args.small, args.big):
-        best = run_level(cores, docs_path, args.repeats)
+        best = run_level(cores, docs_path, args.repeats, args.warm)
         results[cores] = best
         print(json.dumps(best))
 
