@@ -296,6 +296,68 @@ def _q_topk_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_user(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregation (sort-based; Spark `percentile` and
+    DuckDB `quantile_cont` share linear interpolation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("med_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 2).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 2).alias("p99_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide aggregation) with a pinned value list — at scale the
+    value list MUST be explicit or Spark runs a distinct scan first."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_f"),
+            F.col("O").alias("qty_o"),
+        )
+    )
+
+
+def _q_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (price above per-type average),
+    re-expressed as a broadcast aggregate join — the scalable plan."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    avg_t = p.groupBy("p_type").agg(F.avg("p_retailprice").alias("avg_rp"))
+    return (
+        p.join(F.broadcast(avg_t), "p_type")
+        .filter(F.col("p_retailprice") > F.col("avg_rp"))
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+def _q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile window bucketing per nation + per-bucket rollup."""
+    from pyspark.sql import Window
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.select(
+            "c_nationkey", "c_acctbal",
+            F.ntile(4).over(w).alias("bucket"),
+        )
+        .groupBy("c_nationkey", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
 def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import token_count
 
@@ -492,6 +554,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_pandas": _q_asof_pandas,
         "q_topk_per_user": _q_topk_user,
         "q_sessionize": _q_sessionize,
+        "q_percentiles": _q_percentiles,
+        "q_pivot": _q_pivot,
+        "q_above_avg": _q_above_avg,
+        "q_ntile": _q_ntile,
         "s_hourly_stream": _s_hourly_stream,
         # training-data ops (live SQL oracles)
         "t_token_count": _t_token_count,
@@ -847,6 +913,37 @@ def oracle_sql() -> dict[str, str]:
         "vectorize_fixture": _VECTORIZE_GOLDEN,
         "geojson_fixture": _GEOJSON_GOLDEN,
         "q_sessionize": _SESSIONIZE_SQL,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_quantity, 0.5), 2) AS med_qty,
+                   ROUND(quantile_cont(l_quantity, 0.9), 2) AS p90_qty,
+                   ROUND(quantile_cont(l_extendedprice, 0.99), 2) AS p99_price,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "q_pivot": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+                   ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+            FROM lineitem GROUP BY 1
+        """,
+        "q_above_avg": """
+            SELECT p_type, COUNT(*) AS n_above FROM (
+              SELECT p_type, p_retailprice,
+                     AVG(p_retailprice) OVER (PARTITION BY p_type) AS avg_rp
+              FROM part
+            ) WHERE p_retailprice > avg_rp GROUP BY 1
+        """,
+        "q_ntile": """
+            SELECT c_nationkey, bucket, COUNT(*) AS n,
+                   ROUND(SUM(c_acctbal), 2) AS sum_bal
+            FROM (
+              SELECT c_nationkey, c_acctbal,
+                     NTILE(4) OVER (PARTITION BY c_nationkey
+                                    ORDER BY c_acctbal DESC, c_custkey ASC) AS bucket
+              FROM customer
+            ) GROUP BY 1, 2
+        """,
         "s_hourly_stream": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value

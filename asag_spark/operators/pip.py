@@ -109,14 +109,31 @@ def pip_join(points: DataFrame, zones: DataFrame,
                 continue
             lon, lat, ids = lon[ok], lat[ok], ids[ok]
             q, r = hexgrid.cell_qr(lon, lat, PIP_RES)
-            # group points by candidate zone: cell -> zones lookup
-            zone_to_pts: dict[str, list[int]] = {}
-            for pi, qr in enumerate(zip(q.tolist(), r.tolist())):
-                for zid in cover_l.get(qr, ()):
-                    zone_to_pts.setdefault(zid, []).append(pi)
+            # Candidate lookup per UNIQUE cell, not per point: points
+            # cluster (Zipf urban skew), so unique cells << points and
+            # the Python loop cost is O(cells), with numpy carrying the
+            # per-point work (sort + slice + ray cast).
+            key = (q.astype(np.int64) << 32) ^ (
+                r.astype(np.int64) & 0xFFFFFFFF
+            )
+            uniq, rep, inv = np.unique(
+                key, return_index=True, return_inverse=True
+            )
+            order = np.argsort(inv, kind="stable")
+            bounds = np.searchsorted(
+                inv[order], np.arange(len(uniq) + 1)
+            )
+            zone_to_pts: dict[str, list[np.ndarray]] = {}
+            for ci in range(len(uniq)):
+                zids = cover_l.get((int(q[rep[ci]]), int(r[rep[ci]])), ())
+                if not zids:
+                    continue
+                pts = order[bounds[ci]:bounds[ci + 1]]
+                for zid in zids:
+                    zone_to_pts.setdefault(zid, []).append(pts)
             out_ids, out_zones = [], []
-            for zid, pis in zone_to_pts.items():
-                pis_a = np.asarray(pis)
+            for zid, parts in zone_to_pts.items():
+                pis_a = parts[0] if len(parts) == 1 else np.concatenate(parts)
                 inside = points_in_ring(lon[pis_a], lat[pis_a], rings_l[zid])
                 hit = pis_a[inside]
                 out_ids.extend(ids[hit])
