@@ -126,57 +126,85 @@ def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
     """J1/A3 over the thin aux frame (id, own_type, adj_sorted) — see
     adjacency_final_types for semantics/citations.
 
-    Scale plan: the naive build side is the FULL ``id → own_type`` map
-    over every stop — broadcasting that serializes the whole stop table
-    through the driver (measured as the scaling bottleneck at 10M docs;
-    impossible at 10^9). Only stops that appear as somebody's adjacent
-    ref ever matter, and adjacency is sparse (few % of stops —
-    reference registries have ~10^2 adjacency groups in ~10^5 stops).
-    So:
+    Scale plan — single-scan scatter-gather (no driver-side map, no
+    broadcast-barrier chain):
 
-    Only ids that appear as somebody's adjacent ref ever matter, and
-    adjacency is sparse (few % of stops — reference registries have
-    ~10^2 adjacency groups in ~10^5 stops). So:
+    The naive build side is the FULL ``id → own_type`` map over every
+    stop — broadcasting that serializes the whole stop table through
+    the driver (measured as the scaling bottleneck at 10M docs;
+    impossible at 10^9). The previous shape (semi-join-pruned
+    broadcast) avoided the driver map but needed THREE extraction
+    passes over the aux lineage (refs, types, probes — each consumer
+    of a mapInArrow lineage re-runs the Python kernel) chained behind
+    two sequential BroadcastExchange barriers, which is the Amdahl
+    serial term that capped measured 4→16-core scaling.
 
-    1. explode the probe side (stops WITH adjacentSites);
-    2. its distinct refs semi-join-filter the full ``id → own_type``
-       map, pruning it map-side during the (fully parallel) scan;
-    3. the pruned (small) map joins the probes.
+    Here every aux row is scanned ONCE and scattered as thin rows
+    keyed so that an edge meets its referenced stop's type row in the
+    same reduce group:
 
-    Both small sides carry explicit ``broadcast()`` hints: the static
-    planner's size estimates for sub-aggregates are scan-sized, so
-    without hints it cascades SortMergeJoins that exchange+sort the
-    full O(|stops|) side (measured +80 s / 10M docs at 16 cores; AQE
-    did not demote them at runtime). The hints keep every exchange
-    O(|adjacency edges|). Adjacency-dense inputs past broadcastable
-    size would drop the hints and shuffle on ref — still never a
-    driver-side O(|stops|) materialization. Refs with no carrier
-    resolve to null, which ``collect_set`` drops (the reference's
-    Optional.ifPresent, DeliveryPublicationStreamToGeoJson
-    .java:153-154).
+    1. scatter: per stop emit one *type row* (key=id, probe=null) and,
+       per adjacent ref, one *edge row* (key=ref, probe=own id) — a
+       single ``explode`` over a per-row built array, still one scan;
+    2. gather 1 (exchange on key): hash-aggregate resolves each edge's
+       ``ref_type`` from the group's type row. Unknown refs get null
+       (the reference's Optional.ifPresent,
+       DeliveryPublicationStreamToGeoJson.java:153-154);
+    3. gather 2 (exchange on probe, O(|edges|) rows only): union the
+       resolved types with the probe's own type, sort, '_'-join.
 
-    This shape reads the aux lineage twice (probe pass + map pass).
-    Measured alternatives that scan once both lost: a groupBy co-group
-    dies in ObjectHashAggregate's sort-based fallback over |stops|
-    distinct keys (7× extract wall); a single-exchange window-max
-    resolve pays a 10M-row sort (5× extract wall); persist() of the
-    aux frame thrashes the block manager at high parallelism. Two
-    fully-parallel columnar scans are the cheapest global-map build —
-    the reference buffers everything in memory for the same structural
-    reason (DeliveryPublicationStreamToGeoJson.java:135).
+    Both exchanges carry 3 thin string columns; ~60 B/row at any
+    scale, fully parallel, zero driver materialization — the shape a
+    1000-executor cluster wants. Duplicate (id, version) rows need no
+    pre-dedup: max/collect_set are idempotent under duplicates (the
+    reference's toMap would throw on a dup id — undefined input we
+    tolerate).
     """
-    probes = stops_aux.select(
-        "id", "own_type", F.explode("adj_sorted").alias("ref")
+    scattered = stops_aux.select(
+        F.explode(
+            F.array_append(
+                F.transform(
+                    F.coalesce(
+                        F.col("adj_sorted"),
+                        F.array().cast("array<string>"),
+                    ),
+                    lambda r: F.struct(
+                        r.alias("key"),
+                        F.col("id").alias("probe"),
+                        F.col("own_type").alias("own_type"),
+                    ),
+                ),
+                F.struct(
+                    F.col("id").alias("key"),
+                    F.lit(None).cast("string").alias("probe"),
+                    F.col("own_type").alias("own_type"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.key", "x.probe", "x.own_type")
+
+    resolved = (
+        scattered.groupBy("key")
+        .agg(
+            F.max(
+                F.when(F.col("probe").isNull(), F.col("own_type"))
+            ).alias("ref_type"),
+            F.collect_list(
+                F.when(
+                    F.col("probe").isNotNull(),
+                    F.struct(F.col("probe"), F.col("own_type")),
+                )
+            ).alias("edges"),
+        )
+        .filter(F.size("edges") > 0)
+        .select(F.explode("edges").alias("e"), "ref_type")
+        .select(
+            F.col("e.probe").alias("id"),
+            F.col("e.own_type").alias("own_type"),
+            "ref_type",
+        )
     )
-    refs = probes.select(F.col("ref").alias("ref_id")).distinct()
-    types = stops_aux.select(
-        F.col("id").alias("ref_id"), F.col("own_type").alias("ref_type")
-    )
-    needed = types.join(F.broadcast(refs), "ref_id", "left_semi")
-    found = probes.join(
-        F.broadcast(needed), probes["ref"] == needed["ref_id"], "left"
-    )
-    return found.groupBy("id").agg(
+    return resolved.groupBy("id").agg(
         F.array_join(
             F.array_sort(
                 F.array_distinct(
