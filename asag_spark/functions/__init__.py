@@ -1,97 +1,166 @@
-"""Arrow-vectorized spatial column functions (the engine's UDF surface).
+"""Spatial column functions — JVM expressions where possible, one thin
+Arrow UDF where not.
 
-Per input_hint, every UDF here is an Arrow-batched pandas UDF over
-numpy kernels in asag_spark.geo — no row-at-a-time Python. These are
-the ONLY Python-side functions in the tile-assignment path; everything
-relational stays in built-in pyspark.sql.functions (SURVEY.md §2.7).
+Division of labor (bandwidth-first — see BENCH/BASELINE.md hardware
+probes: this class of host caps memory bandwidth per guest, so every
+byte shipped JVM→Python→JVM costs scaling):
 
-Why a UDF and not JVM column expressions for the geometry math: the
-shoelace centroid over WKT vertices needs Spark higher-order functions,
-which are CodegenFallback — interpreted per row — and Catalyst inlines
-a multi-referenced alias into each consumer, so a JVM formulation
-re-evaluated the centroid fold once per hex/S2 column (~8×; measured
-34 µs/polygon/evaluation vs ~2 µs/row total for this UDF's whole
-batch). The hex lattice + S2 Hilbert math is pure numpy over two
-double arrays.
+* Hex-cell assignment (H3-style res 7-10) is pure arithmetic on
+  (lon, lat) — axial projection + cube rounding — expressed entirely in
+  codegen'd ``pyspark.sql.functions`` (`hex_cell`). Constants reuse
+  asag_spark.geo.hexgrid so the JVM lattice and the numpy lattice
+  (used by PIP cover / kNN ring candidates) agree.
+* S2 cell ids need the 8-round Hilbert table walk — that stays numpy,
+  but the ``_geo_kernel`` pandas UDF ships only (mostly-null
+  polygon WKT, lon, lat) in and (mostly-null centroid, one int64 leaf
+  id) out — ~24 B/row each way instead of the previous multi-string
+  transfer. Tokens and ancestor covers are then pure bit/hex ops on
+  the leaf id, done JVM-side (`s2_token_of`): S2 parent = mask+set-lsb,
+  token = zero-padded hex with trailing zeros stripped — two's
+  complement int64 carries the uint64 bit pattern losslessly.
+* Polygon centroids (the only other Python need — bulk shoelace over
+  WKT rings) ride in the same UDF, computed only for the polygon rows
+  (the input column is NULL for points, so the Arrow buffer is a
+  validity bitmap + the few real strings).
 """
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
-from pyspark.sql import functions as F
+from pyspark.sql import Column, functions as F
 from pyspark.sql import types as T
 
 from ..geo import hexgrid, s2
 from ..geo.wkt import rings_centroids
 
-_TC_SCHEMA = T.StructType(
+_DEG2RAD = math.pi / 180.0  # numpy deg2rad multiplies by this constant
+_SQRT3_3 = hexgrid._SQRT3 / 3.0
+
+
+def hex_cell(lon: Column, lat: Column, res: int) -> Column:
+    """`h{res}_{q}_{r}` hex cell id — JVM replica of hexgrid.cell_qr
+    (same constants, same operation order, HALF_EVEN rounding =
+    np.rint) so ids join exactly against the numpy-generated PIP
+    covers / kNN rings. Null lon/lat → null id (concat null
+    propagation)."""
+    s = float(hexgrid.EDGE_M[res])
+    lat_r = lat * _DEG2RAD
+    x = F.lit(hexgrid.EARTH_RADIUS_M) * (lon * _DEG2RAD) * F.cos(lat_r)
+    y = F.lit(hexgrid.EARTH_RADIUS_M) * lat_r
+    qf = (F.lit(_SQRT3_3) * x - y / 3.0) / s
+    rf = (2.0 / 3.0 * y) / s
+    # cube rounding (hexgrid._axial_round): yf = -qf-rf; round all three
+    # half-even; push the largest rounding error back onto its axis
+    yf = -qf - rf
+    rx = F.bround(qf)
+    ry = F.bround(yf)
+    rz = F.bround(rf)
+    dx = F.abs(rx - qf)
+    dy = F.abs(ry - yf)
+    dz = F.abs(rz - rf)
+    fix_x = (dx > dy) & (dx > dz)
+    q = F.when(fix_x, -ry - rz).otherwise(rx)
+    fix_z = ~fix_x & (dz > dy)
+    r = F.when(fix_z, -q - ry).otherwise(rz)
+    return F.concat(
+        F.lit(f"h{res}_"),
+        q.cast("long").cast("string"),
+        F.lit("_"),
+        r.cast("long").cast("string"),
+    )
+
+
+def s2_token_of(leaf: Column, level: int) -> Column:
+    """S2 hex token of the ``level`` ancestor of an int64-carried leaf
+    cell id — JVM replica of s2.parent_id + s2.token (mask to the
+    level, set the level's lsb, 16-digit lower hex, strip trailing
+    zeros; all-zero → 'X'). Two's-complement bit ops equal uint64 bit
+    ops, and hex(bigint) emits the two's-complement pattern."""
+    lsb = 1 << (2 * (s2.MAX_LEVEL - level))
+    parent = leaf.bitwiseAND(F.lit(~(lsb - 1))).bitwiseOR(F.lit(lsb))
+    tok = F.regexp_replace(
+        F.lpad(F.lower(F.hex(parent)), 16, "0"), "0+$", ""
+    )
+    return F.when(tok == "", "X").otherwise(tok)
+
+
+_GK_SCHEMA = T.StructType(
     [
-        T.StructField("h3_r7", T.StringType()),
-        T.StructField("h3_r8", T.StringType()),
-        T.StructField("h3_r9", T.StringType()),
-        T.StructField("h3_r10", T.StringType()),
-        T.StructField("s2_cell", T.StringType()),
-        T.StructField("s2_cover_joined", T.StringType()),
+        T.StructField("cx", T.DoubleType()),
+        T.StructField("cy", T.DoubleType()),
+        T.StructField("s2_leaf", T.LongType()),
     ]
 )
 
 
-@F.pandas_udf(_TC_SCHEMA)
-def _tile_cells(wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
-    """All tile cells in ONE Arrow pass: effective point (the point
-    itself, else the bulk-vectorized exterior-ring centroid), hex cells
-    res 7-10, S2 level-16 cell + ancestor-cover tokens. Covers travel
-    as '|'-joined flat strings — list-of-list Arrow transfer measured
-    3× slower."""
+@F.pandas_udf(_GK_SCHEMA)
+def _geo_kernel(poly_wkt: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """One thin Arrow pass: exterior-ring centroids for the (few)
+    polygon rows + the S2 Hilbert leaf id for every valid point.
+    ``poly_wkt`` is pre-masked JVM-side to be null for point rows."""
     import numpy as np
 
     lon_v = lon.to_numpy(dtype="float64", na_value=float("nan"))
     lat_v = lat.to_numpy(dtype="float64", na_value=float("nan"))
     n = len(lon_v)
-    is_poly = (
-        wkt.str.startswith("POLYGON").fillna(False).to_numpy(dtype=bool)
-        & np.isnan(lon_v)
-    )
+    cx = np.full(n, np.nan)
+    cy = np.full(n, np.nan)
+    is_poly = poly_wkt.notna().to_numpy(dtype=bool)
     if is_poly.any():
-        cx, cy = rings_centroids(wkt[is_poly].tolist())
-        lon_v = lon_v.copy()
-        lat_v = lat_v.copy()
-        lon_v[is_poly] = cx
-        lat_v[is_poly] = cy
-    valid = ~(np.isnan(lon_v) | np.isnan(lat_v))
-    cols = {
-        k: np.full(n, None, dtype=object)
-        for k in ("h3_r7", "h3_r8", "h3_r9", "h3_r10", "s2_cell", "s2_cover_joined")
-    }
+        px, py = rings_centroids(poly_wkt[is_poly].tolist())
+        cx[is_poly] = px
+        cy[is_poly] = py
+    eff_lon = np.where(is_poly, cx, lon_v)
+    eff_lat = np.where(is_poly, cy, lat_v)
+    valid = ~(np.isnan(eff_lon) | np.isnan(eff_lat))
+    leaf = pd.array(np.zeros(n, dtype=np.int64), dtype="Int64")
+    leaf[~valid] = pd.NA
     if valid.any():
-        lo, la = lon_v[valid], lat_v[valid]
-        for res in hexgrid.RESOLUTIONS:
-            cols[f"h3_r{res}"][valid] = hexgrid.cell_id(lo, la, res)
-        leafs = s2.leaf_cell_id(lo, la)
-        cols["s2_cell"][valid] = s2.token(s2.parent_id(leafs, 16))
-        cols["s2_cover_joined"][valid] = s2.cover_point_joined(leafs)
-    return pd.DataFrame(cols)
+        # uint64 leaf ids ride as two's-complement int64 (face>=4 sets
+        # the sign bit; JVM bit ops are bit-pattern-identical)
+        leaf[valid] = s2.leaf_cell_id(
+            eff_lon[valid], eff_lat[valid]
+        ).view(np.int64)
+    return pd.DataFrame(
+        {
+            "cx": np.where(is_poly, cx, np.nan),
+            "cy": np.where(is_poly, cy, np.nan),
+            "s2_leaf": leaf,
+        }
+    )
 
 
 def assign_tiles(features, lon_col: str = "lon", lat_col: str = "lat"):
     """features(+lon/lat) → + tile cell columns (schema.TILES fields).
 
     Point features use their coordinates; polygon features use the
-    exterior-ring centroid. Everything runs in the single Arrow pass of
-    ``_tile_cells``; the UDF result is one physical column, so the
-    per-cell projections below are free field reads."""
-    cells = _tile_cells(F.col("geometry_wkt"), F.col(lon_col), F.col(lat_col))
-    out = features.withColumn("_tc", cells)
+    exterior-ring centroid (computed in the thin Arrow kernel). Hex
+    cells and S2 tokens/covers are JVM expressions over the effective
+    coordinates / leaf id — the UDF result is one physical column, so
+    every projection below is a field read."""
+    poly_only_wkt = F.when(
+        F.col("geometry_wkt").startswith("POLYGON") & F.col(lon_col).isNull(),
+        F.col("geometry_wkt"),
+    )
+    gk = _geo_kernel(poly_only_wkt, F.col(lon_col), F.col(lat_col))
+    out = features.withColumn("_gk", gk)
+    eff_lon = F.coalesce(F.col("_gk.cx"), F.col(lon_col))
+    eff_lat = F.coalesce(F.col("_gk.cy"), F.col(lat_col))
+    leaf = F.col("_gk.s2_leaf")
     for res in hexgrid.RESOLUTIONS:
-        out = out.withColumn(f"h3_r{res}", F.col(f"_tc.h3_r{res}"))
+        out = out.withColumn(f"h3_r{res}", hex_cell(eff_lon, eff_lat, res))
     return (
-        out.withColumn("s2_cell", F.col("_tc.s2_cell"))
+        out.withColumn("s2_cell", s2_token_of(leaf, 16))
         .withColumn(
             "s2_cover",
             F.when(
-                F.col("_tc.s2_cover_joined").isNotNull(),
-                F.split(F.col("_tc.s2_cover_joined"), r"\|"),
+                leaf.isNotNull(),
+                F.array(
+                    *[s2_token_of(leaf, lv) for lv in s2.COVER_LEVELS]
+                ),
             ),
         )
-        .drop("_tc")
+        .drop("_gk")
     )

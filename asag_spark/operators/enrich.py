@@ -429,12 +429,10 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     the reference's within-section order is HashSet-nondeterministic
     (SURVEY.md §7.3) so we sort only at sinks.
     """
-    # spans_through=False: build_features never emits spans, but
-    # Catalyst cannot prune a mapInArrow output column — the kernel
-    # would Arrow-encode and ship the widest column of the frame
-    # (the full span array) back to the JVM on every pass just to be
-    # discarded. Callers needing the span-sequence invariant use
-    # extract_entities(docs) directly.
+    # spans_through=False: build_features never emits spans, and the
+    # span array is the widest column in the frame — dropping it before
+    # the window exchange keeps the shuffle thin. Callers needing the
+    # span-sequence invariant use extract_entities(docs) directly.
     e0 = validity_filter(extract_entities(docs, spans_through=False), as_of)
 
     p = F.col("props")
@@ -491,11 +489,10 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     # adjacency aggregation is idempotent under duplicate (id, version)
     # rows (the reference's toMap would throw on a dup id — undefined
     # input we tolerate).
-    # The aux kernel extracts only the 14 keys this pass reads (own
-    # type resolution + adjacency + validity) and skips the span
-    # passthrough — manual column pruning through the opaque mapInArrow
-    # (see extract_entities docstring). Cuts each aux extraction pass
-    # to ~1/3 of the full-kernel cost.
+    # The aux projection reads only the 14 keys this pass needs (own
+    # type resolution + adjacency + validity); with the JVM extraction
+    # path Catalyst prunes the unread map lookups automatically, the
+    # explicit prop_keys just keeps the plan/schema honest.
     aux_keys = (*SUBMODE_KEYS, "stopPlaceType", "adjacentSites",
                 "validFrom", "validTo")
     e0_aux = validity_filter(

@@ -55,6 +55,10 @@ def get_spark(
         # tables) map-side instead of shuffling the big probe side
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # extract_entities folds prop spans through str_to_map over the
+        # REVERSED span array: LAST_WIN + reverse ⇒ the first occurrence
+        # of a duplicate key wins (the reference's findFirst semantics)
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
