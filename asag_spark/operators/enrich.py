@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..extract import extract_entities, keylist_value
 from ..schema import PROP_FIELDS, SUBMODE_KEYS
 from ..datagen import AS_OF
-from .filters import validity_filter, geometry_presence_filter
+from .filters import validity_filter, validity_predicate, geometry_presence_filter
 
 SECTION_STOPS = 0
 SECTION_PARKINGS = 1
@@ -433,10 +433,32 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     # span array is the widest column in the frame — dropping it before
     # the window exchange keeps the shuffle thin. Callers needing the
     # span-sequence invariant use extract_entities(docs) directly.
-    e0 = validity_filter(extract_entities(docs, spans_through=False), as_of)
+    #
+    # SINGLE-EVALUATION RULE: the JVM extraction expressions (str_to_map
+    # + HOF span traversals — interpreted CodegenFallback trees) must be
+    # evaluated exactly ONCE per row. Catalyst inlines a projection
+    # alias into every consumer, and only ProjectExec's within-operator
+    # subexpression elimination dedups the copies — a Filter / Window
+    # sort key / shuffle hash that references an extraction-derived
+    # alias gets its own interpreted copy (the first formulation left
+    # 39 str_to_map / 85 lambda instances in the physical plan and ran
+    # 1.6× slower than the Arrow kernel it replaced). So EVERYTHING
+    # derived from the extraction — validity flag, window key, sorted
+    # adjacency — is computed in the SAME projection (CollapseProject
+    # merges them; subexpr elimination dedups), and every operator
+    # above (window, filters, join, final projection) references only
+    # materialized attributes of that one projection.
+    e0 = extract_entities(docs, spans_through=False)
 
     p = F.col("props")
     et = F.col("entity_type")
+    keyed = e0.select(
+        "*",
+        validity_predicate(as_of).alias("_valid"),
+        F.coalesce(F.col("props")["parentDocId"], F.col("doc_id")).alias("_pkey"),
+        adjacent_sites_sorted(F.col("props")).alias("_adj_sorted"),
+    )
+
     # ONE wide shuffle for both A1 dedup and the X1 quay parent gate,
     # and NO driver-side broadcast of the stop-id set (which would
     # serialize ~N_stops through the driver — measured as the scaling
@@ -446,34 +468,40 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     #   sorting within the key makes duplicates adjacent (A1);
     # * a quay lands in the SAME window group as its parent stop, so a
     #   per-group max computes "my parent is a kept stop" (X1);
-    # both windows share the exchange, and keys are distinct entity ids
-    # → no skew.
+    # both windows share the partition spec (one exchange), and keys
+    # are distinct entity ids → no skew.
+    #
+    # Validity (F1) folds into the windows instead of pre-filtering
+    # (a pre-window Filter would re-evaluate the extraction trees —
+    # see above): `_valid DESC` in the dedup sort makes the first row
+    # of a duplicate run a valid one when any is, `_parent_ok` counts
+    # only valid parents, and the residual `_valid` conjunct applies
+    # with the keep-predicate after the window. For content-identical
+    # duplicates (the reference's A1 HashSet semantics — equal JAXB
+    # objects ⇒ equal validity) this is exactly filter-then-dedup.
     from pyspark.sql import Window
 
-    # _adj_sorted is materialized as a REAL column below the window
-    # shuffle: every later reference is then an attribute read. Left
-    # inline, the sorted-array HOF tree (CodegenFallback, interpreted)
-    # would be re-evaluated once per referencing expression in the
-    # final projection — ~6× per row (measured +37 s / 10M docs).
-    keyed = e0.withColumn(
-        "_pkey", F.coalesce(F.col("props")["parentDocId"], F.col("doc_id"))
-    ).withColumn("_adj_sorted", adjacent_sites_sorted(F.col("props")))
-    w_sorted = Window.partitionBy("_pkey").orderBy("id", "version")
+    w_sorted = Window.partitionBy("_pkey").orderBy(
+        "id", "version", F.col("_valid").desc()
+    )
     e = keyed.withColumn(
         "_is_first",
         F.lag("id").over(w_sorted).isNull()
         | (F.lag("id").over(w_sorted) != F.col("id"))
         | (F.lag("version").over(w_sorted) != F.col("version")),
-    ).filter(F.col("_is_first"))
+    )
 
     gated = e.withColumn(
         "_parent_ok",
         F.max(
             F.when(
-                (et == "StopPlace") & F.col("geom_wkt").isNotNull(), 1
+                (et == "StopPlace")
+                & F.col("geom_wkt").isNotNull()
+                & F.col("_valid"),
+                1,
             ).otherwise(0)
         ).over(Window.partitionBy("_pkey")),
-    )
+    ).filter(F.col("_valid") & F.col("_is_first"))
 
     # Thin aux frame for the adjacency pass, rooted at e0: one extra
     # full extract pass. Measured alternatives all lost: deriving it
