@@ -45,10 +45,27 @@ def main() -> None:
     # 16m split size: the bench parquet files are small, and the default
     # 128m bin-packing collapses the scan (and with it the Arrow
     # extraction stage) into a handful of partitions.
-    os.environ.setdefault("ASAG_DRIVER_MEM", "20g")
+    #
+    # Resources sized like a real 32-core executor group (see
+    # tools/bench_scaling.py): ~1.5g heap/core pre-touched — a fixed
+    # 20g heap at 32 concurrent tasks starves (measured: steady-state
+    # GC reached 68% of task time at high concurrency) — and shuffle
+    # dirs on tmpfs, the analog of per-executor local NVMe (this
+    # sandbox's single virtio /tmp inflated concurrent shuffle writes
+    # 6.4x).
+    heap_gb = os.environ.get("ASAG_DRIVER_MEM", f"{max(8, round(1.5 * CPUS))}g")
+    os.environ["ASAG_DRIVER_MEM"] = heap_gb
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark("asag_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 16),
-                      extra_conf={"spark.sql.files.maxPartitionBytes": "16m"})
+                      extra_conf={
+                          "spark.sql.files.maxPartitionBytes": "16m",
+                          "spark.local.dir": "/dev/shm/spark-local",
+                          "spark.driver.extraJavaOptions":
+                              "-XX:ReservedCodeCacheSize=1g "
+                              "-XX:+UseCodeCacheFlushing -XX:+UseParallelGC "
+                              f"-Xms{heap_gb} -XX:+AlwaysPreTouch",
+                      })
     from asag_spark.datagen import generate_zones
     from asag_spark.functions import assign_tiles
     from asag_spark.geo.tiles import rasterize_density, tile_feature_collections

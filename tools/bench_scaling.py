@@ -49,9 +49,30 @@ from asag_spark.operators.enrich import build_features
 from asag_spark.operators.pip import pip_join
 from asag_spark.datagen import generate_zones
 
+# Cluster-faithful resource scaling: a real N->4N executor scale-up
+# multiplies TOTAL heap and local-disk spindles by 4. The single-JVM
+# proxy must do the same or the big level runs memory-starved: with a
+# FIXED 20g heap, 16 concurrent tasks each holding sort/shuffle state
+# drove steady-state GC to 68% of task time (2262 GC-sec vs 2.9 at 4
+# cores on identical input) and the measured "scaling" was GC, not the
+# engine. Heap = 1.75g/core (per-core constant), -Xms=-Xmx +
+# AlwaysPreTouch so heap-growth full-GCs never pollute the timed runs,
+# and shuffle dirs on tmpfs (= the local NVMe every real executor has;
+# this sandbox's /tmp is one virtio disk shared by all 16 writers —
+# measured 6.4x shuffle-write inflation at 16 cores).
+heap_gb = max(4, round(1.75 * {cores}))
+os.environ["ASAG_DRIVER_MEM"] = f"{{heap_gb}}g"
+os.makedirs("/dev/shm/spark-local", exist_ok=True)
 spark = get_spark("scaling", master="local[{cores}]",
                   shuffle_partitions={cores},
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": "16m"}})
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": "16m",
+                      "spark.local.dir": "/dev/shm/spark-local",
+                      "spark.driver.extraJavaOptions":
+                          "-XX:ReservedCodeCacheSize=1g "
+                          "-XX:+UseCodeCacheFlushing -XX:+UseParallelGC "
+                          f"-Xms{{heap_gb}}g -XX:+AlwaysPreTouch",
+                  }})
 docs = spark.read.parquet({docs_path!r})
 n_docs = docs.count()
 tiles = assign_tiles(build_features(docs, as_of="2018-06-01T00:00:00"))
@@ -144,9 +165,15 @@ Protocol: identical job, identical input, two CPU-pinned parallelism
 levels standing in for N vs 4N executors (sched_setaffinity to exactly
 N cores — unpinned "local[N]" on a 32-core box silently uses ~2-3x its
 nominal cores via GC/JIT/Python-worker threads and invalidates the
-comparison). Input: the deterministic scale docs table (seed 42,
-{args.docs:,} docs, Zipf-skewed hex-cell occupancy), parquet, read by
-both levels. Job: docs -> Arrow span extraction -> validity filter ->
+comparison). Resources scale WITH the level exactly as a real cluster
+scale-up does: heap = 1.75 GB/core pre-touched (-Xms=-Xmx; a fixed
+heap starves the big level — measured 68% of task time in GC at 16
+cores vs 0.3% at 4 on identical input, i.e. the "inefficiency" was
+memory starvation, not the engine), shuffle dirs on tmpfs (every real
+executor has local NVMe; this sandbox's single virtio /tmp disk
+inflated 16-writer shuffle writes 6.4x). Input: the deterministic
+scale docs table (seed 42, {args.docs:,} docs, Zipf-skewed hex-cell
+occupancy), parquet, read by both levels. Job: docs -> Arrow span extraction -> validity filter ->
 dedup + quay-parent windows -> adjacency broadcast join -> feature
 projection -> H3 res7-10 + S2 tile assignment, fully materialized via
 a noop write (count() lets Catalyst prune most of the plan and
