@@ -43,14 +43,27 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    HOF-free n-gram build (transform/sequence lambdas are
+    CodegenFallback and eject the projection from whole-stage codegen):
+    arrays_zip of n shifted slices of the token array gives the n-gram
+    structs; arrays_zip null-pads short docs (size < n) so the single
+    partial shingle survives, and concat_ws skips the padding nulls —
+    byte-identical to array_join over the short slice. Tokens are
+    whitespace-split (never contain the ' ' delimiter), so distinct
+    structs ⟺ distinct joined shingle strings and array_distinct can
+    run before the explode/concat."""
     toks = tokens(F.lower(F.col(text_col)))
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    zipped = F.arrays_zip(
+        *[F.slice(toks, i + 1, m).alias(f"t{i}") for i in range(n)]
     )
     return docs.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+        "doc_id", F.explode(F.array_distinct(zipped)).alias("x")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", *[F.col(f"x.t{i}") for i in range(n)]).alias("shingle"),
     )
 
 
