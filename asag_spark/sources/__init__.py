@@ -4,7 +4,8 @@
 into the engine's interleaved text+media docs shape (input_hint)
 DETERMINISTICALLY — every value is a pure function of the source row,
 so the derived table is identical at any parallelism level. All span
-assembly is built-in expressions (array/struct/aggregate) — JVM-side.
+assembly is built-in codegen'd expressions (array/struct literals with
+explicit running-sum offsets) — JVM-side, no lambdas.
 """
 
 from __future__ import annotations
@@ -78,26 +79,30 @@ def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("POINT("), lon.cast("string"), F.lit(" "),
                  lat.cast("string"), F.lit(")")),
     )
-    kinds = F.array(F.lit("meta"), F.lit("prop"), F.lit("prop"), F.lit("prop"),
-                    F.lit("geom"))
     has_media = F.pmod(F.col("doc_id"), F.lit(8)) == 0
     media_ref = F.concat(F.lit("img://"), sid, F.lit(".jpg"))
 
-    # offsets: cumulative length of preceding texts (tiny arrays — the
-    # quadratic aggregate is constant work per row)
-    spans = F.transform(
-        F.sequence(F.lit(1), F.size(texts)),
-        lambda i: F.struct(
-            F.element_at(kinds, i).alias("kind"),
-            F.element_at(texts, i).alias("text"),
-            F.lit("").alias("media_ref"),
-            F.aggregate(
-                F.slice(texts, 1, i - 1), F.lit(0),
-                lambda acc, x: acc + F.length(x)
-            ).cast("int").alias("offset"),
-        ),
+    # The span list is a FIXED 5-element sequence, so offsets are an
+    # explicit running sum of lengths and the array is built literally
+    # — no sequence/transform/aggregate lambdas (CodegenFallback; this
+    # feeds the flagship entry query's extraction stage).
+    kind_strs = ("meta", "prop", "prop", "prop", "geom")
+    text_cols = [F.get(texts, i) for i in range(5)]
+    offsets = [F.lit(0)]
+    for i in range(1, 5):
+        offsets.append(offsets[i - 1] + F.length(text_cols[i - 1]))
+    spans = F.array(
+        *[
+            F.struct(
+                F.lit(kind_strs[i]).alias("kind"),
+                text_cols[i].alias("text"),
+                F.lit("").alias("media_ref"),
+                offsets[i].cast("int").alias("offset"),
+            )
+            for i in range(5)
+        ]
     )
-    total_len = F.aggregate(texts, F.lit(0), lambda acc, x: acc + F.length(x))
+    total_len = offsets[4] + F.length(text_cols[4])
     media_span = F.struct(
         F.lit("media").alias("kind"), F.lit("").alias("text"),
         media_ref.alias("media_ref"), total_len.cast("int").alias("offset"),
