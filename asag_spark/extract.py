@@ -5,12 +5,9 @@ StopPlace/Parking/TariffZone elements
 (/root/reference/src/main/java/org/entur/asag/mapbox/
 DeliveryPublicationStreamToGeoJson.java:95-125). Here the docs table is
 columnar and extraction is pure JVM relational expressions
-(:func:`extract_entities`): first-of-kind lookups via
-``array_position`` + ``get`` over the struct-field arrays, a single
-``str_to_map`` fold of the span texts, and codegen'd map lookups per
-canonical key — every expression whole-stage-codegen-supported (no
-lambda HOFs, which are CodegenFallback and eject the projection from
-codegen).
+(:func:`extract_entities`): three one-pass span traversals (one
+``filter`` per span kind), a single ``str_to_map`` fold of the prop
+spans, and codegen'd map lookups per canonical key.
 
 Formulations measured on 10M docs (identical output, exceptAll-checked):
 
@@ -175,15 +172,12 @@ def extract_entities(
     scales 4→16 cores at 0.46 with hypervisor steal exploding, vs 0.91
     for pure ALU), and the mapInArrow round-trip ships every span text
     JVM→Python→JVM — measured 25 steal-sec during a 10 s 16-core run.
-    The JVM formulation locates the first span of each kind with
-    ``array_position`` + ``get`` over the struct-field arrays, folds
-    the span texts into one ``str_to_map``, and reads canonical keys
-    with codegen'd map lookups — all whole-stage-codegen-supported
-    expressions (lambda HOFs are CodegenFallback in Spark 4.1 and one
-    ejects the whole projection from codegen). Identical output
-    (exceptAll-verified on 10M docs) with zero IPC; the ``spans``
-    passthrough column (input_hint invariant) is free — it never
-    leaves the JVM.
+    The JVM formulation classifies spans with THREE one-pass
+    higher-order traversals (filter per kind), folds the prop spans
+    into one ``str_to_map``, and reads canonical keys with codegen'd
+    map lookups. Identical output (exceptAll-verified on 10M docs) with
+    zero IPC; the ``spans`` passthrough column (input_hint invariant)
+    is free — it never leaves the JVM.
 
     First-wins semantics: the prop array is ``reverse``d before
     ``str_to_map`` and the session pins
@@ -199,27 +193,18 @@ def extract_entities(
     """
     s = F.col("spans")
 
-    # HOF-free (codegen-critical): lambda HOFs (transform/filter) are
-    # CodegenFallback in Spark 4.1 and ONE such expression ejects the
-    # whole Project from WholeStageCodegen (CollapseCodegenStages
-    # rejects any plan node containing a fallback expression), leaving
-    # the hottest projection of the pipeline interpreted. Instead:
-    # * first span of a kind = array_position over the struct-field
-    #   array (GetArrayStructFields) + 0-based F.get — both codegen'd;
-    #   F.get returns null out-of-bounds (pos 0-1 = -1 when the kind is
-    #   absent, e.g. geometry-less zones) where ANSI element_at throws;
-    # * the prop map folds ALL span texts (not just prop-kind spans)
-    #   into one str_to_map — meta parses to the ignored key
-    #   'entity_type', WKT geom texts contain no '=' and parse to a
-    #   null-valued garbage key; both are outside the canonical prop
-    #   key set, so consumers never see them.
-    kinds = s["kind"]
-    texts = s["text"]
-    meta = F.get(texts, F.array_position(kinds, "meta") - 1)
+    def texts_of(kind: str) -> Column:
+        return F.transform(
+            F.filter(s, lambda x: x["kind"] == kind), lambda x: x["text"]
+        )
+
+    # F.get (0-based) returns null out-of-bounds — ANSI element_at
+    # throws on docs lacking the span kind (e.g. geometry-less zones)
+    meta = F.get(texts_of("meta"), 0)
     mm = F.str_to_map(meta, F.lit(";"), F.lit("="))
-    geom = F.get(texts, F.array_position(kinds, "geom") - 1)
+    geom = F.get(texts_of("geom"), 0)
     pm = F.str_to_map(
-        F.array_join(F.reverse(texts), "\x1e"),
+        F.array_join(F.reverse(texts_of("prop")), "\x1e"),
         F.lit("\x1e"),
         F.lit("="),
     )

@@ -38,12 +38,9 @@ TILE_SCHEMA = "tile string, n_features long, feature_collection string"
 def tile_feature_collections(features: DataFrame, tile_col: str = "h3_r7") -> DataFrame:
     """features (with tile cell column) → one FeatureCollection per tile.
 
-    Pure built-in aggregation (collect_list + sort_array + array_join):
+    Pure built-in aggregation (collect_list + array_sort + array_join):
     stays in the JVM, benefits from AQE coalescing, and sorts features
-    (section, feature_id) inside each tile via struct ordering —
-    sort_array + GetArrayStructFields rather than array_sort/transform
-    lambdas, which are CodegenFallback and would eject the post-agg
-    projection from whole-stage codegen."""
+    (section, feature_id) inside each tile via struct ordering."""
     rendered = feature_json(features).select(
         F.col(tile_col).alias("tile"), "section", "feature_id", "feature_json"
     ).filter(F.col("tile").isNotNull())
@@ -53,7 +50,10 @@ def tile_feature_collections(features: DataFrame, tile_col: str = "h3_r7") -> Da
         F.concat(
             F.lit('{"features": ['),
             F.array_join(
-                F.sort_array(F.collect_list(entry)).getField("feature_json"),
+                F.transform(
+                    F.array_sort(F.collect_list(entry)),
+                    lambda e: e["feature_json"],
+                ),
                 ",",
             ),
             F.lit('], "type": "FeatureCollection"}'),

@@ -107,21 +107,18 @@ def adjacent_sites_sorted(props: Column) -> Column:
     (TreeSet(String::compareToIgnoreCase), PublicationDeliveryHelper
     .java:92-104). Ties (refs equal modulo case) break lexicographically
     — documented deviation, reference behavior undefined."""
-    # sort_array on struct(lower(r), r): native struct ordering gives
-    # the case-insensitive order with lexicographic tie-break WITHOUT
-    # any lambda — HOFs (transform/filter/array_sort) are
-    # CodegenFallback in Spark 4.1 and one such expression ejects the
-    # whole projection from whole-stage codegen. arrays_zip keeps the
-    # (key, ref) pairing; array_distinct on the pairs equals distinct
-    # on refs (the key is a function of the ref); getField("v") is a
-    # codegen'd GetArrayStructFields.
-    raw = props["adjacentSites"]
-    keyed = F.arrays_zip(
-        F.split(F.lower(raw), ",").alias("k"), F.split(raw, ",").alias("v")
+    refs = F.array_distinct(F.split(props["adjacentSites"], ","))
+    # sort on struct(lower(r), r): native struct ordering gives the
+    # case-insensitive order with lexicographic tie-break WITHOUT a
+    # comparator lambda — a lambda comparator interprets its whole
+    # expression tree once per comparison (HOFs are CodegenFallback;
+    # measured +37 s / 10M rows at 16 cores)
+    keyed = F.transform(
+        refs, lambda r: F.struct(F.lower(r).alias("k"), r.alias("v"))
     )
     return F.when(
-        raw.isNotNull(),
-        F.sort_array(F.array_distinct(keyed)).getField("v"),
+        props["adjacentSites"].isNotNull(),
+        F.transform(F.array_sort(keyed), lambda s: s["v"]),
     )
 
 
@@ -163,23 +160,28 @@ def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
     reference's toMap would throw on a dup id — undefined input we
     tolerate).
     """
-    # Per-row scatter array built HOF-free (lambda transform is
-    # CodegenFallback): keys = adj refs + own id appended, probes = own
-    # id repeated + a null appended; arrays_zip pairs them positionally
-    # and explode emits one thin row per pair. own_type is a per-row
-    # scalar and rides beside the generator.
-    adj = F.coalesce(F.col("adj_sorted"), F.array().cast("array<string>"))
-    keys = F.array_append(adj, F.col("id"))
-    probes = F.array_append(
-        F.array_repeat(F.col("id"), F.size(adj)),
-        F.lit(None).cast("string"),
-    )
     scattered = stops_aux.select(
-        F.col("own_type"),
         F.explode(
-            F.arrays_zip(keys.alias("key"), probes.alias("probe"))
-        ).alias("x"),
-    ).select("x.key", "x.probe", "own_type")
+            F.array_append(
+                F.transform(
+                    F.coalesce(
+                        F.col("adj_sorted"),
+                        F.array().cast("array<string>"),
+                    ),
+                    lambda r: F.struct(
+                        r.alias("key"),
+                        F.col("id").alias("probe"),
+                        F.col("own_type").alias("own_type"),
+                    ),
+                ),
+                F.struct(
+                    F.col("id").alias("key"),
+                    F.lit(None).cast("string").alias("probe"),
+                    F.col("own_type").alias("own_type"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.key", "x.probe", "x.own_type")
 
     resolved = (
         scattered.groupBy("key")
@@ -202,12 +204,9 @@ def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
             "ref_type",
         )
     )
-    # sort_array, not array_sort: same ascending order (no nulls here —
-    # collect_set drops them, own_type is coalesced to 'unknown') and
-    # sort_array is codegen'd while array_sort is CodegenFallback.
     return resolved.groupBy("id").agg(
         F.array_join(
-            F.sort_array(
+            F.array_sort(
                 F.array_distinct(
                     F.array_append(
                         F.collect_set("ref_type"), F.first("own_type")
@@ -254,12 +253,11 @@ def stop_features(stops: DataFrame) -> DataFrame:
     # P7 — primary iff no adjacent ref is strictly greater than own id,
     # case-insensitively (TreeSet.higher(id) == null,
     # StopPlaceToGeoJsonFeatureMapper.java:79-86)
-    # "no adjacent ref is strictly greater than own id" ⇔ the LAST ref
-    # (adj_sorted is ascending by lower(ref)) is <= own id — an O(1)
-    # codegen'd lookup instead of a CodegenFallback filter() lambda.
-    # try_element_at: null on empty array (guarded by has_adj anyway).
     is_primary = has_adj & (
-        F.lower(F.try_element_at(adj_sorted, F.lit(-1))) <= F.lower(F.col("id"))
+        F.size(
+            F.filter(adj_sorted, lambda r: F.lower(r) > F.lower(F.col("id")))
+        )
+        == 0
     )
     submode = resolved_submode(p)
     base_final = F.coalesce(submode, p["stopPlaceType"])
@@ -357,7 +355,7 @@ def _parking_entries(p: Column) -> dict:
         "parkingVehicleTypes": F.when(
             p["parkingVehicleTypes"].isNotNull(),
             F.array_join(
-                F.sort_array(F.split(p["parkingVehicleTypes"], ",")), ","
+                F.array_sort(F.split(p["parkingVehicleTypes"], ",")), ","
             ),
         ),
         "hasParentSiteRef": F.when(
@@ -546,12 +544,11 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
 
     adj_sorted = F.col("_adj_sorted")
     has_adj = adj_sorted.isNotNull() & (F.size(adj_sorted) > 0)
-    # "no adjacent ref is strictly greater than own id" ⇔ the LAST ref
-    # (adj_sorted is ascending by lower(ref)) is <= own id — an O(1)
-    # codegen'd lookup instead of a CodegenFallback filter() lambda.
-    # try_element_at: null on empty array (guarded by has_adj anyway).
     is_primary = has_adj & (
-        F.lower(F.try_element_at(adj_sorted, F.lit(-1))) <= F.lower(F.col("id"))
+        F.size(
+            F.filter(adj_sorted, lambda r: F.lower(r) > F.lower(F.col("id")))
+        )
+        == 0
     )
     submode = resolved_submode(p)
     final_type = F.when(
