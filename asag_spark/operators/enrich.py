@@ -407,7 +407,9 @@ def build_features_union(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     )
 
 
-def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
+def build_features(
+    docs: DataFrame, as_of: str = AS_OF, shared_scan: bool = True
+) -> DataFrame:
     """docs → canonical feature table (E2's lineage, SURVEY.md §3) —
     SINGLE-PASS plan for scale.
 
@@ -419,11 +421,16 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     the keep-predicate (quays follow their parent, matching the
     reference's handle() which only checks the top-level zone).
 
-    Scan count: 1 full scan for the main path + 1 thin aux scan for the
-    adjacency build side (a global stop→type map needs a second pass by
-    construction — the reference buffers everything for the same
-    reason, DeliveryPublicationStreamToGeoJson.java:135). The 4-branch
-    union variant cost 7 scans / 8 shuffles at 200k docs.
+    Scan count: with ``shared_scan`` (default) ONE extraction pass — the
+    entity frame is persisted and both the main path and the adjacency
+    build side read the cache (a global stop→type map needs a second
+    pass over the *entities* by construction — the reference buffers
+    everything for the same reason,
+    DeliveryPublicationStreamToGeoJson.java:135 — but not a second
+    parse). ``shared_scan=False`` keeps the cache-free 2-scan plan
+    (useful when the entity frame exceeds cluster storage memory and
+    the input scan is cheaper than the disk-tier round-trip). The
+    4-branch union variant cost 7 scans / 8 shuffles at 200k docs.
 
     Output is unordered; canonical order is (section, feature_id) —
     the reference's within-section order is HashSet-nondeterministic
@@ -449,6 +456,21 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     # above (window, filters, join, final projection) references only
     # materialized attributes of that one projection.
     e0 = extract_entities(docs, spans_through=False)
+    if shared_scan:
+        # One extraction pass shared by the main path and the adjacency
+        # build side: materialize the (spans-free) entity frame in the
+        # columnar block cache and derive both consumers from it.
+        # Without this the aux side re-scans the parquet + re-runs the
+        # str_to_map extraction over every doc — measured as 30% of job
+        # CPU at 10M docs, and the worst-inflating stage at 16 cores on
+        # a bandwidth-capped host (the checkpointed job gets the same
+        # effect by reading the materialized entity stage, plans/job.py).
+        # MEMORY_AND_DISK: the entity frame is ~20% the size of the raw
+        # span text; at 1.75 GB heap/core the storage pool holds it at
+        # bench scale, and the disk tier is the executor's local NVMe.
+        from pyspark.storagelevel import StorageLevel
+
+        e0 = e0.persist(StorageLevel.MEMORY_AND_DISK)
 
     p = F.col("props")
     et = F.col("entity_type")
@@ -521,12 +543,15 @@ def build_features(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
     # type resolution + adjacency + validity); with the JVM extraction
     # path Catalyst prunes the unread map lookups automatically, the
     # explicit prop_keys just keeps the plan/schema honest.
-    aux_keys = (*SUBMODE_KEYS, "stopPlaceType", "adjacentSites",
-                "validFrom", "validTo")
-    e0_aux = validity_filter(
-        extract_entities(docs, prop_keys=aux_keys, spans_through=False),
-        as_of,
-    )
+    if shared_scan:
+        e0_aux = validity_filter(e0, as_of)
+    else:
+        aux_keys = (*SUBMODE_KEYS, "stopPlaceType", "adjacentSites",
+                    "validFrom", "validTo")
+        e0_aux = validity_filter(
+            extract_entities(docs, prop_keys=aux_keys, spans_through=False),
+            as_of,
+        )
     stops_aux = e0_aux.filter(
         (et == "StopPlace") & F.col("geom_wkt").isNotNull()
     ).select(
