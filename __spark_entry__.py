@@ -411,6 +411,13 @@ def _t_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def _t_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.similarity import cosine_topk_lsh
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_topk_lsh(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
 def _t_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.dedup import embedding_near_dups
 
@@ -568,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_lsh": _t_minhash_lsh,
         "t_minhash_dedup": _t_minhash_dedup,
         "t_cosine_topk": _t_cosine_topk,
+        "t_cosine_topk_lsh": _t_cosine_topk_lsh,
         "t_emb_near_dups": _t_emb_near_dups,
         "t_simhash_near_dups": _t_simhash,
         # rows-only (non-SQL-expressible: stub media decode, full
@@ -876,6 +884,33 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+# LSH-bucketed approximate top-k (IVF-style cell probe): DETERMINISTIC
+# approximation — the candidate set is exactly the query's sign-LSH
+# bucket, so the oracle reproduces it in SQL (recall < 1 vs
+# t_cosine_topk by design; this is the 10^12-vector scale path where
+# the brute-force scan is off the table).
+_COSINE_TOPK_LSH_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+         CAST(embedding[1] >= 0 AS INTEGER) || CAST(embedding[2] >= 0 AS INTEGER)
+         || CAST(embedding[3] >= 0 AS INTEGER) || CAST(embedding[4] >= 0 AS INTEGER) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cosine
+  FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+
 _EMB_ND_SQL = """
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
@@ -1079,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "t_cosine_topk": _COSINE_TOPK_SQL,
+        "t_cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
         "t_emb_near_dups": _EMB_ND_SQL,
         "t_simhash_near_dups": _simhash_sql(),
     }
