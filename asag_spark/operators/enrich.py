@@ -479,7 +479,7 @@ def build_features(
         validity_predicate(as_of).alias("_valid"),
         F.coalesce(F.col("props")["parentDocId"], F.col("doc_id")).alias("_pkey"),
         adjacent_sites_sorted(F.col("props")).alias("_adj_sorted"),
-    )
+    ).withColumn("_pkh", F.xxhash64("_pkey"))
 
     # ONE wide shuffle for both A1 dedup and the X1 quay parent gate,
     # and NO driver-side broadcast of the stop-id set (which would
@@ -501,9 +501,16 @@ def build_features(
     # with the keep-predicate after the window. For content-identical
     # duplicates (the reference's A1 HashSet semantics — equal JAXB
     # objects ⇒ equal validity) this is exactly filter-then-dedup.
+    # Window spec leads with `_pkh = xxhash64(_pkey)`: real entity ids
+    # share a long constant prefix ("NSR:StopPlace:…"), so the sorter's
+    # 8-byte sort-key prefix never discriminates and EVERY comparison
+    # in the 10M-row window sort falls through to a full UTF8String
+    # compare. A leading 64-bit hash makes the prefix decide almost
+    # every comparison; _pkey stays second so hash collisions cannot
+    # merge two window groups (partition-by set is (hash, key) ≡ key).
     from pyspark.sql import Window
 
-    w_sorted = Window.partitionBy("_pkey").orderBy(
+    w_sorted = Window.partitionBy("_pkh", "_pkey").orderBy(
         "id", "version", F.col("_valid").desc()
     )
     e = keyed.withColumn(
@@ -522,7 +529,7 @@ def build_features(
                 & F.col("_valid"),
                 1,
             ).otherwise(0)
-        ).over(Window.partitionBy("_pkey")),
+        ).over(Window.partitionBy("_pkh", "_pkey")),
     ).filter(F.col("_valid") & F.col("_is_first"))
 
     # Thin aux frame for the adjacency pass, rooted at e0: one extra
