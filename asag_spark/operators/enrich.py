@@ -25,13 +25,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..extract import extract_entities, keylist_value
-from ..schema import PROP_FIELDS, SUBMODE_KEYS
+from ..schema import ENTITY_PROP_KEYS, PROP_FIELDS, SUBMODE_KEYS
 from ..datagen import AS_OF
 from .filters import validity_filter, validity_predicate, geometry_presence_filter
 
 SECTION_STOPS = 0
 SECTION_PARKINGS = 1
 SECTION_TARIFF_ZONES = 2
+
+# props fields consumed ABOVE the dedup/gate window exchange. The four
+# dropped keys' derived values ride as their own thin columns (_valid,
+# _pkey, _adj_sorted), so carrying the source strings through the
+# shuffle+sort is pure dead weight — and UnsafeRow struct cost is
+# ~8 B/field of offset alone. Measured at 10M docs / 16 pinned cores:
+# pruning them cut the windowed sub-plan from 8.7 s to 4.0 s
+# (tools/ab_probe.py).
+_POST_WINDOW_PROP_KEYS = tuple(
+    k for k in ENTITY_PROP_KEYS
+    if k not in ("validFrom", "validTo", "adjacentSites", "parentDocId")
+)
 
 
 # -- scalar helpers (P2, P8, geometry lon/lat) ------------------------------
@@ -122,26 +134,40 @@ def adjacent_sites_sorted(props: Column) -> Column:
     )
 
 
-def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
+def adjacency_final_types_from_aux(
+    stops_aux: DataFrame, strategy: str = "broadcast_prune"
+) -> DataFrame:
     """J1/A3 over the thin aux frame (id, own_type, adj_sorted) — see
     adjacency_final_types for semantics/citations.
 
-    Scale plan — single-scan scatter-gather (no driver-side map, no
-    broadcast-barrier chain):
+    Two physical strategies, same output (tests/test_features.py
+    asserts parity):
 
-    The naive build side is the FULL ``id → own_type`` map over every
-    stop — broadcasting that serializes the whole stop table through
-    the driver (measured as the scaling bottleneck at 10M docs;
-    impossible at 10^9). The previous shape (semi-join-pruned
-    broadcast) avoided the driver map but needed THREE extraction
-    passes over the aux lineage (refs, types, probes — each consumer
-    of a mapInArrow lineage re-runs the Python kernel) chained behind
-    two sequential BroadcastExchange barriers, which is the Amdahl
-    serial term that capped measured 4→16-core scaling.
+    ``broadcast_prune`` (default — the registry-scale plan): the edge
+    set (stops WITH adjacentSites × refs) is a few % of stops
+    (FIXTURES.md §3 rate 1/25), so the referenced-id set is tiny.
 
-    Here every aux row is scanned ONCE and scattered as thin rows
-    keyed so that an edge meets its referenced stop's type row in the
-    same reduce group:
+    1. ``edges`` = explode(adj_sorted) over the adj-bearing stops;
+    2. broadcast ``distinct(ref)`` and LEFT-SEMI join the full stop
+       side against it — the big side is pruned to the referenced
+       stops with NO shuffle of the big side (one parallel scan of
+       the shared entity cache);
+    3. broadcast the pruned ``(id, own_type)`` result and left-join
+       the edges; groupBy(id) over O(|edges|) rows only.
+
+    Measured at 10M docs / 16 pinned cores: 3.2 s vs 6.5 s for the
+    scatter-gather below — the full-stop-table exchange (a type row
+    per stop, ~60 B × n_stops) disappears; what remains is two cache
+    scans plus broadcasts of ~|edges| thin rows. The broadcast chain
+    serializes ~tens of MB through the driver at registry scale
+    (10^5-10^7 stops); past ~10^8 stops the ref set outgrows the
+    driver and ``scatter_gather`` is the right physical choice — the
+    caller flips the strategy, the semantics are identical.
+
+    ``scatter_gather`` (the web-scale plan — no broadcast, no driver
+    materialization, fully parallel at any size): every aux row is
+    scanned ONCE and scattered as thin rows keyed so that an edge
+    meets its referenced stop's type row in the same reduce group:
 
     1. scatter: per stop emit one *type row* (key=id, probe=null) and,
        per adjacent ref, one *edge row* (key=ref, probe=own id) — a
@@ -154,12 +180,24 @@ def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
        resolved types with the probe's own type, sort, '_'-join.
 
     Both exchanges carry 3 thin string columns; ~60 B/row at any
-    scale, fully parallel, zero driver materialization — the shape a
-    1000-executor cluster wants. Duplicate (id, version) rows need no
-    pre-dedup: max/collect_set are idempotent under duplicates (the
-    reference's toMap would throw on a dup id — undefined input we
-    tolerate).
+    scale. Duplicate (id, version) rows need no pre-dedup under either
+    strategy: max/collect_set/first are idempotent under duplicates
+    (the reference's toMap would throw on a dup id — undefined input
+    we tolerate).
     """
+    if strategy == "broadcast_prune":
+        edges = stops_aux.filter(F.size("adj_sorted") > 0).select(
+            "id", "own_type", F.explode("adj_sorted").alias("ref")
+        )
+        ref_ids = edges.select("ref").distinct()
+        ref_types = stops_aux.join(
+            F.broadcast(ref_ids), stops_aux["id"] == ref_ids["ref"], "left_semi"
+        ).select(F.col("id").alias("_rid"), F.col("own_type").alias("ref_type"))
+        resolved = edges.join(
+            F.broadcast(ref_types), edges["ref"] == F.col("_rid"), "left"
+        ).select("id", "own_type", "ref_type")
+        return _adjacency_fold(resolved)
+
     scattered = stops_aux.select(
         F.explode(
             F.array_append(
@@ -204,6 +242,14 @@ def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
             "ref_type",
         )
     )
+    return _adjacency_fold(resolved)
+
+
+def _adjacency_fold(resolved: DataFrame) -> DataFrame:
+    """(id, own_type, ref_type) edge rows → (id, final_joined_type):
+    distinct found types ∪ own type, sorted, '_'-joined (A3 —
+    DeliveryPublicationStreamToGeoJson.java:150-159). collect_set drops
+    null ref_types, so unresolved refs contribute nothing."""
     return resolved.groupBy("id").agg(
         F.array_join(
             F.array_sort(
@@ -218,7 +264,9 @@ def adjacency_final_types_from_aux(stops_aux: DataFrame) -> DataFrame:
     )
 
 
-def adjacency_final_types(stops: DataFrame) -> DataFrame:
+def adjacency_final_types(
+    stops: DataFrame, strategy: str = "broadcast_prune"
+) -> DataFrame:
     """J1/A3 — per stop with adjacentSites: probe every ref against the
     broadcast ``id → ownType`` map, union the found types with the own
     type, sort, '_'-join (DeliveryPublicationStreamToGeoJson.java:135,
@@ -233,7 +281,7 @@ def adjacency_final_types(stops: DataFrame) -> DataFrame:
         own_stop_type(F.col("props")).alias("own_type"),
         adjacent_sites_sorted(F.col("props")).alias("adj_sorted"),
     )
-    return adjacency_final_types_from_aux(aux)
+    return adjacency_final_types_from_aux(aux, strategy=strategy)
 
 
 # -- per-entity-type feature projections ------------------------------------
@@ -408,7 +456,10 @@ def build_features_union(docs: DataFrame, as_of: str = AS_OF) -> DataFrame:
 
 
 def build_features(
-    docs: DataFrame, as_of: str = AS_OF, shared_scan: bool = True
+    docs: DataFrame,
+    as_of: str = AS_OF,
+    shared_scan: bool = True,
+    adjacency: str = "broadcast_prune",
 ) -> DataFrame:
     """docs → canonical feature table (E2's lineage, SURVEY.md §3) —
     SINGLE-PASS plan for scale.
@@ -474,11 +525,23 @@ def build_features(
 
     p = F.col("props")
     et = F.col("entity_type")
+    # Explicit pruned projection instead of "*": only the props fields
+    # read above the window cross the exchange (see
+    # _POST_WINDOW_PROP_KEYS); valid_from/valid_to fold into _valid
+    # here and are dropped. Field reads against the materialized e0
+    # props struct — no re-extraction (single-evaluation rule below).
     keyed = e0.select(
-        "*",
+        "doc_id",
+        "entity_type",
+        "id",
+        "version",
+        F.struct(
+            *[p[k].alias(k) for k in _POST_WINDOW_PROP_KEYS]
+        ).alias("props"),
+        "geom_wkt",
         validity_predicate(as_of).alias("_valid"),
-        F.coalesce(F.col("props")["parentDocId"], F.col("doc_id")).alias("_pkey"),
-        adjacent_sites_sorted(F.col("props")).alias("_adj_sorted"),
+        F.coalesce(p["parentDocId"], F.col("doc_id")).alias("_pkey"),
+        adjacent_sites_sorted(p).alias("_adj_sorted"),
     ).withColumn("_pkh", F.xxhash64("_pkey"))
 
     # ONE wide shuffle for both A1 dedup and the X1 quay parent gate,
@@ -567,7 +630,7 @@ def build_features(
         own_stop_type(F.col("props")).alias("own_type"),
         adjacent_sites_sorted(F.col("props")).alias("adj_sorted"),
     )
-    adj = adjacency_final_types_from_aux(stops_aux)
+    adj = adjacency_final_types_from_aux(stops_aux, strategy=adjacency)
     joined = gated.join(F.broadcast(adj), "id", "left")
 
     keep = F.when(et == "Quay", F.col("_parent_ok") == 1).otherwise(

@@ -114,3 +114,24 @@ def test_span_sequence_preserved(spark):
             (s["kind"], s["text"], s["media_ref"]) for s in orig[k]
         ]
     assert out.count() > 0
+
+
+def test_adjacency_strategy_parity(spark):
+    """broadcast_prune (registry-scale) and scatter_gather (web-scale)
+    are physical strategies of the same J1/A3 operator — identical
+    output on the fixtures AND on a generated slice with duplicate and
+    unknown refs."""
+    from asag_spark.datagen import generate_docs
+    from asag_spark.operators.enrich import build_features
+
+    for docs in (fixture_docs(spark), generate_docs(spark, 2000)):
+        bp = build_features(docs, as_of=AS_OF, adjacency="broadcast_prune")
+        sg = build_features(docs, as_of=AS_OF, adjacency="scatter_gather")
+        cols = [
+            "feature_id",
+            F.to_json(F.struct("section", "entity_type", "geometry_wkt",
+                               "properties", "adjacent_sites")).alias("j"),
+        ]
+        a, b = bp.select(*cols), sg.select(*cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0

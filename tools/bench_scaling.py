@@ -40,8 +40,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 RUN_SNIPPET = r"""
 import json, os, sys, time
-os.sched_setaffinity(0, set(range({cores})))
+CORES = {cores}
+os.sched_setaffinity(0, set(range(CORES)))
 sys.path.insert(0, {repo!r})
+
+def _steal_jiffies():
+    # hypervisor steal on the pinned cores (USER_HZ jiffies). This host
+    # shows multi-minute steal bursts that inflate identical actions
+    # 2-6x; per-run steal fractions make a polluted minimum visible.
+    tot = 0
+    with open("/proc/stat") as f:
+        for line in f:
+            if line.startswith("cpu") and not line.startswith("cpu "):
+                n = int(line[3:line.index(" ")])
+                if n < CORES:
+                    tot += int(line.split()[8])
+    return tot
+
+def timed_best(fn, repeats):
+    best, best_steal, runs = 1e18, None, []
+    for _ in range(repeats):
+        s0, t0 = _steal_jiffies(), time.perf_counter()
+        fn()
+        wall = time.perf_counter() - t0
+        sfrac = (_steal_jiffies() - s0) / 100.0 / (CORES * wall)
+        runs.append((round(wall, 3), round(sfrac, 3)))
+        if wall < best:
+            best, best_steal = wall, round(sfrac, 3)
+    return best, best_steal, runs
 from pyspark.sql import functions as F
 from asag_spark.session import get_spark
 from asag_spark.functions import assign_tiles
@@ -85,10 +111,7 @@ def run_tiles():
 # plenty (JIT warms with executed bytecode, not pass count)
 for _ in range({warm}):
     run_tiles()
-tile_wall = 1e9
-for _ in range({repeats}):
-    t0 = time.perf_counter(); run_tiles()
-    tile_wall = min(tile_wall, time.perf_counter() - t0)
+tile_wall, tile_steal, tile_runs = timed_best(run_tiles, {repeats})
 
 pts = tiles.filter(F.col("lat").isNotNull()).select(
     "feature_id", "lon", "lat").cache()
@@ -97,16 +120,16 @@ zones = generate_zones(spark)
 pip = pip_join(pts, zones)
 n_pip = pip.count()  # warm
 pip.write.format("noop").mode("overwrite").save()  # warm the write path
-pip_wall = 1e9
-for _ in range({repeats}):
-    t0 = time.perf_counter(); pip.write.format("noop").mode("overwrite").save()
-    pip_wall = min(pip_wall, time.perf_counter() - t0)
+pip_wall, pip_steal, pip_runs = timed_best(
+    lambda: pip.write.format("noop").mode("overwrite").save(), {repeats})
 
 print("RESULT " + json.dumps({{
     "cores": {cores}, "n_docs": n_docs,
     "tile_wall_s": round(tile_wall, 3),
     "docs_per_sec": round(n_docs / tile_wall, 1),
     "pip_wall_s": round(pip_wall, 3), "pip_pairs": n_pip,
+    "tile_steal_at_min": tile_steal, "pip_steal_at_min": pip_steal,
+    "tile_runs": tile_runs, "pip_runs": pip_runs,
 }}))
 spark.stop()
 """
@@ -180,15 +203,19 @@ a noop write (count() lets Catalyst prune most of the plan and
 under-measures >5x). Then the PIP join of all point features against
 the 50 municipality polygons (broadcast STRtree-equivalent). Fresh
 pinned JVM per level; warm-up run then best of {args.repeats} in the
-same JVM. N={args.small} / 4N={args.big} stays inside this box's
+same JVM, with per-run hypervisor-steal fractions sampled from
+/proc/stat on the pinned cores (this shared guest shows multi-minute
+steal bursts that inflate identical actions 2-6x; the reported minima
+below carry their measured steal-at-min so a polluted number is
+visible). N={args.small} / 4N={args.big} stays inside this box's
 linear hardware region (a pure-CPU probe scales 4->16 at ~0.9 but
 8->32 only ~0.78 — single-box memory-bandwidth/turbo ceiling that a
 real 4x-machine cluster does not share).
 
-| cores | docs/sec (tile assignment) | tile wall (s) | PIP wall (s) |
-|---|---|---|---|
-| local[{args.small}]  (N, pinned)  | {s['docs_per_sec']:,} | {s['tile_wall_s']} | {s['pip_wall_s']} |
-| local[{args.big}] (4N, pinned) | {b['docs_per_sec']:,} | {b['tile_wall_s']} | {b['pip_wall_s']} |
+| cores | docs/sec (tile assignment) | tile wall (s) | steal@min | PIP wall (s) | steal@min |
+|---|---|---|---|---|---|
+| local[{args.small}]  (N, pinned)  | {s['docs_per_sec']:,} | {s['tile_wall_s']} | {s['tile_steal_at_min']} | {s['pip_wall_s']} | {s['pip_steal_at_min']} |
+| local[{args.big}] (4N, pinned) | {b['docs_per_sec']:,} | {b['tile_wall_s']} | {b['tile_steal_at_min']} | {b['pip_wall_s']} | {b['pip_steal_at_min']} |
 
 **Scaling efficiency** = (docs_per_sec@{args.big} / docs_per_sec@{args.small}) / {ratio:.0f} =
 ({b['docs_per_sec']} / {s['docs_per_sec']}) / {ratio:.0f} = **{eff}**

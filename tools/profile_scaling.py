@@ -29,9 +29,22 @@ from asag_spark.extract import extract_entities
 from asag_spark.operators.filters import validity_filter
 from asag_spark.operators.enrich import build_features
 
+# Same cluster-faithful resource scaling as tools/bench_scaling.py:
+# heap and shuffle spindles scale with the level, else the 16-core
+# level is GC/disk-starved and per-stage attribution is wrong.
+heap_gb = max(4, round(1.75 * {cores}))
+os.environ["ASAG_DRIVER_MEM"] = f"{{heap_gb}}g"
+os.makedirs("/dev/shm/spark-local", exist_ok=True)
 spark = get_spark("profile", master="local[{cores}]",
                   shuffle_partitions={cores},
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": "16m"}})
+                  extra_conf={{
+                      "spark.sql.files.maxPartitionBytes": "16m",
+                      "spark.local.dir": "/dev/shm/spark-local",
+                      "spark.driver.extraJavaOptions":
+                          "-XX:ReservedCodeCacheSize=1g "
+                          "-XX:+UseCodeCacheFlushing -XX:+UseParallelGC "
+                          f"-Xms{{heap_gb}}g -XX:+AlwaysPreTouch",
+                  }})
 docs = spark.read.parquet({docs_path!r})
 
 def noop(df):
