@@ -376,6 +376,53 @@ def _t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import fingerprint
+
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import winnow_fingerprints
+
+    return winnow_fingerprints(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def _s_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState sessionization, drained in ONE
+    availableNow batch so the snapshot-per-batch contract reduces to
+    exactly one row per session — the oracle is the same batch gap-
+    sessionization SQL as q_sessionize."""
+    import os
+    import shutil
+    import tempfile
+
+    from asag_spark.streaming import EVENTS_SCHEMA, sessionize_stateful
+
+    work = tempfile.mkdtemp(prefix="asag_stateful_")
+    stream_dir = f"{work}/events"
+    os.makedirs(stream_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-0.parquet")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+    sess = sessionize_stateful(stream)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("s_sessionize_stateful_tbl")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT user_id, session_seq, CAST(session_start AS TIMESTAMP_NTZ)"
+        " AS session_start, CAST(session_end AS TIMESTAMP_NTZ) AS"
+        " session_end, n_events, sum_value FROM s_sessionize_stateful_tbl"
+    )
+
+
 def _t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.dedup import exact_dedup
 
@@ -566,10 +613,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_above_avg": _q_above_avg,
         "q_ntile": _q_ntile,
         "s_hourly_stream": _s_hourly_stream,
+        "s_sessionize_stateful": _s_sessionize_stateful,
         # training-data ops (live SQL oracles)
         "t_token_count": _t_token_count,
         "t_quality": _t_quality,
         "t_langid": _t_langid,
+        "t_fingerprint": _t_fingerprint,
+        "t_winnow_fp": _t_winnow,
         "t_exact_dedup": _t_exact_dedup,
         "t_jaccard_pairs": _t_jaccard,
         "t_minhash_lsh": _t_minhash_lsh,
@@ -747,6 +797,42 @@ SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
        MIN(ts) AS session_start, MAX(ts) AS session_end,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
 FROM sess GROUP BY 1, 2
+"""
+
+# Winnowing (k=5-token shingles, w=4 rolling window, hash = first 16
+# hex chars of md5) — mirrors asag_spark.operators.text.winnow_fingerprints.
+_WINNOW_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, i,
+         substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 16) AS h,
+         len(toks) - 5 + 1 AS nsh
+  FROM base, UNNEST(range(1, greatest(len(toks) - 5 + 1, 0) + 1)) AS t(i)
+),
+win AS (
+  SELECT doc_id, i, nsh,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM sh
+),
+main AS (
+  SELECT DISTINCT doc_id, fp FROM win WHERE nsh >= 4 AND i <= nsh - 3
+),
+small AS (
+  SELECT doc_id, min(h) AS fp FROM sh WHERE nsh BETWEEN 1 AND 3 GROUP BY doc_id
+),
+short_docs AS (
+  SELECT doc_id, substr(md5(norm), 1, 16) AS fp FROM base WHERE len(toks) < 5
+)
+SELECT doc_id, fp FROM main
+UNION ALL SELECT doc_id, fp FROM small
+UNION ALL SELECT doc_id, fp FROM short_docs
 """
 
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','it']"
@@ -1087,6 +1173,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "t_quality": _QUALITY_SQL,
+        "s_sessionize_stateful": _SESSIONIZE_SQL,
+        "t_fingerprint": r"""
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "t_winnow_fp": _WINNOW_SQL,
         "t_langid": r"""
             SELECT doc_id,
                    CASE

@@ -80,3 +80,50 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     text (the exact-dedup key; md5 matches any SQL engine)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken):
+    k-token shingles → hash each → keep the minimum hash of every
+    w-wide rolling window → distinct selected hashes per doc.
+
+    Hash = first 16 hex chars of md5(shingle) so the rolling minimum is
+    a plain lexicographic min any SQL engine reproduces bit-for-bit.
+    Docs with shingles but fewer than w of them contribute their global
+    min; docs shorter than k tokens fall back to the whole-text hash.
+    Everything is built-in column expressions (whole-stage codegen) —
+    no shuffle until the consumer groups by fingerprint.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    toks = F.split(norm, " ")
+    n_sh = F.size(toks) - k + 1
+    shingles = F.when(
+        n_sh >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 16
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(F.col("_sh"))
+    window_mins = (
+        F.when(
+            n >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1))),
+                lambda j: F.array_min(F.slice(F.col("_sh"), j, w)),
+            ),
+        )
+        .when(n >= 1, F.array(F.array_min(F.col("_sh"))))
+        .otherwise(F.array(F.substring(F.md5(norm), 1, 16)))
+    )
+    return (
+        docs.withColumn("_sh", shingles)
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(window_mins)).alias("fp"),
+        )
+    )

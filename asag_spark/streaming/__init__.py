@@ -73,6 +73,86 @@ def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
     q.awaitTermination()
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_seq long, session_start timestamp, "
+    "session_end timestamp, n_events long, sum_value double"
+)
+SESSION_STATE_SCHEMA = (
+    "session_seq long, start_us long, last_us long, n long, sv double"
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful streaming sessionization via
+    ``applyInPandasWithState`` — the arbitrary-state API the engine
+    exposes for operators that watermarked windows can't express
+    (asag itself has no streaming, SURVEY.md §2.7; this is the
+    engine-generalization axis).
+
+    State per user: the open session (seq, start, last-event, count,
+    value-sum) carried across micro-batches. Each batch folds its
+    events (sorted by event time) into the open session, emits every
+    CLOSED session exactly once, and emits a snapshot of the
+    still-open session at batch end. A session that spans batches
+    therefore appears once per batch with growing ``n_events`` —
+    consumers keep the last snapshot per (user_id, session_seq)
+    (max ``n_events``), which a single availableNow drain makes
+    trivially exact (one batch ⇒ one snapshot ⇒ output equals batch
+    sessionization row-for-row; the oracle relies on this).
+
+    Scale notes: state is O(1) per user (five scalars); the only
+    shuffle is the groupBy(user_id) exchange Spark plans for the
+    stateful operator; per-group work is vectorized pandas. In a
+    continuous production run you would add an event-time timeout to
+    finalize idle sessions instead of end-of-stream snapshots.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            seq, start_us, last_us, n, sv = state.get
+        else:
+            seq, start_us, last_us, n, sv = 0, None, None, 0, 0.0
+        closed = []
+        # normalize to us regardless of the Arrow-side unit (ns vs us)
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64")
+        for us, val in zip(ts_us, rows["value"]):
+            us = int(us)
+            if last_us is None or us - last_us > gap_us:
+                if last_us is not None:
+                    closed.append((seq, start_us, last_us, n, sv))
+                seq += 1
+                start_us, n, sv = us, 0, 0.0
+            last_us = us
+            n += 1
+            sv += float(val)
+        state.update((seq, start_us, last_us, n, sv))
+        out = closed + ([(seq, start_us, last_us, n, sv)] if n else [])
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_seq": [o[0] for o in out],
+                "session_start": pd.to_datetime([o[1] for o in out], unit="us"),
+                "session_end": pd.to_datetime([o[2] for o in out], unit="us"),
+                "n_events": [o[3] for o in out],
+                "sum_value": [round(o[4], 2) for o in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Batch sessionization (windowed gap logic — the session_window
     streaming equivalent): consecutive events of a user belong to one

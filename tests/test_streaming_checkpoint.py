@@ -102,3 +102,61 @@ def test_checkpoint_resume(spark, sf_dir, tmp_path):
     make(p4)
     assert calls == {"a": 2, "b": 3}
     assert [s["resumed"] for s in p4.stage_log] == [True, False]
+
+
+def test_sessionize_stateful_cross_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState with state genuinely carried ACROSS
+    micro-batches: events split time-wise into two files, drained with
+    maxFilesPerTrigger=1 so sessions spanning the split are folded from
+    state. Keeping the last snapshot per (user, session_seq) must equal
+    batch gap-sessionization row-for-row."""
+    import time as _time
+
+    from asag_spark.streaming import EVENTS_SCHEMA, sessionize, sessionize_stateful
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = events.count()
+    mid = events.orderBy("ts").limit(n // 2).agg(F.max("ts")).collect()[0][0]
+    stream_dir = tmp_path / "ev_split"
+    stream_dir.mkdir()
+    events.filter(F.col("ts") <= mid).coalesce(1).write.parquet(
+        str(stream_dir / "f0"))
+    _time.sleep(1.1)  # file-source orders batches by mod time
+    events.filter(F.col("ts") > mid).coalesce(1).write.parquet(
+        str(stream_dir / "f1"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir) + "/*/")
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory").queryName("sess_stateful_xb")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_xb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.sql("SELECT * FROM sess_stateful_xb").collect()
+    assert q.lastProgress is not None
+    last = {}
+    for r in snaps:
+        key = (r["user_id"], r["session_seq"])
+        if key not in last or r["n_events"] > last[key]["n_events"]:
+            last[key] = r
+    got = {
+        k: (v["session_start"], v["session_end"], v["n_events"], v["sum_value"])
+        for k, v in last.items()
+    }
+    want = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in sessionize(events).withColumn(
+            "session_start", F.col("session_start").cast("timestamp")
+        ).withColumn(
+            "session_end", F.col("session_end").cast("timestamp")
+        ).collect()
+    }
+    assert got == want

@@ -128,3 +128,37 @@ def test_media_pipeline(spark):
     for r in f:
         by_ref.setdefault(r["media_ref"], set()).add(tuple(r["feature"]))
     assert all(len(v) == 1 for v in by_ref.values())
+
+
+def test_winnow_fingerprints(corpus):
+    from asag_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(corpus).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # exact dups share the full fingerprint set
+    assert by_doc[0] == by_doc[1]
+    # near dup (one word changed at the end) shares a prefix of windows
+    assert by_doc[0] & by_doc[2]
+    # unrelated doc shares nothing
+    assert not (by_doc[0] & by_doc[3])
+    # every doc fingerprinted, values are 16-hex
+    assert set(by_doc) == {0, 1, 2, 3, 4}
+    assert all(len(f) == 16 for s in by_doc.values() for f in s)
+
+
+def test_winnow_short_doc_fallback(spark):
+    from asag_spark.operators.text import winnow_fingerprints
+
+    rows = [(0, "one two", "en", "s", 7), (1, "one two", "en", "s", 7),
+            (2, "a b c d e f", "en", "s", 11)]  # 6 toks -> 2 shingles < w
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] == by_doc[1] and len(by_doc[0]) == 1
+    assert len(by_doc[2]) == 1  # global-min branch
