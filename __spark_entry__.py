@@ -358,6 +358,34 @@ def _q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator z/x/y tiling + quadkeys (geo/xyz.py) with a pyramid
+    rollup: deterministic coords derived from event_id (integer mod
+    arithmetic — bit-identical across engines), z12 assignment as pure
+    JVM expressions, z6 parents via exact integer shifts, then one
+    partial-agg'd groupBy per parent tile."""
+    from asag_spark.geo.xyz import quadkey, tile_x, tile_y
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon = (-180.0 + (F.col("event_id") * 7919 % 36000) / 100.0)
+    lat = (-85.0 + (F.col("event_id") * 104729 % 17000) / 100.0)
+    x12, y12 = tile_x(lon, 12), tile_y(lat, 12)
+    t = ev.select(
+        x12.alias("x12"), y12.alias("y12"),
+        quadkey(x12, y12, 12).alias("qk12"),
+    )
+    return (
+        t.withColumn("x6", F.shiftright("x12", 6))
+        .withColumn("y6", F.shiftright("y12", 6))
+        .groupBy("x6", "y6")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("qk12").alias("n_subtiles"),
+            F.min("qk12").alias("min_qk"),
+        )
+    )
+
+
 def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import token_count
 
@@ -612,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pivot": _q_pivot,
         "q_above_avg": _q_above_avg,
         "q_ntile": _q_ntile,
+        "q_xyz_tiles": _q_xyz_tiles,
         "s_hourly_stream": _s_hourly_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
         # training-data ops (live SQL oracles)
@@ -937,6 +966,45 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+def _xyz_sql(zoom: int = 12, parent_shift: int = 6) -> str:
+    """Slippy z/x/y + quadkey oracle — same textbook formulas as
+    geo/xyz.py (identical op order; coords derived from event_id by
+    integer mod arithmetic so both engines see bit-identical doubles).
+    The quadkey concat is unrolled per zoom level, as the JVM
+    expression is."""
+    n = 1 << zoom
+    clamp_lat = ("LEAST(GREATEST(lat, -85.05112877980659), "
+                 "85.05112877980659)")
+    qk = " || ".join(
+        f"CAST(((x{zoom} >> {i - 1}) & 1) + 2 * ((y{zoom} >> {i - 1}) & 1)"
+        " AS VARCHAR)"
+        for i in range(zoom, 0, -1)
+    )
+    return f"""
+WITH pts AS (
+  SELECT -180.0 + (event_id * 7919 % 36000) / 100.0 AS lon,
+         -85.0 + (event_id * 104729 % 17000) / 100.0 AS lat
+  FROM events
+), t AS (
+  SELECT
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {n}.0) AS INTEGER),
+                   0), {n - 1}) AS x{zoom},
+    LEAST(GREATEST(CAST(FLOOR(
+        (1.0 - LN(TAN(RADIANS({clamp_lat}))
+                  + 1.0 / COS(RADIANS({clamp_lat}))) / PI())
+        / 2.0 * {n}.0) AS INTEGER), 0), {n - 1}) AS y{zoom}
+  FROM pts
+), q AS (
+  SELECT x{zoom}, y{zoom}, {qk} AS qk{zoom},
+         x{zoom} >> {parent_shift} AS x6, y{zoom} >> {parent_shift} AS y6
+  FROM t
+)
+SELECT x6, y6, COUNT(*) AS n_events,
+       COUNT(DISTINCT qk{zoom}) AS n_subtiles, MIN(qk{zoom}) AS min_qk
+FROM q GROUP BY x6, y6
+"""
+
+
 _JACCARD_SQL = f"""
 {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1070,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "q_xyz_tiles": _xyz_sql(),
         "q_cube": """
             SELECT COALESCE(l_returnflag, 'ALL') AS rf,
                    COALESCE(l_linestatus, 'ALL') AS ls,

@@ -1,0 +1,102 @@
+"""Web-Mercator z/x/y tiling + quadkeys (geo/xyz.py).
+
+Pins the slippy-map convention (the scheme Mapbox slices uploads into —
+`MapBoxUpdateRouteBuilder.java:109-122` hands that slicing to the
+service; here it is an engine operator), the Bing quadkey encoding, the
+pole/antimeridian clamps, and the pyramid shift identity.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from asag_spark.geo.xyz import (
+    MAX_MERCATOR_LAT, assign_xyz, quadkey, tile_x, tile_y,
+)
+
+
+def _py_xyz(lon, lat, z):
+    """Independent reference implementation (textbook formulas)."""
+    n = 1 << z
+    x = min(max(int(math.floor((lon + 180.0) / 360.0 * n)), 0), n - 1)
+    lat = min(max(lat, -MAX_MERCATOR_LAT), MAX_MERCATOR_LAT)
+    lr = math.radians(lat)
+    merc = (1.0 - math.asinh(math.tan(lr)) / math.pi) / 2.0
+    y = min(max(int(math.floor(merc * n)), 0), n - 1)
+    return x, y
+
+
+def _py_quadkey(x, y, z):
+    return "".join(
+        str(((x >> (i - 1)) & 1) + 2 * ((y >> (i - 1)) & 1))
+        for i in range(z, 0, -1)
+    )
+
+
+COORDS = [
+    (0.1, 0.1), (-0.1, -0.1), (10.757933, 59.911491),  # Oslo S
+    (-122.3321, 47.6062), (139.6917, 35.6895), (-43.1729, -22.9068),
+    (179.999, 84.9), (-180.0, -85.05), (180.0, 89.0), (0.0, 0.0),
+]
+
+
+def test_xyz_matches_reference_formula(spark):
+    rows = [(float(lo), float(la)) for lo, la in COORDS]
+    df = spark.createDataFrame(rows, "lon double, lat double")
+    for z in (1, 7, 12, 16):
+        got = (
+            df.select(
+                "lon", "lat",
+                tile_x(F.col("lon"), z).alias("x"),
+                tile_y(F.col("lat"), z).alias("y"),
+            )
+            .collect()
+        )
+        for r in got:
+            ex, ey = _py_xyz(r.lon, r.lat, z)
+            assert (r.x, r.y) == (ex, ey), (r.lon, r.lat, z)
+
+
+def test_quadkey_bing_example(spark):
+    # canonical example from the Bing tile-system spec: (3, 5, z=3) → "213"
+    df = spark.createDataFrame([(3, 5)], "x int, y int")
+    [row] = df.select(quadkey(F.col("x"), F.col("y"), 3).alias("qk")).collect()
+    assert row.qk == "213"
+    assert _py_quadkey(3, 5, 3) == "213"
+
+
+def test_clamps(spark):
+    df = spark.createDataFrame(
+        [(200.0, 89.9), (-200.0, -89.9)], "lon double, lat double"
+    )
+    out = df.select(
+        tile_x(F.col("lon"), 5).alias("x"), tile_y(F.col("lat"), 5).alias("y")
+    ).collect()
+    assert (out[0].x, out[0].y) == (31, 0)   # east/north overflow → edge tile
+    assert (out[1].x, out[1].y) == (0, 31)   # west/south overflow → edge tile
+
+
+def test_pyramid_shift_and_quadkey_prefix(spark):
+    feats = spark.createDataFrame(
+        [(f"f{i}", lo, la) for i, (lo, la) in enumerate(COORDS)],
+        "feature_id string, lon double, lat double",
+    )
+    out = assign_xyz(feats, zooms=(7, 12)).collect()
+    for r in out:
+        # parent tile is an exact integer shift — no re-projection
+        assert r.x7 == r.x12 >> 5 and r.y7 == r.y12 >> 5
+        # quadkey prefix at length 7 IS the zoom-7 quadkey
+        assert r.qk12[:7] == r.qk7
+        assert len(r.qk12) == 12
+        assert r.qk12 == _py_quadkey(r.x12, r.y12, 12)
+
+
+def test_null_propagation(spark):
+    feats = spark.createDataFrame(
+        [("poly", None, None), ("pt", 10.0, 60.0)],
+        "feature_id string, lon double, lat double",
+    )
+    rows = {r.feature_id: r for r in assign_xyz(feats, zooms=(7,)).collect()}
+    assert rows["poly"].x7 is None and rows["poly"].qk7 is None
+    assert rows["pt"].x7 is not None and len(rows["pt"].qk7) == 7
