@@ -386,6 +386,43 @@ def _q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xyz_coords(ev: DataFrame) -> tuple:
+    """Deterministic (lon, lat) derived from event_id by integer mod
+    arithmetic — bit-identical doubles in Spark and DuckDB."""
+    lon = (-180.0 + (F.col("event_id") * 7919 % 36000) / 100.0)
+    lat = (-85.0 + (F.col("event_id") * 104729 % 17000) / 100.0)
+    return lon, lat
+
+
+def _q_mvt_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mapbox-vector-tile geometry quantization: tile id + integer
+    tile-local coordinates at extent 4096 (geo/xyz.mvt_coords), zoom 9,
+    on a deterministic 1-in-97 event sample."""
+    from asag_spark.geo.xyz import mvt_coords
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 97 == 0
+    )
+    lon, lat = _xyz_coords(ev)
+    tx, ty, lx, ly = mvt_coords(lon, lat, 9, 4096)
+    return ev.select(
+        "event_id", tx.alias("tx"), ty.alias("ty"),
+        lx.alias("lx"), ly.alias("ly"),
+    )
+
+
+def _q_xyz_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-Mercator raster density (geo/xyz.rasterize_xyz): per-pixel
+    counts at zoom 5, extent 16 — the Mapbox-space raster↔vector path."""
+    from asag_spark.geo.xyz import rasterize_xyz
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = _xyz_coords(ev)
+    return rasterize_xyz(
+        ev.select(lon.alias("lon"), lat.alias("lat")), zoom=5, extent=16
+    )
+
+
 def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import token_count
 
@@ -641,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_above_avg": _q_above_avg,
         "q_ntile": _q_ntile,
         "q_xyz_tiles": _q_xyz_tiles,
+        "q_mvt_coords": _q_mvt_coords,
+        "q_xyz_raster": _q_xyz_raster,
         "s_hourly_stream": _s_hourly_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
         # training-data ops (live SQL oracles)
@@ -1005,6 +1044,66 @@ FROM q GROUP BY x6, y6
 """
 
 
+def _merc_sql_ctes(zoom: int, where: str = "") -> str:
+    """Shared CTE prefix: synthetic coords + continuous mercator tile
+    units (fx, fy) + clamped tile indices (tx, ty) at ``zoom`` — the
+    same op order as geo/xyz._merc_fx/_merc_fy/tile_x/tile_y."""
+    n = 1 << zoom
+    clamp_lat = ("LEAST(GREATEST(lat, -85.05112877980659), "
+                 "85.05112877980659)")
+    return f"""
+WITH pts AS (
+  SELECT event_id,
+         -180.0 + (event_id * 7919 % 36000) / 100.0 AS lon,
+         -85.0 + (event_id * 104729 % 17000) / 100.0 AS lat
+  FROM events {where}
+), f AS (
+  SELECT event_id,
+         (lon + 180.0) / 360.0 * {n}.0 AS fx,
+         (1.0 - LN(TAN(RADIANS({clamp_lat}))
+                   + 1.0 / COS(RADIANS({clamp_lat}))) / PI())
+         / 2.0 * {n}.0 AS fy
+  FROM pts
+), t AS (
+  SELECT event_id, fx, fy,
+         LEAST(GREATEST(CAST(FLOOR(fx) AS INTEGER), 0), {n - 1}) AS tx,
+         LEAST(GREATEST(CAST(FLOOR(fy) AS INTEGER), 0), {n - 1}) AS ty
+  FROM f
+)"""
+
+
+def _mvt_sql(zoom: int = 9, extent: int = 4096) -> str:
+    """Oracle for q_mvt_coords — tile-local quantization off the same
+    shared projection the tile index uses."""
+    e = extent
+    return f"""
+{_merc_sql_ctes(zoom, "WHERE event_id % 97 = 0")}
+SELECT event_id, tx, ty,
+       LEAST(GREATEST(CAST(FLOOR((fx - tx) * {e}.0) AS INTEGER), 0),
+             {e - 1}) AS lx,
+       LEAST(GREATEST(CAST(FLOOR((fy - ty) * {e}.0) AS INTEGER), 0),
+             {e - 1}) AS ly
+FROM t
+"""
+
+
+def _xyz_raster_sql(zoom: int = 5, extent: int = 16) -> str:
+    """Oracle for q_xyz_raster — per-(tile, pixel) density."""
+    e = extent
+    return f"""
+{_merc_sql_ctes(zoom)},
+px AS (
+  SELECT tx AS x, ty AS y,
+         LEAST(GREATEST(CAST(FLOOR((fx - tx) * {e}.0) AS INTEGER), 0),
+               {e - 1}) AS px,
+         LEAST(GREATEST(CAST(FLOOR((fy - ty) * {e}.0) AS INTEGER), 0),
+               {e - 1}) AS py
+  FROM t
+)
+SELECT x, y, px, py, COUNT(*) AS n FROM px GROUP BY x, y, px, py
+"""
+
+
 _JACCARD_SQL = f"""
 {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1139,6 +1238,8 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "q_xyz_tiles": _xyz_sql(),
+        "q_mvt_coords": _mvt_sql(),
+        "q_xyz_raster": _xyz_raster_sql(),
         "q_cube": """
             SELECT COALESCE(l_returnflag, 'ALL') AS rf,
                    COALESCE(l_linestatus, 'ALL') AS ls,

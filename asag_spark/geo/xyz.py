@@ -79,6 +79,71 @@ def quadkey(x: Column, y: Column, zoom: int) -> Column:
     return F.concat(*digits)
 
 
+def _merc_fx(lon: Column, zoom: int) -> Column:
+    """Continuous Web-Mercator x in tile units at ``zoom``."""
+    return (lon + 180.0) / 360.0 * float(1 << zoom)
+
+
+def _merc_fy(lat: Column, zoom: int) -> Column:
+    """Continuous Web-Mercator y in tile units at ``zoom``."""
+    lat_c = F.greatest(
+        F.least(lat, F.lit(MAX_MERCATOR_LAT)), F.lit(-MAX_MERCATOR_LAT)
+    )
+    lat_r = F.radians(lat_c)
+    return (
+        (1.0 - F.log(F.tan(lat_r) + 1.0 / F.cos(lat_r)) / math.pi)
+        / 2.0 * float(1 << zoom)
+    )
+
+
+def _local(f: Column, tile: Column, extent: int) -> Column:
+    """Tile-local integer coordinate: floor of the fractional tile
+    position scaled to ``extent``, clamped to [0, extent-1] (points on
+    the far edge land in the last cell, matching the tile clamp)."""
+    px = F.floor((f - tile) * float(extent)).cast("int")
+    return F.when(
+        px.isNotNull(),
+        F.least(F.greatest(px, F.lit(0)), F.lit(extent - 1)),
+    )
+
+
+def mvt_coords(
+    lon: Column, lat: Column, zoom: int, extent: int = 4096
+) -> tuple[Column, Column, Column, Column]:
+    """(tile_x, tile_y, local_x, local_y) — the Mapbox-vector-tile
+    geometry encoding: tile id + integer coordinates in tile-local
+    space at ``extent`` (MVT default 4096; 256 gives raster pixel
+    bins).  One shared mercator projection feeds both the tile index
+    and the quantized offset, so a point can never quantize into a
+    different tile than it is assigned to."""
+    fx, fy = _merc_fx(lon, zoom), _merc_fy(lat, zoom)
+    x, y = tile_x(lon, zoom), tile_y(lat, zoom)
+    return x, y, _local(fx, x, extent), _local(fy, y, extent)
+
+
+def rasterize_xyz(
+    df: DataFrame,
+    zoom: int,
+    extent: int = 256,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Web-Mercator raster density: count per (tile, pixel) at
+    ``zoom``/``extent`` — the raster side of raster↔vector in Mapbox
+    tile space (the hex-lattice analog is `tiles.rasterize_density`).
+    Pure projection + one partial-agg'd groupBy; the tile id leads the
+    grouping key so per-tile rasters are contiguous after the shuffle
+    and a downstream `groupBy(x, y).applyInPandas` PNG/array encoder
+    is partition-local."""
+    x, y, px, py = mvt_coords(F.col(lon_col), F.col(lat_col), zoom, extent)
+    return (
+        df.select(x.alias("x"), y.alias("y"), px.alias("px"), py.alias("py"))
+        .filter(F.col("x").isNotNull())
+        .groupBy("x", "y", "px", "py")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def assign_xyz(
     features: DataFrame,
     zooms: tuple[int, ...] = (7, 12),

@@ -12,7 +12,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from asag_spark.geo.xyz import (
-    MAX_MERCATOR_LAT, assign_xyz, quadkey, tile_x, tile_y,
+    MAX_MERCATOR_LAT, assign_xyz, mvt_coords, quadkey, rasterize_xyz,
+    tile_x, tile_y,
 )
 
 
@@ -90,6 +91,47 @@ def test_pyramid_shift_and_quadkey_prefix(spark):
         assert r.qk12[:7] == r.qk7
         assert len(r.qk12) == 12
         assert r.qk12 == _py_quadkey(r.x12, r.y12, 12)
+
+
+def test_mvt_coords_consistent_with_tile(spark):
+    """Quantized local coords always land inside the assigned tile and
+    match an independent reference computation."""
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in COORDS], "lon double, lat double"
+    )
+    tx, ty, lx, ly = mvt_coords(F.col("lon"), F.col("lat"), 9, 4096)
+    out = df.select(
+        "lon", "lat", tx.alias("tx"), ty.alias("ty"),
+        lx.alias("lx"), ly.alias("ly"),
+    ).collect()
+    for r in out:
+        ex, ey = _py_xyz(r.lon, r.lat, 9)
+        assert (r.tx, r.ty) == (ex, ey)
+        assert 0 <= r.lx < 4096 and 0 <= r.ly < 4096
+        n = 1 << 9
+        fx = (r.lon + 180.0) / 360.0 * n
+        want_lx = min(max(int(math.floor((fx - ex) * 4096.0)), 0), 4095)
+        assert r.lx == want_lx
+
+
+def test_mvt_far_edge_clamps_into_last_cell(spark):
+    df = spark.createDataFrame([(180.0, 0.0)], "lon double, lat double")
+    tx, ty, lx, ly = mvt_coords(F.col("lon"), F.col("lat"), 3, 4096)
+    [r] = df.select(tx.alias("tx"), lx.alias("lx")).collect()
+    assert r.tx == 7 and r.lx == 4095  # antimeridian → last tile, last cell
+
+
+def test_rasterize_xyz_counts(spark):
+    # two points in the same pixel + one in a different tile
+    df = spark.createDataFrame(
+        [(10.0, 60.0), (10.0000001, 60.0000001), (-120.0, -30.0)],
+        "lon double, lat double",
+    )
+    out = rasterize_xyz(df, zoom=5, extent=16).collect()
+    assert sum(r.n for r in out) == 3
+    assert {r.n for r in out} == {2, 1}
+    for r in out:
+        assert 0 <= r.px < 16 and 0 <= r.py < 16
 
 
 def test_null_propagation(spark):
