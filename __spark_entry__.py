@@ -423,6 +423,17 @@ def _q_xyz_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon → Web-Mercator pixel coverage on the fixture zones
+    (geo/tiles.rasterize_polygons_xyz, zoom 10, extent 16). Golden rows
+    cross-validated against an independent winding-number
+    implementation (tests/test_xyz.py)."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.geo.tiles import rasterize_polygons_xyz
+
+    return rasterize_polygons_xyz(fixture_zones(spark), zoom=10, extent=16)
+
+
 def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import token_count
 
@@ -680,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xyz_tiles": _q_xyz_tiles,
         "q_mvt_coords": _q_mvt_coords,
         "q_xyz_raster": _q_xyz_raster,
+        "polygon_raster_fixture": _q_polygon_raster,
         "s_hourly_stream": _s_hourly_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
         # training-data ops (live SQL oracles)
@@ -1240,6 +1252,21 @@ def oracle_sql() -> dict[str, str]:
         "q_xyz_tiles": _xyz_sql(),
         "q_mvt_coords": _mvt_sql(),
         "q_xyz_raster": _xyz_raster_sql(),
+        "polygon_raster_fixture": """
+            SELECT * FROM (VALUES
+              ('MUNI:0301', 542, 297, CAST(140 AS BIGINT)),
+              ('MUNI:0301', 542, 298, CAST(112 AS BIGINT)),
+              ('MUNI:ADJ', 543, 303, CAST(2 AS BIGINT)),
+              ('VKT:TariffZone:729', 541, 301, CAST(15 AS BIGINT)),
+              ('VKT:TariffZone:729', 541, 302, CAST(8 AS BIGINT)),
+              ('VKT:TariffZone:729', 542, 301, CAST(12 AS BIGINT)),
+              ('VKT:TariffZone:729', 542, 302, CAST(4 AS BIGINT)),
+              ('VKT:TariffZone:730', 541, 301, CAST(15 AS BIGINT)),
+              ('VKT:TariffZone:730', 541, 302, CAST(8 AS BIGINT)),
+              ('VKT:TariffZone:730', 542, 301, CAST(12 AS BIGINT)),
+              ('VKT:TariffZone:730', 542, 302, CAST(4 AS BIGINT))
+            ) AS t(zone_id, x, y, n_pixels)
+        """,
         "q_cube": """
             SELECT COALESCE(l_returnflag, 'ALL') AS rf,
                    COALESCE(l_linestatus, 'ALL') AS ls,

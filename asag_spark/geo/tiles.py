@@ -91,6 +91,85 @@ def _hex_boundary_wkt(q: int, r: int, res: int) -> str:
     return f"POLYGON(({ring}))"
 
 
+def rasterize_polygons_xyz(
+    zones: DataFrame, zoom: int, extent: int = 16
+) -> DataFrame:
+    """Polygon → Web-Mercator pixel coverage: (zone_id, x, y, n_pixels)
+    — how many of the extent×extent pixel centers of tile (x, y, zoom)
+    fall inside the zone's exterior ring (even-odd ray cast, the same
+    refine primitive the PIP join uses).
+
+    Two Arrow stages with a thin tile-keyed exchange between them:
+
+    * Stage A explodes each polygon to the z/x/y tiles covering its
+      bbox — work and output ∝ covered tiles, never extent².
+    * The exchange repartitions on (x, y), so a continent-sized polygon
+      fans its tiles across the cluster instead of pinning one task
+      (the polygon-side analog of the north_rule's salted-cell story).
+    * Stage B tests the extent² pixel centers per (zone, tile) row,
+      vectorized per row; tiles with zero covered pixels are dropped.
+
+    The pixel-center rule means ring boundary semantics are inherited
+    from points_in_ring (half-open crossing number).
+    """
+    from .wkt import parse_polygon, points_in_ring, ring_bbox
+    from .xyz import np_merc_fxy, np_pixel_center_lonlat
+
+    n_tiles = 1 << zoom
+
+    def to_tiles(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            zids, xs, ys, wkts = [], [], [], []
+            for zid, wkt in zip(pdf["zone_id"], pdf["geom_wkt"]):
+                lo_x, lo_y, hi_x, hi_y = ring_bbox(parse_polygon(wkt))
+                fx, fy = np_merc_fxy(
+                    np.array([lo_x, hi_x]), np.array([hi_y, lo_y]), zoom
+                )
+                x0, x1 = int(fx[0]), min(int(fx[1]), n_tiles - 1)
+                y0, y1 = int(fy[0]), min(int(fy[1]), n_tiles - 1)
+                for x in range(max(x0, 0), x1 + 1):
+                    for y in range(max(y0, 0), y1 + 1):
+                        zids.append(zid)
+                        xs.append(x)
+                        ys.append(y)
+                        wkts.append(wkt)
+            yield pd.DataFrame(
+                {"zone_id": zids, "x": xs, "y": ys, "geom_wkt": wkts}
+            )
+
+    candidates = (
+        zones.select("zone_id", "geom_wkt")
+        .mapInPandas(to_tiles, schema="zone_id string, x int, y int, geom_wkt string")
+        .repartition(F.col("x"), F.col("y"))
+    )
+
+    # one tile's pixel-center offsets, reused across rows
+    pix = np.arange(extent, dtype=np.float64)
+    ppx, ppy = np.meshgrid(pix, pix, indexing="ij")
+    ppx, ppy = ppx.ravel(), ppy.ravel()
+
+    def count_pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rings: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            counts = []
+            for zid, x, y, wkt in zip(
+                pdf["zone_id"], pdf["x"], pdf["y"], pdf["geom_wkt"]
+            ):
+                lon, lat = np_pixel_center_lonlat(
+                    float(x), float(y), ppx, ppy, zoom, extent
+                )
+                ring = rings.get(zid)
+                if ring is None:
+                    ring = rings[zid] = parse_polygon(wkt)
+                counts.append(int(points_in_ring(lon, lat, ring).sum()))
+            out = pdf.assign(n_pixels=counts).drop(columns=["geom_wkt"])
+            yield out[out["n_pixels"] > 0]
+
+    return candidates.mapInPandas(
+        count_pixels, schema="zone_id string, x int, y int, n_pixels long"
+    )
+
+
 def vectorize_cells(raster: DataFrame, cell_col: str = "cell") -> DataFrame:
     """raster(cell, n) → + geom_wkt hex boundary (vector side)."""
 

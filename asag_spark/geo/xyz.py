@@ -144,6 +144,33 @@ def rasterize_xyz(
     )
 
 
+# -- numpy twins (used inside Arrow UDFs; same formulas as the JVM
+#    expressions above, mirroring the hexgrid JVM/numpy twin pattern) --
+
+def np_merc_fxy(lon, lat, zoom: int):
+    """Continuous Web-Mercator (fx, fy) in tile units — numpy."""
+    import numpy as np
+
+    n = float(1 << zoom)
+    fx = (lon + 180.0) / 360.0 * n
+    lat_c = np.clip(lat, -MAX_MERCATOR_LAT, MAX_MERCATOR_LAT)
+    lr = np.radians(lat_c)
+    fy = (1.0 - np.log(np.tan(lr) + 1.0 / np.cos(lr)) / math.pi) / 2.0 * n
+    return fx, fy
+
+
+def np_pixel_center_lonlat(x, y, px, py, zoom: int, extent: int):
+    """Inverse mercator: center of pixel (px, py) in tile (x, y)."""
+    import numpy as np
+
+    n = float(1 << zoom)
+    fx = x + (px + 0.5) / float(extent)
+    fy = y + (py + 0.5) / float(extent)
+    lon = fx / n * 360.0 - 180.0
+    lat = np.degrees(np.arctan(np.sinh(math.pi * (1.0 - 2.0 * fy / n))))
+    return lon, lat
+
+
 def assign_xyz(
     features: DataFrame,
     zooms: tuple[int, ...] = (7, 12),

@@ -134,6 +134,59 @@ def test_rasterize_xyz_counts(spark):
         assert 0 <= r.px < 16 and 0 <= r.py < 16
 
 
+def _winding_inside(lon, lat, ring):
+    """Independent reference: nonzero winding number (vs the engine's
+    even-odd crossing count — equivalent for simple rings)."""
+    wn = 0
+    for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:]):
+        cross = (x2 - x1) * (lat - y1) - (lon - x1) * (y2 - y1)
+        if y1 <= lat:
+            if y2 > lat and cross > 0:
+                wn += 1
+        elif y2 <= lat and cross < 0:
+            wn -= 1
+    return wn != 0
+
+
+def test_rasterize_polygons_matches_independent_winding(spark):
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.geo.tiles import rasterize_polygons_xyz
+    from asag_spark.geo.wkt import parse_polygon
+    from asag_spark.geo.xyz import np_merc_fxy, np_pixel_center_lonlat
+    import numpy as np
+
+    zoom, extent = 10, 16
+    n = 1 << zoom
+    zones = fixture_zones(spark)
+    got = {
+        (r.zone_id, r.x, r.y): r.n_pixels
+        for r in rasterize_polygons_xyz(zones, zoom=zoom, extent=extent).collect()
+    }
+    expected = {}
+    for row in zones.collect():
+        ring = parse_polygon(row.geom_wkt)
+        pts = [(float(a), float(b)) for a, b in ring]
+        lons, lats = [p[0] for p in pts], [p[1] for p in pts]
+        fx, fy = np_merc_fxy(
+            np.array([min(lons), max(lons)]),
+            np.array([max(lats), min(lats)]), zoom,
+        )
+        for x in range(int(fx[0]), min(int(fx[1]), n - 1) + 1):
+            for y in range(int(fy[0]), min(int(fy[1]), n - 1) + 1):
+                cnt = 0
+                for px in range(extent):
+                    for py in range(extent):
+                        lon, lat = np_pixel_center_lonlat(
+                            float(x), float(y),
+                            np.float64(px), np.float64(py), zoom, extent,
+                        )
+                        if _winding_inside(float(lon), float(lat), pts):
+                            cnt += 1
+                if cnt:
+                    expected[(row.zone_id, x, y)] = cnt
+    assert got == expected and len(got) == 11
+
+
 def test_null_propagation(spark):
     feats = spark.createDataFrame(
         [("poly", None, None), ("pt", 10.0, 60.0)],
