@@ -423,6 +423,41 @@ def _q_xyz_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_xyz_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster → vector in Mapbox tile space (geo/xyz.vectorize_xyz):
+    pixel centers + lon/lat bounds by closed-form inverse mercator,
+    rounded to 6 dp (JVM sinh vs DuckDB exp-composite differ at ulp
+    scale only)."""
+    from asag_spark.geo.xyz import rasterize_xyz, vectorize_xyz
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_id") % 97 == 0
+    )
+    lon, lat = _xyz_coords(ev)
+    raster = rasterize_xyz(
+        ev.select(lon.alias("lon"), lat.alias("lat")), zoom=5, extent=16
+    )
+    v = vectorize_xyz(raster, zoom=5, extent=16)
+    return v.select(
+        "x", "y", "px", "py", "n",
+        F.round("lon", 6).alias("lon"), F.round("lat", 6).alias("lat"),
+        F.round("lon_min", 6).alias("lon_min"),
+        F.round("lat_max", 6).alias("lat_max"),
+    )
+
+
+def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom tile-count pyramid (geo/xyz.tile_pyramid): one wide
+    base-zoom aggregation, then exact integer-shift rollups z10→z4."""
+    from asag_spark.geo.xyz import tile_pyramid
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon, lat = _xyz_coords(ev)
+    return tile_pyramid(
+        ev.select(lon.alias("lon"), lat.alias("lat")), base_zoom=10, min_zoom=4
+    )
+
+
 def _q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon → Web-Mercator pixel coverage on the fixture zones
     (geo/tiles.rasterize_polygons_xyz, zoom 10, extent 16). Golden rows
@@ -691,6 +726,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xyz_tiles": _q_xyz_tiles,
         "q_mvt_coords": _q_mvt_coords,
         "q_xyz_raster": _q_xyz_raster,
+        "q_xyz_vectorize": _q_xyz_vectorize,
+        "q_tile_pyramid": _q_tile_pyramid,
         "polygon_raster_fixture": _q_polygon_raster,
         "s_hourly_stream": _s_hourly_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
@@ -1116,6 +1153,56 @@ SELECT x, y, px, py, COUNT(*) AS n FROM px GROUP BY x, y, px, py
 """
 
 
+def _xyz_vectorize_sql(zoom: int = 5, extent: int = 16) -> str:
+    """Oracle for q_xyz_vectorize — inverse mercator via
+    atan((exp(t)-exp(-t))/2); differences vs JVM sinh are ulp-scale,
+    absorbed by ROUND(...,6)."""
+    e, n = extent, 1 << zoom
+
+    def inv_lon(fx: str) -> str:
+        return f"({fx}) / {n}.0 * 360.0 - 180.0"
+
+    def inv_lat(fy: str) -> str:
+        t = f"PI() * (1.0 - 2.0 * ({fy}) / {n}.0)"
+        return f"DEGREES(ATAN((EXP({t}) - EXP(-({t}))) / 2.0))"
+
+    return f"""
+{_merc_sql_ctes(zoom, "WHERE event_id % 97 = 0")},
+px AS (
+  SELECT tx AS x, ty AS y,
+         LEAST(GREATEST(CAST(FLOOR((fx - tx) * {e}.0) AS INTEGER), 0),
+               {e - 1}) AS px,
+         LEAST(GREATEST(CAST(FLOOR((fy - ty) * {e}.0) AS INTEGER), 0),
+               {e - 1}) AS py
+  FROM t
+), r AS (
+  SELECT x, y, px, py, COUNT(*) AS n FROM px GROUP BY x, y, px, py
+)
+SELECT x, y, px, py, n,
+       ROUND({inv_lon(f"x + (px + 0.5) / {e}.0")}, 6) AS lon,
+       ROUND({inv_lat(f"y + (py + 0.5) / {e}.0")}, 6) AS lat,
+       ROUND({inv_lon(f"x + px / {e}.0")}, 6) AS lon_min,
+       ROUND({inv_lat(f"y + py / {e}.0")}, 6) AS lat_max
+FROM r
+"""
+
+
+def _tile_pyramid_sql(base_zoom: int = 10, min_zoom: int = 4) -> str:
+    """Oracle for q_tile_pyramid — base aggregation + shift rollups."""
+    levels = " UNION ALL ".join(
+        f"SELECT {z} AS zoom, x >> {base_zoom - z} AS x, "
+        f"y >> {base_zoom - z} AS y, n FROM b"
+        for z in range(min_zoom, base_zoom + 1)
+    )
+    return f"""
+{_merc_sql_ctes(base_zoom)},
+b AS (SELECT tx AS x, ty AS y, COUNT(*) AS n FROM t GROUP BY tx, ty),
+lv AS ({levels})
+SELECT zoom, x, y, CAST(SUM(n) AS BIGINT) AS n
+FROM lv GROUP BY zoom, x, y
+"""
+
+
 _JACCARD_SQL = f"""
 {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1252,6 +1339,8 @@ def oracle_sql() -> dict[str, str]:
         "q_xyz_tiles": _xyz_sql(),
         "q_mvt_coords": _mvt_sql(),
         "q_xyz_raster": _xyz_raster_sql(),
+        "q_xyz_vectorize": _xyz_vectorize_sql(),
+        "q_tile_pyramid": _tile_pyramid_sql(),
         "polygon_raster_fixture": """
             SELECT * FROM (VALUES
               ('MUNI:0301', 542, 297, CAST(140 AS BIGINT)),

@@ -144,6 +144,93 @@ def rasterize_xyz(
     )
 
 
+def _inv_lon(fx: Column, zoom: int) -> Column:
+    """Inverse mercator: continuous tile-unit x → longitude."""
+    return fx / float(1 << zoom) * 360.0 - 180.0
+
+
+def _inv_lat(fy: Column, zoom: int) -> Column:
+    """Inverse mercator: continuous tile-unit y → latitude (the
+    gudermannian, via atan∘sinh — both codegen'd JVM built-ins)."""
+    return F.degrees(
+        F.atan(F.sinh(math.pi * (1.0 - 2.0 * fy / float(1 << zoom))))
+    )
+
+
+def vectorize_xyz(
+    raster: DataFrame, zoom: int, extent: int = 256
+) -> DataFrame:
+    """Raster → vector in Mapbox tile space: each (x, y, px, py) pixel
+    gains its center coordinates and lon/lat bounds plus a bbox polygon
+    WKT — the inverse of `rasterize_xyz`, entirely JVM expressions (the
+    hex-lattice analog `tiles.vectorize_cells` needs an Arrow UDF
+    because hex boundaries aren't closed-form in Catalyst; mercator
+    boxes are)."""
+    e = float(extent)
+    fx0 = F.col("x") + F.col("px") / e
+    fx1 = F.col("x") + (F.col("px") + 1.0) / e
+    fy0 = F.col("y") + F.col("py") / e
+    fy1 = F.col("y") + (F.col("py") + 1.0) / e
+    w, ee = _inv_lon(fx0, zoom), _inv_lon(fx1, zoom)
+    # fy grows southward: fy0 is the NORTH edge of the pixel
+    n_, s = _inv_lat(fy0, zoom), _inv_lat(fy1, zoom)
+    cx = _inv_lon(F.col("x") + (F.col("px") + 0.5) / e, zoom)
+    cy = _inv_lat(F.col("y") + (F.col("py") + 0.5) / e, zoom)
+    ring = F.concat_ws(
+        ", ",
+        F.concat_ws(" ", w, s), F.concat_ws(" ", ee, s),
+        F.concat_ws(" ", ee, n_), F.concat_ws(" ", w, n_),
+        F.concat_ws(" ", w, s),
+    )
+    return (
+        raster.withColumn("lon", cx)
+        .withColumn("lat", cy)
+        .withColumn("lon_min", w).withColumn("lon_max", ee)
+        .withColumn("lat_min", s).withColumn("lat_max", n_)
+        .withColumn("geom_wkt", F.concat(F.lit("POLYGON(("), ring, F.lit("))")))
+    )
+
+
+def tile_pyramid(
+    df: DataFrame,
+    base_zoom: int,
+    min_zoom: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Multi-zoom tile-count pyramid: (zoom, x, y, n) for every zoom in
+    [min_zoom, base_zoom] — the hypertable-rollup analog for map tiles.
+
+    Scale shape: ONE wide aggregation touches the raw rows (base-zoom
+    groupBy, map-side partial agg), then the pyramid is built from the
+    already-tiny base-tile table — per-level integer shifts (exact, no
+    re-projection) unioned and re-aggregated, so the rollup's shuffle
+    volume is levels × base_tiles, independent of the input row count.
+    """
+    x, y = tile_x(F.col(lon_col), base_zoom), tile_y(F.col(lat_col), base_zoom)
+    base = (
+        df.select(x.alias("x"), y.alias("y"))
+        .filter(F.col("x").isNotNull())
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    parts = []
+    for z in range(min_zoom, base_zoom + 1):
+        dz = base_zoom - z
+        parts.append(
+            base.select(
+                F.lit(z).alias("zoom"),
+                F.shiftright("x", dz).alias("x"),
+                F.shiftright("y", dz).alias("y"),
+                "n",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.groupBy("zoom", "x", "y").agg(F.sum("n").alias("n"))
+
+
 # -- numpy twins (used inside Arrow UDFs; same formulas as the JVM
 #    expressions above, mirroring the hexgrid JVM/numpy twin pattern) --
 

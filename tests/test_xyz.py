@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from asag_spark.geo.xyz import (
     MAX_MERCATOR_LAT, assign_xyz, mvt_coords, quadkey, rasterize_xyz,
-    tile_x, tile_y,
+    tile_pyramid, tile_x, tile_y, vectorize_xyz,
 )
 
 
@@ -132,6 +132,42 @@ def test_rasterize_xyz_counts(spark):
     assert {r.n for r in out} == {2, 1}
     for r in out:
         assert 0 <= r.px < 16 and 0 <= r.py < 16
+
+
+def test_vectorize_xyz_roundtrip(spark):
+    """Each vectorized pixel's center re-rasterizes into the same
+    (tile, pixel) — rasterize∘vectorize is the identity on cells."""
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in COORDS], "lon double, lat double"
+    )
+    raster = rasterize_xyz(df, zoom=6, extent=16)
+    vec = vectorize_xyz(raster, zoom=6, extent=16)
+    back = rasterize_xyz(vec.select("lon", "lat"), zoom=6, extent=16)
+    orig = {(r.x, r.y, r.px, r.py) for r in raster.collect()}
+    again = {(r.x, r.y, r.px, r.py) for r in back.collect()}
+    assert orig == again
+    for r in vec.collect():
+        assert r.lon_min < r.lon < r.lon_max
+        assert r.lat_min < r.lat < r.lat_max
+        assert r.geom_wkt.startswith("POLYGON((")
+
+
+def test_tile_pyramid_conservation(spark):
+    df = spark.createDataFrame(
+        [(float(lo), float(la)) for lo, la in COORDS], "lon double, lat double"
+    )
+    pyr = tile_pyramid(df, base_zoom=8, min_zoom=3).collect()
+    by_zoom = {}
+    for r in pyr:
+        by_zoom.setdefault(r.zoom, []).append(r)
+    assert set(by_zoom) == set(range(3, 9))
+    for z, rows in by_zoom.items():
+        assert sum(r.n for r in rows) == len(COORDS)  # counts conserved
+    # every child tile nests in a parent with >= its count
+    for z in range(4, 9):
+        parents = {(r.x, r.y): r.n for r in by_zoom[z - 1]}
+        for r in by_zoom[z]:
+            assert parents[(r.x >> 1, r.y >> 1)] >= r.n
 
 
 def _winding_inside(lon, lat, ring):
