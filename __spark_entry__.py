@@ -469,6 +469,42 @@ def _q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterize_polygons_xyz(fixture_zones(spark), zoom=10, extent=16)
 
 
+def _media_decoded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.media import decode_media, extract_media
+    from asag_spark.sources import docs_from_documents
+
+    return decode_media(extract_media(docs_from_documents(spark, sf_dir)))
+
+
+def _t_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub media decode (operators/media.decode_media): md5-derived
+    dims/format/duration are a pure function of media_ref, so DuckDB
+    can recompute them — the media plumbing gets a value-checked
+    oracle, not just a rows-only gate."""
+    return _media_decoded(spark, sf_dir).select(
+        "doc_id", "media_ref", "width", "height", "format", "duration_s"
+    )
+
+
+def _t_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plan (operators/media.resize_dims)."""
+    from asag_spark.operators.media import resize_dims
+
+    return resize_dims(_media_decoded(spark, sf_dir), target=256).select(
+        "media_ref", "width", "height", "new_width", "new_height"
+    )
+
+
+def _t_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan (operators/media.sample_frames): sequence +
+    posexplode over the stub duration, one row per sampled frame."""
+    from asag_spark.operators.media import sample_frames
+
+    return sample_frames(_media_decoded(spark, sf_dir), every_s=10).select(
+        "media_ref", "duration_s", "frame_idx", "frame_ts_s"
+    )
+
+
 def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import token_count
 
@@ -745,8 +781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_cosine_topk_lsh": _t_cosine_topk_lsh,
         "t_emb_near_dups": _t_emb_near_dups,
         "t_simhash_near_dups": _t_simhash,
-        # rows-only (non-SQL-expressible: stub media decode, full
-        # geo pipeline)
+        "t_media_decode": _t_media_decode,
+        "t_media_resize": _t_media_resize,
+        "t_frame_sample": _t_frame_sample,
+        # rows-only (non-SQL-expressible: stub media feature vectors,
+        # full geo pipeline)
         "t_media_features": _t_media,
         "flagship_tiles": _flagship,
     }
@@ -1203,6 +1242,60 @@ FROM lv GROUP BY zoom, x, y
 """
 
 
+def _md5_byte(col: str, i: int) -> str:
+    """SQL: i-th byte (0-based) of md5(col) as an integer, via hex-digit
+    arithmetic (mirrors hashlib.md5(...).digest()[i] in media.py)."""
+    hx = "'0123456789abcdef'"
+    hi = f"(strpos({hx}, substr({col}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos({hx}, substr({col}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+_MEDIA_CTE = f"""
+WITH m AS (
+  SELECT 'DOC:StopPlace:' || CAST(doc_id AS VARCHAR) AS did,
+         'img://DOC:StopPlace:' || CAST(doc_id AS VARCHAR) || '.jpg' AS ref
+  FROM documents WHERE doc_id % 8 = 0
+), h AS (
+  SELECT did, ref, md5(ref) AS hx FROM m
+), dec AS (
+  SELECT did AS doc_id, ref AS media_ref,
+         CAST(64 + {_md5_byte('hx', 0)} * 8 AS INTEGER) AS width,
+         CAST(64 + {_md5_byte('hx', 1)} * 8 AS INTEGER) AS height,
+         ['jpeg', 'png', 'webp'][{_md5_byte('hx', 2)} % 3 + 1] AS format,
+         CAST(1 + {_md5_byte('hx', 3)} % 120 AS INTEGER) AS duration_s
+  FROM h
+)"""
+
+_MEDIA_DECODE_SQL = f"""
+{_MEDIA_CTE}
+SELECT doc_id, media_ref, width, height, format, duration_s FROM dec
+"""
+
+_MEDIA_RESIZE_SQL = f"""
+{_MEDIA_CTE}
+SELECT media_ref, width, height,
+  CAST(CASE WHEN width <= 256 AND height <= 256 THEN width
+            WHEN width >= height THEN 256
+            ELSE GREATEST(CAST(FLOOR(width * 256.0 / height) AS INTEGER), 1)
+       END AS INTEGER) AS new_width,
+  CAST(CASE WHEN width <= 256 AND height <= 256 THEN height
+            WHEN width >= height
+              THEN GREATEST(CAST(FLOOR(height * 256.0 / width) AS INTEGER), 1)
+            ELSE 256
+       END AS INTEGER) AS new_height
+FROM dec
+"""
+
+_FRAME_SAMPLE_SQL = f"""
+{_MEDIA_CTE}
+SELECT media_ref, duration_s,
+       CAST(ts // 10 AS INTEGER) AS frame_idx,
+       CAST(ts AS INTEGER) AS frame_ts_s
+FROM dec, UNNEST(generate_series(0, duration_s - 1, 10)) AS u(ts)
+"""
+
+
 _JACCARD_SQL = f"""
 {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -1496,4 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         "t_cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
         "t_emb_near_dups": _EMB_ND_SQL,
         "t_simhash_near_dups": _simhash_sql(),
+        "t_media_decode": _MEDIA_DECODE_SQL,
+        "t_media_resize": _MEDIA_RESIZE_SQL,
+        "t_frame_sample": _FRAME_SAMPLE_SQL,
     }

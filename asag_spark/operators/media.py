@@ -45,6 +45,7 @@ _DECODE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("format", T.StringType()),
+        T.StructField("duration_s", T.IntegerType()),
         T.StructField("is_stub", T.BooleanType()),
     ]
 )
@@ -73,12 +74,13 @@ def decode_media(media: DataFrame, allow_stub: bool = True) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            widths, heights, fmts = [], [], []
+            widths, heights, fmts, durs = [], [], [], []
             for ref in pdf["media_ref"]:
                 d = hashlib.md5(ref.encode()).digest()
                 widths.append(64 + d[0] * 8)
                 heights.append(64 + d[1] * 8)
                 fmts.append(["jpeg", "png", "webp"][d[2] % 3])
+                durs.append(1 + d[3] % 120)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -86,12 +88,51 @@ def decode_media(media: DataFrame, allow_stub: bool = True) -> DataFrame:
                     "width": widths,
                     "height": heights,
                     "format": fmts,
+                    "duration_s": durs,
                     "is_stub": [not have_pil] * len(pdf),
                 }
             )
 
     return media.select("doc_id", "media_ref").mapInPandas(
         kernel, schema=_DECODE_SCHEMA
+    )
+
+
+def resize_dims(decoded: DataFrame, target: int = 256) -> DataFrame:
+    """Aspect-preserving thumbnail plan: + (new_width, new_height) so
+    the longer edge equals ``target`` (images already within target
+    keep their dims). Pure JVM arithmetic over the decoded metadata —
+    the actual pixel resample would ride the same Arrow kernel as
+    decode; the plan (the part Spark owns: dims, schema, partitioning)
+    is real and exact."""
+    w, h = F.col("width"), F.col("height")
+    t = float(target)
+    fits = (w <= target) & (h <= target)
+    nw = F.when(fits, w).otherwise(
+        F.when(w >= h, F.lit(target))
+        .otherwise(F.greatest(F.floor(w * t / h).cast("int"), F.lit(1)))
+    )
+    nh = F.when(fits, h).otherwise(
+        F.when(w >= h, F.greatest(F.floor(h * t / w).cast("int"), F.lit(1)))
+        .otherwise(F.lit(target))
+    )
+    return decoded.withColumn("new_width", nw).withColumn("new_height", nh)
+
+
+def sample_frames(decoded: DataFrame, every_s: int = 10) -> DataFrame:
+    """Frame-sampling plan: one row per sampled timestamp, every
+    ``every_s`` seconds through the (stub) duration — `sequence` +
+    `explode`, all JVM; the frame decode itself would be the Arrow
+    kernel consuming (media_ref, frame_ts_s) batches. Output size is
+    data-dependent (duration/every_s rows per medium) — the explode is
+    the scale knob, not a per-row Python loop."""
+    return decoded.select(
+        "doc_id", "media_ref", "duration_s",
+        F.posexplode(
+            F.sequence(
+                F.lit(0), F.col("duration_s") - 1, F.lit(int(every_s))
+            )
+        ).alias("frame_idx", "frame_ts_s"),
     )
 
 
