@@ -36,11 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
     from asag_spark.operators.enrich import build_features
     from asag_spark.sources import docs_from_documents
 
+    from asag_spark.geo.xyz import assign_xyz
+
     docs = docs_from_documents(spark, "/root/testdata/sf0.001")
     feats = build_features(docs, as_of=AS_OF)
-    return assign_tiles(feats).select(
+    return assign_xyz(assign_tiles(feats), zooms=(12,)).select(
         "feature_id", "entity_type", "lon", "lat",
-        "h3_r7", "h3_r8", "h3_r9", "h3_r10", "s2_cell",
+        "h3_r7", "h3_r8", "h3_r9", "h3_r10", "s2_cell", "qk12",
     )
 
 
@@ -458,6 +460,21 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zone_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic zone measures (geo/measures.zone_measures): spherical
+    shoelace area + haversine perimeter, golden rows cross-validated
+    against planar cos-midlatitude approximations in tests/test_geo.py."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.geo.measures import zone_measures
+
+    return zone_measures(fixture_zones(spark)).select(
+        "zone_id",
+        F.round("area_m2", 0).alias("area_m2"),
+        F.round("perimeter_m", 0).alias("perimeter_m"),
+        "n_vertices",
+    )
+
+
 def _q_polygon_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polygon → Web-Mercator pixel coverage on the fixture zones
     (geo/tiles.rasterize_polygons_xyz, zoom 10, extent 16). Golden rows
@@ -765,6 +782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_xyz_vectorize": _q_xyz_vectorize,
         "q_tile_pyramid": _q_tile_pyramid,
         "polygon_raster_fixture": _q_polygon_raster,
+        "zone_measures_fixture": _q_zone_measures,
         "s_hourly_stream": _s_hourly_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
         # training-data ops (live SQL oracles)
@@ -1448,6 +1466,16 @@ def oracle_sql() -> dict[str, str]:
               ('VKT:TariffZone:730', 542, 301, CAST(12 AS BIGINT)),
               ('VKT:TariffZone:730', 542, 302, CAST(4 AS BIGINT))
             ) AS t(zone_id, x, y, n_pixels)
+        """,
+        "zone_measures_fixture": """
+            SELECT zone_id, CAST(area_m2 AS DOUBLE) AS area_m2,
+                   CAST(perimeter_m AS DOUBLE) AS perimeter_m, n_vertices
+            FROM (VALUES
+              ('MUNI:0301', 372050944.0, 77937.0, 4),
+              ('MUNI:ADJ', 2548723.0, 6740.0, 4),
+              ('VKT:TariffZone:729', 62779724.0, 30903.0, 11),
+              ('VKT:TariffZone:730', 62779724.0, 30903.0, 11)
+            ) AS t(zone_id, area_m2, perimeter_m, n_vertices)
         """,
         "q_cube": """
             SELECT COALESCE(l_returnflag, 'ALL') AS rf,

@@ -42,6 +42,49 @@ def test_s2_locality_and_determinism():
     assert list(c16) == list(again)
 
 
+# ---- geodesic measures -----------------------------------------------
+
+def test_ring_area_and_perimeter_vs_analytic_box():
+    from asag_spark.geo.measures import ring_area_m2, ring_perimeter_m
+    from asag_spark.geo.wkt import EARTH_RADIUS_M
+
+    lon0, lon1, lat0, lat1 = 10.0, 10.5, 59.0, 59.4
+    ring = np.array(
+        [[lon0, lat0], [lon1, lat0], [lon1, lat1], [lon0, lat1], [lon0, lat0]]
+    )
+    # exact spherical area of a lon/lat box: R^2 * dlon * (sin lat1 - sin lat0)
+    exact = (
+        EARTH_RADIUS_M ** 2
+        * np.radians(lon1 - lon0)
+        * (np.sin(np.radians(lat1)) - np.sin(np.radians(lat0)))
+    )
+    assert abs(ring_area_m2(ring) - exact) / exact < 1e-6
+    # perimeter ~ planar cos-midlat approximation for a small box
+    w = np.radians(lon1 - lon0) * EARTH_RADIUS_M * np.cos(np.radians(59.2))
+    h = np.radians(lat1 - lat0) * EARTH_RADIUS_M
+    approx = 2 * (w + h)
+    assert abs(ring_perimeter_m(ring) - approx) / approx < 2e-3
+    # orientation-invariant
+    assert ring_area_m2(ring[::-1]) == ring_area_m2(ring)
+
+
+def test_ring_area_antimeridian():
+    from asag_spark.geo.measures import ring_area_m2
+    from asag_spark.geo.wkt import EARTH_RADIUS_M
+
+    # 2-degree-wide box straddling the antimeridian
+    ring = np.array(
+        [[179.0, 10.0], [-179.0, 10.0], [-179.0, 11.0], [179.0, 11.0],
+         [179.0, 10.0]]
+    )
+    exact = (
+        EARTH_RADIUS_M ** 2
+        * np.radians(2.0)
+        * (np.sin(np.radians(11.0)) - np.sin(np.radians(10.0)))
+    )
+    assert abs(ring_area_m2(ring) - exact) / exact < 1e-6
+
+
 # ---- hexgrid ----------------------------------------------------------
 
 def test_hexgrid_stability_and_resolution():
