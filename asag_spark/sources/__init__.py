@@ -39,6 +39,27 @@ def _u(col, stream: int):
     return (F.pmod(h, F.lit(1 << 40))).cast("double") / F.lit(float(1 << 40))
 
 
+def write_clustered(
+    df: DataFrame, path: str, key: str = "qk12", partitions: int | None = None
+) -> None:
+    """Spatially-clustered parquet layout: range-partition + sort on a
+    quadkey (its base-4 digits ARE a Morton/Z-order curve, so
+    lexicographic order is spatial locality). Parquet row-group min/max
+    stats on the key then let tile range scans prune — a reader doing
+    ``col(key).startswith(<tile prefix>)`` touches only the files/row
+    groups whose stat range intersects, which is how a 100 TB tile
+    table serves single-tile queries without an index service. The
+    same layout is what an Iceberg table with a sort order on ``key``
+    would maintain automatically."""
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id,text,lang,source,n_chars) → docs(doc_id, spans).
 

@@ -150,6 +150,18 @@ def main() -> None:
     timed("rasterize", lambda: materialize(raster), warm=1)
     extras["raster_cells"] = raster.count()
 
+    # 4b. Mapbox-space tiling: zoom pyramid over all point features
+    # (one wide base agg + shift rollups) and polygon pixel coverage
+    from asag_spark.geo.tiles import rasterize_polygons_xyz
+    from asag_spark.geo.xyz import tile_pyramid
+
+    pyramid = tile_pyramid(feats_pts, base_zoom=12, min_zoom=5)
+    timed("xyz_pyramid", lambda: materialize(pyramid), warm=1)
+    extras["pyramid_tiles"] = pyramid.count()
+    poly_raster = rasterize_polygons_xyz(zones, zoom=11, extent=16)
+    timed("polygon_raster", lambda: materialize(poly_raster), warm=1)
+    extras["polygon_raster_tiles"] = poly_raster.count()
+
     # 5. training-data ops on the provided tables
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")

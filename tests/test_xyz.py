@@ -170,6 +170,28 @@ def test_tile_pyramid_conservation(spark):
             assert parents[(r.x >> 1, r.y >> 1)] >= r.n
 
 
+def test_write_clustered_prunes_tile_scans(spark, tmp_path):
+    """Quadkey-clustered layout: the startswith filter reaches the
+    parquet scan as a pushed filter, and reading a tile prefix returns
+    exactly the spatially-matching rows."""
+    from asag_spark.sources import write_clustered
+
+    feats = spark.createDataFrame(
+        [(f"f{i}", lo, la) for i, (lo, la) in enumerate(COORDS)],
+        "feature_id string, lon double, lat double",
+    )
+    df = assign_xyz(feats, zooms=(12,)).filter(F.col("qk12").isNotNull())
+    path = str(tmp_path / "clustered")
+    write_clustered(df, path, key="qk12", partitions=4)
+    back = spark.read.parquet(path)
+    prefix = df.select("qk12").first().qk12[:7]
+    q = back.filter(F.col("qk12").startswith(prefix))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "StartsWith(qk12" in plan.replace(" ", "") or "PushedFilters: [StringStartsWith(qk12" in plan
+    want = {r.feature_id for r in df.collect() if r.qk12.startswith(prefix)}
+    assert {r.feature_id for r in q.collect()} == want
+
+
 def _winding_inside(lon, lat, ring):
     """Independent reference: nonzero winding number (vs the engine's
     even-odd crossing count — equivalent for simple rings)."""
