@@ -729,6 +729,31 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _s_tile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tile density (availableNow) — hourly per-tile counts
+    with the deterministic synthetic coords; oracle is the batch SQL
+    (streaming must match batch)."""
+    import os
+    import shutil
+    import tempfile
+
+    from asag_spark.streaming import (
+        read_events_stream, run_available_now, tile_density_stream,
+    )
+
+    work = tempfile.mkdtemp(prefix="asag_stream_")
+    stream_dir = f"{work}/events"
+    os.makedirs(stream_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-0.parquet")
+    ev = read_events_stream(spark, stream_dir)
+    lon, lat = _xyz_coords(ev)
+    agg = tile_density_stream(
+        ev.withColumn("lon", lon).withColumn("lat", lat), zoom=6
+    )
+    run_available_now(agg, f"{work}/ckpt", "s_tile_stream_tbl")
+    return spark.sql("SELECT * FROM s_tile_stream_tbl")
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.functions import assign_tiles
     from asag_spark.operators.enrich import build_features
@@ -784,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_raster_fixture": _q_polygon_raster,
         "zone_measures_fixture": _q_zone_measures,
         "s_hourly_stream": _s_hourly_stream,
+        "s_tile_stream": _s_tile_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
         # training-data ops (live SQL oracles)
         "t_token_count": _t_token_count,
@@ -1448,6 +1474,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "q_xyz_tiles": _xyz_sql(),
+        "s_tile_stream": f"""
+            {_merc_sql_ctes(6)}
+            SELECT date_trunc('hour', e.ts) AS hour_start,
+                   t.tx AS x, t.ty AS y, COUNT(*) AS n
+            FROM t JOIN events e USING (event_id)
+            GROUP BY 1, 2, 3
+        """,
         "q_mvt_coords": _mvt_sql(),
         "q_xyz_raster": _xyz_raster_sql(),
         "q_xyz_vectorize": _xyz_vectorize_sql(),

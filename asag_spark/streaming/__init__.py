@@ -57,6 +57,35 @@ def hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def tile_density_stream(
+    events: DataFrame,
+    zoom: int = 6,
+    watermark: str = "2 hours",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Streaming tile density: hourly tumbling-window counts per
+    Web-Mercator tile — the live-map ingest pattern (vehicle pings →
+    per-tile activity). The tile assignment is the same codegen'd
+    projection the batch path uses (geo/xyz), so it costs nothing
+    extra per micro-batch; the watermark bounds the windowed state and
+    the stateful exchange is keyed (window, x, y), which inherits the
+    cell skew story — partial aggregation collapses hot tiles map-side
+    before the shuffle."""
+    from ..geo.xyz import tile_x, tile_y
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            tile_x(F.col(lon_col), zoom).alias("x"),
+            tile_y(F.col(lat_col), zoom).alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour_start"), "x", "y", "n")
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
                       table_name: str) -> None:
     """Drain everything currently in the source into a memory sink —
