@@ -460,6 +460,17 @@ def _q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zone_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon-polygon intersection self-join on the fixture zones
+    (operators/overlap.zone_overlap_join — raster-signature candidates
+    + exact refine; the two Bolærene tariff zones share a ring, the
+    municipality boxes are disjoint from everything)."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.overlap import zone_overlap_join
+
+    return zone_overlap_join(fixture_zones(spark))
+
+
 def _q_zone_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geodesic zone measures (geo/measures.zone_measures): spherical
     shoelace area + haversine perimeter, golden rows cross-validated
@@ -808,6 +819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tile_pyramid": _q_tile_pyramid,
         "polygon_raster_fixture": _q_polygon_raster,
         "zone_measures_fixture": _q_zone_measures,
+        "zone_overlap_fixture": _q_zone_overlap,
         "s_hourly_stream": _s_hourly_stream,
         "s_tile_stream": _s_tile_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
@@ -1499,6 +1511,10 @@ def oracle_sql() -> dict[str, str]:
               ('VKT:TariffZone:730', 542, 301, CAST(12 AS BIGINT)),
               ('VKT:TariffZone:730', 542, 302, CAST(4 AS BIGINT))
             ) AS t(zone_id, x, y, n_pixels)
+        """,
+        "zone_overlap_fixture": """
+            SELECT 'VKT:TariffZone:729' AS zone_a,
+                   'VKT:TariffZone:730' AS zone_b
         """,
         "zone_measures_fixture": """
             SELECT zone_id, CAST(area_m2 AS DOUBLE) AS area_m2,

@@ -171,17 +171,47 @@ def rasterize_polygons_xyz(
 
 
 def vectorize_cells(raster: DataFrame, cell_col: str = "cell") -> DataFrame:
-    """raster(cell, n) → + geom_wkt hex boundary (vector side)."""
+    """raster(cell, n) → + geom_wkt hex boundary (vector side).
 
-    def to_vec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            wkts = []
-            for c in pdf[cell_col]:
-                res, q, r = hexgrid.parse_cell(c)
-                wkts.append(_hex_boundary_wkt(q, r, res))
-            yield pdf.assign(geom_wkt=wkts)
-
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in raster.schema.fields
-    ) + ", geom_wkt string"
-    return raster.mapInPandas(to_vec, schema=out_schema)
+    Pure JVM expressions: the six pointy-top vertex offsets are the
+    plan-time constants (±s·√3/2, ±s/2), (0, ±s), so the boundary is
+    arithmetic + ``format_string`` — no Python worker in the path (the
+    earlier Arrow kernel looped per cell; a raster table at web scale
+    has billions of cells). Matches the python reference twin
+    `_hex_boundary_wkt` digit-for-digit (%.7f), which tests assert."""
+    parts = F.split(F.col(cell_col), "_")
+    res = F.substring(parts[0], 2, 8).cast("int")
+    q = parts[1].cast("double")
+    r = parts[2].cast("double")
+    s = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in hexgrid.EDGE_M.items() for v in kv]
+        ),
+        res,
+    )
+    R = hexgrid.EARTH_RADIUS_M
+    sqrt3 = math.sqrt(3.0)
+    cx = s * sqrt3 * (q + r / 2.0)
+    cy = s * 1.5 * r
+    lat_ref = F.degrees(cy / R)
+    cos_l_raw = F.cos(F.radians(lat_ref))
+    cos_l = F.when(cos_l_raw == 0.0, 1e-9).otherwise(cos_l_raw)
+    # vertex offsets at angles 60·i−30° — evaluated with the same
+    # math.cos/math.sin calls as the python twin so the doubles (and
+    # therefore the %.7f digits) are bit-identical
+    offs = [
+        (
+            math.cos(math.pi / 180.0 * (60.0 * i - 30.0)),
+            math.sin(math.pi / 180.0 * (60.0 * i - 30.0)),
+        )
+        for i in range(6)
+    ]
+    verts = []
+    for ox, oy in offs + offs[:1]:
+        lon = F.degrees((cx + s * ox) / (F.lit(float(R)) * cos_l))
+        lat = F.degrees((cy + s * oy) / R)
+        verts.append(F.format_string("%.7f %.7f", lon, lat))
+    wkt = F.concat(
+        F.lit("POLYGON(("), F.concat_ws(", ", *verts), F.lit("))")
+    )
+    return raster.withColumn("geom_wkt", wkt)

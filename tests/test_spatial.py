@@ -10,6 +10,7 @@ from asag_spark.geo.tiles import (
     rasterize_density, tile_feature_collections, vectorize_cells,
 )
 from asag_spark.operators.enrich import build_features
+from asag_spark.operators.overlap import rings_intersect, zone_overlap_join
 from asag_spark.operators.knn import knn_join
 from asag_spark.operators.pip import pip_join
 
@@ -107,3 +108,51 @@ def test_raster_vector_roundtrip(tiled):
         assert r["geom_wkt"].startswith("POLYGON((")
         # 6 vertices + closing point
         assert r["geom_wkt"].count(",") == 6
+
+
+def test_rings_intersect_cases():
+    import numpy as np
+
+    def box(x0, y0, x1, y1):
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+        )
+
+    a = box(0, 0, 2, 2)
+    assert rings_intersect(a, box(1, 1, 3, 3))        # partial overlap
+    assert not rings_intersect(a, box(5, 5, 6, 6))    # disjoint
+    assert rings_intersect(a, box(0.5, 0.5, 1.5, 1.5))  # nested
+    assert rings_intersect(box(0.5, 0.5, 1.5, 1.5), a)  # nested (other order)
+    assert rings_intersect(a, a.copy())               # identical rings
+
+
+def test_zone_overlap_join_fixture_and_synthetic(spark):
+    # fixture: only the two identical Bolærene tariff zones overlap
+    pairs = {(r.zone_a, r.zone_b)
+             for r in zone_overlap_join(fixture_zones(spark)).collect()}
+    assert pairs == {("VKT:TariffZone:729", "VKT:TariffZone:730")}
+
+    # synthetic: chain of boxes A-B-C where consecutive boxes overlap
+    rows = [
+        ("A", "POLYGON((10.0 59.0, 10.2 59.0, 10.2 59.2, 10.0 59.2, 10.0 59.0))"),
+        ("B", "POLYGON((10.1 59.1, 10.3 59.1, 10.3 59.3, 10.1 59.3, 10.1 59.1))"),
+        ("C", "POLYGON((10.25 59.25, 10.4 59.25, 10.4 59.4, 10.25 59.4, 10.25 59.25))"),
+        ("D", "POLYGON((11.5 59.0, 11.6 59.0, 11.6 59.1, 11.5 59.1, 11.5 59.0))"),
+    ]
+    zones = spark.createDataFrame(rows, "zone_id string, geom_wkt string")
+    got = {(r.zone_a, r.zone_b) for r in zone_overlap_join(zones).collect()}
+    assert got == {("A", "B"), ("B", "C")}
+
+
+def test_vectorize_cells_jvm_matches_python_twin(spark):
+    """The JVM boundary expression must match _hex_boundary_wkt
+    digit-for-digit (%.7f) across resolutions and coordinate signs."""
+    from asag_spark.geo import hexgrid
+    from asag_spark.geo.tiles import _hex_boundary_wkt
+
+    rows = [(f"h{res}_{q}_{r}", 1) for res in (7, 8, 9, 10)
+            for q in (-12000, -3, 0, 9999) for r in (-8000, 0, 25073)]
+    df = spark.createDataFrame(rows, "cell string, n long")
+    for r in vectorize_cells(df).collect():
+        res, q, rr = hexgrid.parse_cell(r.cell)
+        assert r.geom_wkt == _hex_boundary_wkt(q, rr, res), r.cell
