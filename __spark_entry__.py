@@ -376,13 +376,21 @@ def _q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         x12.alias("x12"), y12.alias("y12"),
         quadkey(x12, y12, 12).alias("qk12"),
     )
+    # pre-aggregate base tiles, then roll up: countDistinct over the
+    # raw rows would trigger Spark's distinct expansion (sort
+    # aggregates over the full row set); grouping to base tiles first
+    # makes the distinct a plain count(*) over already-unique keys —
+    # two hash-agg shuffles, the second over base_tiles rows only
+    base = t.groupBy("x12", "y12", "qk12").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     return (
-        t.withColumn("x6", F.shiftright("x12", 6))
+        base.withColumn("x6", F.shiftright("x12", 6))
         .withColumn("y6", F.shiftright("y12", 6))
         .groupBy("x6", "y6")
         .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.countDistinct("qk12").alias("n_subtiles"),
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_subtiles"),
             F.min("qk12").alias("min_qk"),
         )
     )
