@@ -71,6 +71,11 @@ def quadkey(x: Column, y: Column, zoom: int) -> Column:
     """Bing/Mapbox quadkey of tile (x, y, zoom) — ``zoom`` concatenated
     base-4 digits, most significant level first.  Pure bit ops, fully
     codegen'd; zoom is a plan-time literal so the concat unrolls."""
+    if zoom == 0:
+        # the root tile's quadkey is the empty string (Bing spec: a
+        # level-N key has N digits); still propagate null tile ids so
+        # the null-coordinate contract of assign_xyz holds at zoom 0
+        return F.when(x.isNotNull() & y.isNotNull(), F.lit(""))
     digits = []
     for i in range(zoom, 0, -1):
         bx = F.shiftright(x, i - 1).bitwiseAND(F.lit(1))

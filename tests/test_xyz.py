@@ -67,6 +67,15 @@ def test_quadkey_bing_example(spark):
     assert _py_quadkey(3, 5, 3) == "213"
 
 
+def test_quadkey_zoom_zero(spark):
+    # the root tile's quadkey is the empty string, not null (Bing spec:
+    # level-N key has N digits; level 0 → zero digits)
+    df = spark.createDataFrame([(0, 0), (None, None)], "x int, y int")
+    rows = df.select(quadkey(F.col("x"), F.col("y"), 0).alias("qk")).collect()
+    assert rows[0].qk == ""
+    assert rows[1].qk is None  # null tile id still propagates at zoom 0
+
+
 def test_clamps(spark):
     df = spark.createDataFrame(
         [(200.0, 89.9), (-200.0, -89.9)], "lon double, lat double"

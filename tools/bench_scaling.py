@@ -158,6 +158,13 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=4)
     ap.add_argument("--big", type=int, default=16)
     ap.add_argument("--warm", type=int, default=3)
+    ap.add_argument(
+        "--write-baseline", action="store_true",
+        help="overwrite BENCH/BASELINE.md (default: write "
+             "BENCH/scaling_run.md so the curated baseline — which "
+             "carries hand-added sections like the per-op table — is "
+             "never clobbered by a probe run)",
+    )
     args = ap.parse_args()
 
     docs_path = f"/tmp/asag_bench/docs_{args.docs}"
@@ -227,9 +234,10 @@ Output parity across levels is covered by tests/test_features.py +
 test_spatial.py (parallelism-invariance asserts) and the deterministic
 generator (counter-based splitmix64 — FIXTURES.md §3).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_name = "BASELINE.md" if args.write_baseline else "scaling_run.md"
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write(md)
-    print(f"\nefficiency={eff}  → BENCH/BASELINE.md written")
+    print(f"\nefficiency={eff}  → BENCH/{out_name} written")
 
 
 if __name__ == "__main__":
