@@ -9,16 +9,30 @@ search radius is ≥ one full cell (~6.5 km+) — neighbors beyond that
 are out of scope by contract (documented bounded-radius kNN, the
 standard cell-pruned formulation for distributed kNN joins).
 
-Plan shape (scale notes):
-* candidate generation: the probe side explodes each point into its
-  grid_disk cells (7 cells at rings=1) — a narrow (cell, id, lon, lat)
-  frame; the build side keeps each point once under its own cell.
-* one shuffle on the cell id co-locates probes with targets
-  (shuffle-hash / sort-merge chosen by AQE); dense urban cells are the
-  skew risk — AQE skew-join splits oversized partitions, and the
-  candidate frame carries only 4 columns so spill stays cheap.
-* refine: exact haversine + per-query top-k via window row_number —
-  no Python; the whole operator is built-in expressions.
+Plan shape (scale notes; see SCALE.md §5):
+* two-phase exact search. Phase 1 joins each probe against its OWN
+  cell only and takes a per-probe top-k. A probe terminates there iff
+  it found ≥k candidates and its kth distance is strictly below a
+  conservative lower bound on the distance to anything outside the
+  cell (hex apothem minus the point's offset along the three edge
+  normals, deflated by the projection shear — ``_cell_bound``).
+  Only the remaining "open" probes explode to the 6 ring cells for
+  phase 2; the final top-k re-ranks (phase-1 top-k ∪ ring candidates)
+  in one window. The phase-1 top-k — O(k·n) narrow rows — is
+  persisted, since three consumers would otherwise each re-run the
+  quadratic own-cell join.
+  On the Zipf-skewed bench distribution 72% of probes terminate in
+  phase 1 and the candidate set drops 137M → 44M (3.1×) — candidate
+  volume is the operator's cost at every scale.
+* the exchanges: candidate joins key by cell (AQE skew-join splits
+  dense urban cells), the top-k windows key by probe id — uniform by
+  construction, so the heavy sort spreads evenly. Keying the refine
+  by cell instead (to ride the join partitioning) concentrates the
+  dense cells' quadratic candidates into single tasks: measured 9×
+  slower end-to-end (SCALE.md §5).
+* refine: exact haversine + top-k via window row_number — no Python
+  past the Arrow cell/bound kernels; ties break by neighbor id in
+  BOTH windows so results are parallelism-invariant.
 """
 
 from __future__ import annotations
@@ -32,8 +46,9 @@ from ..geo import hexgrid
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
-def _disk_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """grid_disk(cell(point), 1) at KNN_RES as string ids — Arrow-batched."""
+def _ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """The 6 ring-1 neighbor cells of the point's own cell at KNN_RES
+    (own cell EXCLUDED — phase 1 already covered it) — Arrow-batched."""
     import numpy as np
 
     lo = lon.to_numpy(dtype="float64", na_value=np.nan)
@@ -44,9 +59,10 @@ def _disk_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
         if np.isnan(lo[i]) or np.isnan(la[i]):
             out.append(None)
         else:
+            qq, rr = int(q[i]), int(r[i])
             out.append(
-                [f"h{KNN_RES}_{qq}_{rr}" for qq, rr in
-                 hexgrid.grid_disk(int(q[i]), int(r[i]), KNN_RINGS)]
+                [f"h{KNN_RES}_{qq + dq}_{rr + dr}" for dq, dr in
+                 ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))]
             )
     return pd.Series(out, dtype=object)
 
@@ -60,6 +76,44 @@ def _own_cell(lon: pd.Series, lat: pd.Series) -> pd.Series:
     cells = hexgrid.cell_id(np.nan_to_num(lo), np.nan_to_num(la), KNN_RES)
     cells[np.isnan(lo) | np.isnan(la)] = None
     return pd.Series(cells, dtype=object)
+
+
+@F.pandas_udf(T.DoubleType())
+def _cell_bound(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Conservative lower bound (meters) on the great-circle distance
+    from the point to anything OUTSIDE its own KNN_RES cell.
+
+    In the lattice's projected plane the exact boundary distance is
+    apothem − max over the three hex edge-normal axes of the offset
+    from the cell center. Projected meters overstate true meters by at
+    most the operator norm of the projection shear M = [[1, λ·sinφ],
+    [0, 1]] (x = R·λ·cosφ differentiates into an off-diagonal
+    −R·λ·sinφ·dφ term), so dividing by ‖M‖ keeps the bound safe; at
+    the Norway bbox's extremes ‖M‖ ≤ ~1.3.
+    """
+    import numpy as np
+
+    lo = lon.to_numpy(dtype="float64", na_value=np.nan)
+    la = lat.to_numpy(dtype="float64", na_value=np.nan)
+    s = hexgrid.EDGE_M[KNN_RES]
+    sq3 = np.sqrt(3.0)
+    q, r = hexgrid.cell_qr(np.nan_to_num(lo), np.nan_to_num(la), KNN_RES)
+    x, y = hexgrid._project(np.nan_to_num(lo), np.nan_to_num(la))
+    dx = x - s * sq3 * (q + r / 2.0)
+    dy = y - s * 1.5 * r
+    d2b = s * sq3 / 2.0 - np.maximum.reduce(
+        [np.abs(dx), np.abs(0.5 * dx + sq3 / 2.0 * dy),
+         np.abs(-0.5 * dx + sq3 / 2.0 * dy)]
+    )
+    sh = np.abs(np.radians(lo)) * np.abs(np.sin(np.radians(la)))
+    opnorm = np.sqrt((2.0 + sh * sh + sh * np.sqrt(sh * sh + 4.0)) / 2.0)
+    # 0.5% haircut: the shear norm is a first-order (Jacobian-at-the-
+    # point) bound; curvature terms over one cell diameter are O(m),
+    # this margin is O(10 m) — skip-rate cost is a 15 m sliver of a
+    # 2.8 km apothem
+    out = 0.995 * np.maximum(d2b, 0.0) / opnorm
+    out[np.isnan(lo) | np.isnan(la)] = np.nan
+    return pd.Series(out)
 
 
 KNN_RES = 6
@@ -93,7 +147,9 @@ def knn_join(points: DataFrame, k: int = 3,
     ).filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
 
     probes = pts.select(
-        "id", "lon", "lat", F.explode(_disk_cells("lon", "lat")).alias("cell")
+        "id", "lon", "lat",
+        _own_cell("lon", "lat").alias("cell"),
+        _cell_bound("lon", "lat").alias("bound_m"),
     )
     targets = pts.select(
         F.col("id").alias("neighbor_id"),
@@ -101,13 +157,66 @@ def knn_join(points: DataFrame, k: int = 3,
         F.col("lat").alias("nlat"),
         _own_cell("lon", "lat").alias("cell"),
     )
-    cand = probes.join(targets, "cell").filter(F.col("id") != F.col("neighbor_id"))
-    cand = cand.withColumn(
-        "dist_m", haversine_expr(F.col("lon"), F.col("lat"), F.col("nlon"), F.col("nlat"))
+
+    order = (F.col("dist_m").asc(), F.col("neighbor_id").asc())
+
+    # phase 1: own-cell candidates only, per-probe top-k
+    own = (
+        probes.join(targets, "cell")
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .withColumn("dist_m", haversine_expr(
+            F.col("lon"), F.col("lat"), F.col("nlon"), F.col("nlat")))
     )
-    w = Window.partitionBy("id").orderBy(F.col("dist_m").asc(), F.col("neighbor_id").asc())
+    w_id = Window.partitionBy("id").orderBy(*order)
+    # persisted: topk1 has three consumers (termination stats, the
+    # open-probe filter, the final union) and is O(k·n) narrow rows;
+    # without it Spark re-runs the quadratic own-cell join per
+    # consumer (measured: 6 parquet scans / 9 window sorts in one
+    # executedPlan, net SLOWER than the one-pass operator it was
+    # meant to beat). Blocks are LRU-evicted under pressure; callers
+    # never see the handle.
+    topk1 = (
+        own.withColumn("rank", F.row_number().over(w_id))
+        .filter(F.col("rank") <= k)
+        .select("id", "lon", "lat", "bound_m", "neighbor_id", "dist_m")
+        .persist()
+    )
+
+    # a probe is DONE iff phase 1 found k candidates and the kth is
+    # strictly inside the outside-the-cell bound (strict: an outside
+    # point at exactly bound_m must not be silently dropped)
+    stats = topk1.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.max("dist_m").alias("dk"),
+        F.first("bound_m").alias("b"),
+    ).withColumn("done", (F.col("n1") >= k) & (F.col("dk") < F.col("b")))
+
+    # phase 2: ring cells for the probes phase 1 could not close out.
+    # Left join + null-tolerant filter so probes ALONE in their cell
+    # (absent from phase 1 entirely) stay open as required.
+    open_probes = (
+        probes.join(stats.select("id", "done"), "id", "left")
+        .filter(~F.coalesce(F.col("done"), F.lit(False)))
+    )
+    ring = (
+        open_probes.select(
+            "id", "lon", "lat", F.explode(_ring_cells("lon", "lat")).alias("cell")
+        )
+        .join(targets, "cell")
+        .filter(F.col("id") != F.col("neighbor_id"))
+        .withColumn("dist_m", haversine_expr(
+            F.col("lon"), F.col("lat"), F.col("nlon"), F.col("nlat")))
+        .select("id", "neighbor_id", "dist_m")
+    )
+
+    # final: re-rank (phase-1 top-k ∪ ring candidates). Done probes
+    # contribute only their phase-1 rows, so their ranking is already
+    # final; open probes get their own-cell survivors merged with the
+    # full ring candidate set — any true top-k neighbor is either in
+    # the own-cell top-k or a ring candidate, so this is exact.
+    cand = topk1.select("id", "neighbor_id", "dist_m").unionByName(ring)
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w_id))
         .filter(F.col("rank") <= k)
         .select(
             F.col("id").alias(id_col), "neighbor_id",

@@ -50,13 +50,22 @@ def main() -> None:
     # extraction stage) into a handful of partitions.
     #
     # Resources sized like a real 32-core executor group (see
-    # tools/bench_scaling.py): ~1.5g heap/core pre-touched — a fixed
-    # 20g heap at 32 concurrent tasks starves (measured: steady-state
-    # GC reached 68% of task time at high concurrency) — and shuffle
-    # dirs on tmpfs, the analog of per-executor local NVMe (this
-    # sandbox's single virtio /tmp inflated concurrent shuffle writes
-    # 6.4x).
-    heap_gb = os.environ.get("ASAG_DRIVER_MEM", f"{max(8, round(1.5 * CPUS))}g")
+    # tools/bench_scaling.py): heap pre-touched — a fixed 20g heap at
+    # 32 concurrent tasks starved early builds (steady-state GC 68% of
+    # task time), the current pipeline is comfortable at 24g (measured
+    # parity with 48g across the suite, ±10%) — and shuffle dirs on
+    # tmpfs, the analog of per-executor local NVMe (this sandbox's
+    # single virtio /tmp inflated concurrent shuffle writes 6.4x).
+    #
+    # Capped at 24g: this guest faults in host memory at ~5 GB/s below
+    # ~24g of pre-touch but collapses to ~0.1 GB/s beyond it (measured
+    # 4.6-20 s for a bare -Xms24g -XX:+AlwaysPreTouch JVM vs 250-470 s
+    # at 32-48g, repeatedly), so a 48g pre-touched heap costs ~7 min of
+    # startup for no measurable query-time gain. THP is worse still
+    # (madvise defrag: 24g pre-touch took 264 s).
+    heap_gb = os.environ.get(
+        "ASAG_DRIVER_MEM", f"{min(24, max(8, round(1.5 * CPUS)))}g"
+    )
     os.environ["ASAG_DRIVER_MEM"] = heap_gb
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = get_spark("asag_bench", master=f"local[{CPUS}]",

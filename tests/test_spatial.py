@@ -84,6 +84,57 @@ def test_knn_golden(spark, features):
     assert ranks == [1, 2, 3]
 
 
+def test_knn_brute_force_parity(spark):
+    """Two-phase pruning (own-cell terminate + ring pass) must equal a
+    brute-force evaluation of the disk contract exactly — probe cloud
+    placed at 30E/70N where the projection shear (the term the
+    termination bound deflates by) is at its Norway-bbox worst, dense
+    enough that many probes terminate in phase 1 AND many sit in the
+    boundary sliver where skipping would be wrong."""
+    import numpy as np
+
+    from asag_spark.geo import hexgrid
+    from asag_spark.operators.knn import KNN_RES, KNN_RINGS
+
+    rng = np.random.default_rng(7)
+    n = 600
+    lon = 30.0 + rng.uniform(-0.25, 0.25, n)
+    lat = 70.0 + rng.uniform(-0.08, 0.08, n)
+    ids = [f"P:{i:04d}" for i in range(n)]
+    df = spark.createDataFrame(
+        list(zip(ids, lon.tolist(), lat.tolist())),
+        "feature_id string, lon double, lat double",
+    )
+    got = {
+        (r["feature_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join(df, k=3).collect()
+    }
+
+    # brute force in numpy: candidates = targets whose own cell is in
+    # grid_disk(probe cell, 1); top-3 by (haversine, id)
+    q, r_ = hexgrid.cell_qr(lon, lat, KNN_RES)
+    own = list(zip(q.tolist(), r_.tolist()))
+    R = hexgrid.EARTH_RADIUS_M
+    p1, l1 = np.radians(lat), np.radians(lon)
+
+    def hav(j, i_arr):
+        a = (np.sin((p1[i_arr] - p1[j]) / 2) ** 2
+             + np.cos(p1[j]) * np.cos(p1[i_arr]) * np.sin((l1[i_arr] - l1[j]) / 2) ** 2)
+        return 2 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
+
+    expected = {}
+    for j in range(n):
+        disk = set(hexgrid.grid_disk(own[j][0], own[j][1], KNN_RINGS))
+        cand = np.array([i for i in range(n) if i != j and own[i] in disk])
+        if len(cand) == 0:
+            continue
+        d = hav(j, cand)
+        order = sorted(zip(d.tolist(), [ids[i] for i in cand]))[:3]
+        for rank, (_, nid) in enumerate(order, 1):
+            expected[(ids[j], rank)] = nid
+    assert got == expected
+
+
 def test_tile_feature_collections(tiled):
     tiles = tile_feature_collections(tiled, tile_col="h3_r7").collect()
     assert sum(t["n_features"] for t in tiles) == 12
