@@ -76,14 +76,21 @@ def s2_token_of(leaf: Column, level: int) -> Column:
     """S2 hex token of the ``level`` ancestor of an int64-carried leaf
     cell id — JVM replica of s2.parent_id + s2.token (mask to the
     level, set the level's lsb, 16-digit lower hex, strip trailing
-    zeros; all-zero → 'X'). Two's-complement bit ops equal uint64 bit
-    ops, and hex(bigint) emits the two's-complement pattern."""
-    lsb = 1 << (2 * (s2.MAX_LEVEL - level))
+    zeros). Two's-complement bit ops equal uint64 bit ops, and
+    hex(bigint) emits the two's-complement pattern.
+
+    The strip is a plan-time-constant substring, not a regex: the
+    parent's lowest set bit is exactly the lsb we OR in at bit
+    2·(30−level), bits below it are masked to zero, so the token
+    always has 16 − (2·(30−level))//4 hex digits and its last digit
+    (the nibble holding the lsb) is nonzero — the 'X' (empty-token)
+    case is unreachable for a leaf-derived parent."""
+    shift = 2 * (s2.MAX_LEVEL - level)
+    lsb = 1 << shift
     parent = leaf.bitwiseAND(F.lit(~(lsb - 1))).bitwiseOR(F.lit(lsb))
-    tok = F.regexp_replace(
-        F.lpad(F.lower(F.hex(parent)), 16, "0"), "0+$", ""
+    return F.substring(
+        F.lpad(F.lower(F.hex(parent)), 16, "0"), 1, 16 - shift // 4
     )
-    return F.when(tok == "", "X").otherwise(tok)
 
 
 _GK_SCHEMA = T.StructType(
