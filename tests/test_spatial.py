@@ -84,34 +84,14 @@ def test_knn_golden(spark, features):
     assert ranks == [1, 2, 3]
 
 
-def test_knn_brute_force_parity(spark):
-    """Two-phase pruning (own-cell terminate + ring pass) must equal a
-    brute-force evaluation of the disk contract exactly — probe cloud
-    placed at 30E/70N where the projection shear (the term the
-    termination bound deflates by) is at its Norway-bbox worst, dense
-    enough that many probes terminate in phase 1 AND many sit in the
-    boundary sliver where skipping would be wrong."""
+def _knn_brute_force(lon, lat, ids, k=3):
+    """Reference evaluation of the disk contract: candidates = targets
+    whose own cell is in grid_disk(probe cell, 1); top-k (haversine, id)."""
     import numpy as np
 
     from asag_spark.geo import hexgrid
     from asag_spark.operators.knn import KNN_RES, KNN_RINGS
 
-    rng = np.random.default_rng(7)
-    n = 600
-    lon = 30.0 + rng.uniform(-0.25, 0.25, n)
-    lat = 70.0 + rng.uniform(-0.08, 0.08, n)
-    ids = [f"P:{i:04d}" for i in range(n)]
-    df = spark.createDataFrame(
-        list(zip(ids, lon.tolist(), lat.tolist())),
-        "feature_id string, lon double, lat double",
-    )
-    got = {
-        (r["feature_id"], r["rank"]): r["neighbor_id"]
-        for r in knn_join(df, k=3).collect()
-    }
-
-    # brute force in numpy: candidates = targets whose own cell is in
-    # grid_disk(probe cell, 1); top-3 by (haversine, id)
     q, r_ = hexgrid.cell_qr(lon, lat, KNN_RES)
     own = list(zip(q.tolist(), r_.tolist()))
     R = hexgrid.EARTH_RADIUS_M
@@ -123,16 +103,51 @@ def test_knn_brute_force_parity(spark):
         return 2 * R * np.arcsin(np.sqrt(np.minimum(a, 1.0)))
 
     expected = {}
-    for j in range(n):
+    for j in range(len(ids)):
         disk = set(hexgrid.grid_disk(own[j][0], own[j][1], KNN_RINGS))
-        cand = np.array([i for i in range(n) if i != j and own[i] in disk])
+        cand = np.array([i for i in range(len(ids)) if i != j and own[i] in disk])
         if len(cand) == 0:
             continue
         d = hav(j, cand)
-        order = sorted(zip(d.tolist(), [ids[i] for i in cand]))[:3]
+        order = sorted(zip(d.tolist(), [ids[i] for i in cand]))[:k]
         for rank, (_, nid) in enumerate(order, 1):
             expected[(ids[j], rank)] = nid
-    assert got == expected
+    return expected
+
+
+@pytest.mark.parametrize(
+    "lon0,lat0,seed",
+    [
+        (30.0, 70.0, 7),     # Norway-bbox worst-case projection shear
+        (0.1, 0.1, 11),      # equator/prime meridian (zero shear)
+        (-170.0, 80.0, 13),  # high-latitude antimeridian-adjacent, max shear
+        (179.0, -60.0, 17),  # southern hemisphere, large |lon|
+    ],
+)
+def test_knn_brute_force_parity(spark, lon0, lat0, seed):
+    """Two-phase pruning (own-cell terminate + ring pass) must equal a
+    brute-force evaluation of the disk contract exactly, wherever the
+    cloud sits: the termination bound's shear deflation is derived from
+    the point's own (lon, lat), so parity must hold at zero shear and
+    at shear far beyond the Norway bbox — dense enough that many probes
+    terminate in phase 1 AND many sit in the boundary sliver where
+    skipping would be wrong."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = 600
+    lon = lon0 + rng.uniform(-0.25, 0.25, n)
+    lat = lat0 + rng.uniform(-0.08, 0.08, n)
+    ids = [f"P:{i:04d}" for i in range(n)]
+    df = spark.createDataFrame(
+        list(zip(ids, lon.tolist(), lat.tolist())),
+        "feature_id string, lon double, lat double",
+    )
+    got = {
+        (r["feature_id"], r["rank"]): r["neighbor_id"]
+        for r in knn_join(df, k=3).collect()
+    }
+    assert got == _knn_brute_force(lon, lat, ids, k=3)
 
 
 def test_tile_feature_collections(tiled):
