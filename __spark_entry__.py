@@ -103,6 +103,19 @@ def _q_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(feats.filter(F.col("lat").isNotNull()), fixture_zones(spark))
 
 
+def _q_pip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-free PIP plan (SCALE.md §4 scale path) — identical
+    output contract to pip_fixture, gated by the same golden rows."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.operators.pip import pip_join_partitioned
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return pip_join_partitioned(
+        feats.filter(F.col("lat").isNotNull()), fixture_zones(spark)
+    )
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.enrich import build_features
     from asag_spark.operators.knn import knn_join
@@ -793,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_types": _q_adjacency,
         "codespace": _q_codespace,
         "pip_fixture": _q_pip,
+        "pip_partitioned_fixture": _q_pip_partitioned,
         "knn_fixture": _q_knn,
         "tile_cells_fixture": _q_tiles,
         "zone_cover_stats": _q_zone_cover,
@@ -1442,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "adjacency_types": _ADJACENCY_GOLDEN,
         "codespace": _CODESPACE_GOLDEN,
         "pip_fixture": _PIP_GOLDEN,
+        "pip_partitioned_fixture": _PIP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,
         "tile_cells_fixture": _TILES_GOLDEN,
         "zone_cover_stats": """

@@ -143,3 +143,79 @@ def pip_join(points: DataFrame, zones: DataFrame,
     return points.select(id_col, lon_col, lat_col).mapInPandas(
         refine, schema=out_schema
     )
+
+
+def pip_join_partitioned(points: DataFrame, zones: DataFrame,
+                         id_col: str = "feature_id",
+                         lon_col: str = "lon",
+                         lat_col: str = "lat") -> DataFrame:
+    """Broadcast-free PIP join — the plan for when the polygon side
+    outgrows a broadcast (continent-scale cadastral tables, SCALE.md
+    §4). Output rows are IDENTICAL to ``pip_join``; only the physical
+    plan differs.
+
+    Shape:
+    1. candidates: points get their res-7 cell as a codegen'd JVM
+       expression (`functions.hex_cell` — same lattice as the numpy
+       covers) and shuffle-join `zone_covers` on the cell id. Both
+       sides exchange narrow rows only; dense-cell skew lands on a
+       JOIN exchange, which AQE skew-split handles.
+    2. geometry attach: one more narrow exchange keys candidates by
+       zone_id and sort-merge-joins the ring WKT — each ring crosses
+       the wire ONCE per zone per reducer, never once per candidate.
+    3. exact refine: the join output streams into an Arrow ray cast in
+       the SAME stage (no exchange between join and refine); rings are
+       parsed once per zone per executor (batch-spanning cache) and
+       each zone's points are ray-cast as one vectorized batch.
+
+    Broadcast `pip_join` stays the default: its point side never
+    shuffles at all. This variant trades two narrow exchanges for
+    dropping the requirement that the zone index fit on every
+    executor."""
+    from ..functions import hex_cell
+
+    pts = points.select(
+        F.col(id_col), F.col(lon_col).alias("_lon"), F.col(lat_col).alias("_lat")
+    ).filter(F.col("_lon").isNotNull() & F.col("_lat").isNotNull())
+    cand = pts.withColumn(
+        "cell", hex_cell(F.col("_lon"), F.col("_lat"), PIP_RES)
+    ).join(zone_covers(zones, res=PIP_RES).hint("shuffle_hash"), "cell")
+    attached = cand.join(
+        zones.select("zone_id", "geom_wkt"), "zone_id"
+    ).select(id_col, "_lon", "_lat", "zone_id", "geom_wkt")
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType()),
+            T.StructField("zone_id", T.StringType()),
+        ]
+    )
+
+    def refine(batches):
+        ring_cache: dict[str, np.ndarray] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lon = pdf["_lon"].to_numpy(dtype="float64")
+            lat = pdf["_lat"].to_numpy(dtype="float64")
+            ids = pdf[id_col].to_numpy(dtype=object)
+            zids = pdf["zone_id"].to_numpy(dtype=object)
+            out_ids, out_zones = [], []
+            order = np.argsort(zids, kind="stable")
+            bounds = np.flatnonzero(
+                np.r_[True, zids[order][1:] != zids[order][:-1], True]
+            )
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                grp = order[a:b]
+                zid = zids[grp[0]]
+                ring = ring_cache.get(zid)
+                if ring is None:
+                    ring = parse_polygon(pdf["geom_wkt"].iloc[grp[0]])
+                    ring_cache[zid] = ring
+                inside = points_in_ring(lon[grp], lat[grp], ring)
+                hit = grp[inside]
+                out_ids.extend(ids[hit])
+                out_zones.extend([zid] * len(hit))
+            yield pd.DataFrame({id_col: out_ids, "zone_id": out_zones})
+
+    return attached.mapInPandas(refine, schema=out_schema)

@@ -145,6 +145,13 @@ def main() -> None:
     extras["pip_pairs"] = pip.count()
     extras["pip_points_per_sec"] = round(n_pts / timings["pip_join"], 1)
 
+    # 2b. broadcast-free PIP (the continent-scale-polygon plan): same
+    # output rows, two narrow shuffles instead of a broadcast index
+    from asag_spark.operators.pip import pip_join_partitioned
+
+    pipp = pip_join_partitioned(feats_pts, zones)
+    timed("pip_partitioned", lambda: materialize(pipp), warm=1)
+
     # 3. kNN on a deterministic 1-in-20 subsample (bounded-radius contract)
     sample = feats_pts.filter(F.pmod(F.xxhash64("feature_id"), F.lit(20)) == 0)
     knn = knn_join(sample, k=3)

@@ -68,6 +68,34 @@ def test_pip_golden(spark, tiled):
     assert pairs == expected
 
 
+def test_pip_partitioned_matches_broadcast(spark):
+    """The broadcast-free PIP plan must produce exactly the rows of the
+    broadcast plan — same candidates (JVM hex_cell vs numpy cover, the
+    lattice-parity contract) and same ray cast — on a dense synthetic
+    cloud over the 50 generated municipality polygons."""
+    import numpy as np
+
+    from asag_spark.datagen import generate_zones
+    from asag_spark.operators.pip import pip_join, pip_join_partitioned
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    lon = rng.uniform(4.5, 31.0, n)
+    lat = rng.uniform(57.9, 71.2, n)
+    pts = spark.createDataFrame(
+        [(f"P:{i}", float(lon[i]), float(lat[i])) for i in range(n)],
+        "feature_id string, lon double, lat double",
+    )
+    zones = generate_zones(spark)
+    a = {(r["feature_id"], r["zone_id"]) for r in pip_join(pts, zones).collect()}
+    b = {
+        (r["feature_id"], r["zone_id"])
+        for r in pip_join_partitioned(pts, zones).collect()
+    }
+    assert a == b
+    assert len(a) > 0  # the cloud actually hits polygons
+
+
 def test_knn_golden(spark, features):
     """The four F-ADJ stops are within ~100 m of each other and >50 km
     from everything else → each one's 3-NN are exactly the other three."""
