@@ -1,0 +1,97 @@
+"""Plan-SHAPE regression guards.
+
+test_plan_audit.py rejects per-row Python anywhere; this file pins the
+exchange structure of the operators whose scale story depends on it
+(SCALE.md). A refactor that silently adds a shuffle to the PIP point
+side or re-introduces the per-level pyramid unions would pass row-level
+correctness and still be wrong at 100 TB — these asserts catch that at
+test time.
+
+Counts are taken on executedPlan().toString() of UNCACHED plans
+(cached InMemoryRelations embed their child plan text and would
+overcount).
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    # shuffle exchanges only — broadcast exchanges are not shuffles
+    return len(re.findall(r"Exchange (?:hash|range|rebalance|Single)", plan))
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 500
+    return spark.createDataFrame(
+        [(f"P:{i}", float(lo), float(la)) for i, (lo, la) in enumerate(
+            zip(rng.uniform(5, 30, n), rng.uniform(58, 71, n)))],
+        "feature_id string, lon double, lat double",
+    ).withColumn("geometry_wkt", F.concat(
+        F.lit("POINT("), F.col("lon"), F.lit(" "), F.col("lat"), F.lit(")")
+    ))
+
+
+def test_pip_broadcast_plan_has_no_shuffle(spark, pts):
+    """pip_join's contract: the (10^12-row) point side NEVER shuffles —
+    candidates come from a broadcast index probe inside mapInPandas."""
+    from asag_spark.datagen import generate_zones
+    from asag_spark.operators.pip import pip_join
+
+    plan = _plan(pip_join(pts, generate_zones(spark)))
+    assert _shuffles(plan) == 0, plan
+
+
+def test_tile_assignment_is_shuffle_free(spark, pts):
+    """Tile assignment is a pure per-row projection: zero exchanges of
+    any kind on an already-extracted feature frame (SCALE.md §3)."""
+    from asag_spark.functions import assign_tiles
+
+    plan = _plan(assign_tiles(pts))
+    assert "Exchange" not in plan, plan
+
+
+def test_pyramid_single_wide_aggregation(spark, pts):
+    """tile_pyramid: ONE base-zoom shuffle; rollups are explodes on the
+    aggregated rows, not per-level re-aggregations of the input
+    (SCALE.md §7 — the per-level-union plan measured 8-12x slower).
+    Two shuffles total: base agg + final per-(level,tile) agg."""
+    from asag_spark.geo.xyz import tile_pyramid
+
+    plan = _plan(tile_pyramid(pts, base_zoom=10, min_zoom=5))
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_rasterize_density_one_partial_agged_shuffle(spark, pts):
+    """Point rasters: one groupBy whose exchange moves distinct cells,
+    with a map-side partial_count before it (SCALE.md §7)."""
+    from asag_spark.functions import assign_tiles
+    from asag_spark.geo.tiles import rasterize_density
+
+    plan = _plan(rasterize_density(assign_tiles(pts), "h3_r9"))
+    assert _shuffles(plan) == 1, plan
+    assert "partial_count" in plan, plan
+
+
+def test_knn_windows_key_by_probe_id_not_cell(spark, pts):
+    """Both kNN top-k windows partition by the uniform probe id — a
+    cell-keyed window concentrates dense-cell quadratic candidates
+    into single tasks (measured 9x slower; SCALE.md §5)."""
+    from asag_spark.operators.knn import knn_join
+
+    spark.catalog.clearCache()  # knn persists its phase-1 top-k
+    plan = _plan(knn_join(pts, k=3))
+    windows = re.findall(r"Window \[row_number\(\).*?windowspecdefinition\(([^,]+),", plan)
+    assert windows, plan
+    for spec in windows:
+        assert "cell" not in spec, (spec, plan)
