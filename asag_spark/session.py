@@ -60,6 +60,12 @@ def get_spark(
         # of a duplicate key wins (the reference's findFirst semantics)
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.session.timeZone", "UTC")
+        # catalog tables (sources.write_bucketed) land outside the repo;
+        # a real deployment points this at the Iceberg warehouse
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("ASAG_WAREHOUSE", "/tmp/asag_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("ASAG_DRIVER_MEM", "8g"))

@@ -10,6 +10,9 @@ explicit running-sum offsets) — JVM-side, no lambdas.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -57,6 +60,43 @@ def write_clustered(
         .sortWithinPartitions(key)
         .write.mode("overwrite")
         .parquet(path)
+    )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str = "doc_id", buckets: int = 64
+) -> None:
+    """Bucket-partitioned catalog table — the parquet stand-in for an
+    Iceberg ``bucket(key)`` partition spec on the docs table (SCALE.md
+    header: "docs table Iceberg-partitioned by bucket(doc_id)").
+
+    Any equi-join on ``key`` between tables sharing this bucket spec
+    compiles to ZERO exchanges: each bucketed scan reports
+    HashPartitioning(key, buckets), so sort-merge join's distribution
+    requirement is already satisfied and only (pre-sorted, via sortBy)
+    bucket-local sorts remain. tests/test_plan_shape.py pins exactly
+    that plan. On a 10^12-doc table this is what makes repeated
+    doc-keyed joins (enrichment backfills, media-feature attach,
+    dedup-verdict application) shuffle-free forever after one layout
+    pass."""
+    spark = df.sparkSession
+    # idempotent overwrite across sessions: a fresh in-memory catalog
+    # does not know about a previous session's managed-table location,
+    # and saveAsTable refuses to claim an existing directory — drop the
+    # catalog entry AND clear an orphaned default-database location
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[5:]
+    orphan = os.path.join(warehouse, table.lower())
+    if warehouse and os.path.isdir(orphan):
+        shutil.rmtree(orphan)
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
     )
 
 

@@ -83,6 +83,25 @@ def test_rasterize_density_one_partial_agged_shuffle(spark, pts):
     assert "partial_count" in plan, plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, pts):
+    """Two tables written with the same bucket spec on doc_id join with
+    ZERO exchanges — bucketed scans already satisfy the join's
+    distribution requirement (the Iceberg bucket(doc_id) layout the
+    SCALE.md cluster shape assumes)."""
+    from asag_spark.sources import write_bucketed
+
+    a = pts.select(F.col("feature_id").alias("doc_id"), "lon")
+    b = pts.select(F.col("feature_id").alias("doc_id"), "lat")
+    write_bucketed(a, "bucketed_a", key="doc_id", buckets=8)
+    write_bucketed(b, "bucketed_b", key="doc_id", buckets=8)
+    ta, tb = spark.table("bucketed_a"), spark.table("bucketed_b")
+    # defeat broadcast so the test exercises the co-located SMJ path
+    joined = ta.hint("merge").join(tb, "doc_id")
+    plan = _plan(joined)
+    assert _shuffles(plan) == 0, plan
+    assert joined.count() == pts.count()
+
+
 def test_knn_windows_key_by_probe_id_not_cell(spark, pts):
     """Both kNN top-k windows partition by the uniform probe id — a
     cell-keyed window concentrates dense-cell quadratic candidates
