@@ -144,15 +144,16 @@ def _knn_brute_force(lon, lat, ids, k=3):
 
 
 @pytest.mark.parametrize(
-    "lon0,lat0,seed",
+    "lon0,lat0,seed,k",
     [
-        (30.0, 70.0, 7),     # Norway-bbox worst-case projection shear
-        (0.1, 0.1, 11),      # equator/prime meridian (zero shear)
-        (-170.0, 80.0, 13),  # high-latitude antimeridian-adjacent, max shear
-        (179.0, -60.0, 17),  # southern hemisphere, large |lon|
+        (30.0, 70.0, 7, 3),     # Norway-bbox worst-case projection shear
+        (30.0, 70.0, 7, 5),     # same cloud, larger k (termination rarer)
+        (0.1, 0.1, 11, 3),      # equator/prime meridian (zero shear)
+        (-170.0, 80.0, 13, 3),  # high-latitude antimeridian-adjacent, max shear
+        (179.0, -60.0, 17, 3),  # southern hemisphere, large |lon|
     ],
 )
-def test_knn_brute_force_parity(spark, lon0, lat0, seed):
+def test_knn_brute_force_parity(spark, lon0, lat0, seed, k):
     """Two-phase pruning (own-cell terminate + ring pass) must equal a
     brute-force evaluation of the disk contract exactly, wherever the
     cloud sits: the termination bound's shear deflation is derived from
@@ -173,9 +174,9 @@ def test_knn_brute_force_parity(spark, lon0, lat0, seed):
     )
     got = {
         (r["feature_id"], r["rank"]): r["neighbor_id"]
-        for r in knn_join(df, k=3).collect()
+        for r in knn_join(df, k=k).collect()
     }
-    assert got == _knn_brute_force(lon, lat, ids, k=3)
+    assert got == _knn_brute_force(lon, lat, ids, k=k)
 
 
 def test_tile_feature_collections(tiled):
