@@ -32,6 +32,7 @@ from ..geo import hexgrid
 from ..geo.wkt import parse_polygon, points_in_ring, ring_bbox
 
 PIP_RES = 7
+PIP_SALT = 16
 
 
 def _zone_index(zones_rows: list) -> tuple[dict, dict]:
@@ -160,13 +161,13 @@ def pip_join_partitioned(points: DataFrame, zones: DataFrame,
        covers) and shuffle-join `zone_covers` on the cell id. Both
        sides exchange narrow rows only; dense-cell skew lands on a
        JOIN exchange, which AQE skew-split handles.
-    2. geometry attach: one more narrow exchange keys candidates by
-       zone_id and sort-merge-joins the ring WKT — each ring crosses
-       the wire ONCE per zone per reducer, never once per candidate.
-    3. exact refine: the join output streams into an Arrow ray cast in
-       the SAME stage (no exchange between join and refine); rings are
-       parsed once per zone per executor (batch-spanning cache) and
-       each zone's points are ray-cast as one vectorized batch.
+    2+3. geometry attach + exact refine in ONE salted cogroup:
+       candidates and (salt-replicated) zone rows both key by
+       (zone_id, salt) and meet in applyInPandas — each ring crosses
+       the wire and the Arrow boundary once per group, never once per
+       candidate, and the salt splits a hot zone's candidates across
+       PIP_SALT groups so no polygon pins a single task. The ray cast
+       runs vectorized over each group.
 
     Broadcast `pip_join` stays the default: its point side never
     shuffles at all. This variant trades two narrow exchanges for
@@ -177,12 +178,33 @@ def pip_join_partitioned(points: DataFrame, zones: DataFrame,
     pts = points.select(
         F.col(id_col), F.col(lon_col).alias("_lon"), F.col(lat_col).alias("_lat")
     ).filter(F.col("_lon").isNotNull() & F.col("_lat").isNotNull())
-    cand = pts.withColumn(
-        "cell", hex_cell(F.col("_lon"), F.col("_lat"), PIP_RES)
-    ).join(zone_covers(zones, res=PIP_RES).hint("shuffle_hash"), "cell")
-    attached = cand.join(
-        zones.select("zone_id", "geom_wkt"), "zone_id"
-    ).select(id_col, "_lon", "_lat", "zone_id", "geom_wkt")
+    cand = (
+        pts.withColumn("cell", hex_cell(F.col("_lon"), F.col("_lat"), PIP_RES))
+        .join(zone_covers(zones, res=PIP_RES).hint("shuffle_hash"), "cell")
+        # cast to int to EXACTLY match the zone side's salt type:
+        # cogroup with type-mismatched keys (bigint pmod vs int
+        # literal) does NOT unify them before the exchange — each side
+        # hashes its own representation, the same logical key lands in
+        # different partitions per side, and ~90% of groups silently
+        # arrive with one side empty (measured: 1,536 invocations for
+        # 800 true keys, 1.19M of 1.31M candidates lost)
+        .withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(PIP_SALT)).cast("int"),
+        )
+        .select(id_col, "_lon", "_lat", "zone_id", "_salt")
+    )
+    # geometry rides the cogroup's RIGHT side: one ring per (zone, salt)
+    # group instead of one per candidate row — attaching the WKT with a
+    # plain join duplicated each ring into every candidate crossing the
+    # JVM→Arrow boundary (~ring-size× the necessary transfer; measured
+    # ~1.4 GB at the 931k-candidate bench). The salt splits a hot
+    # zone's candidates across PIP_SALT groups so a metro-covering
+    # polygon cannot pin one task; its cost is PIP_SALT copies of each
+    # ring, which is negligible.
+    zsalt = zones.select("zone_id", "geom_wkt").withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(PIP_SALT)]))
+    )
 
     out_schema = T.StructType(
         [
@@ -191,31 +213,22 @@ def pip_join_partitioned(points: DataFrame, zones: DataFrame,
         ]
     )
 
-    def refine(batches):
-        ring_cache: dict[str, np.ndarray] = {}
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            lon = pdf["_lon"].to_numpy(dtype="float64")
-            lat = pdf["_lat"].to_numpy(dtype="float64")
-            ids = pdf[id_col].to_numpy(dtype=object)
-            zids = pdf["zone_id"].to_numpy(dtype=object)
-            out_ids, out_zones = [], []
-            order = np.argsort(zids, kind="stable")
-            bounds = np.flatnonzero(
-                np.r_[True, zids[order][1:] != zids[order][:-1], True]
-            )
-            for a, b in zip(bounds[:-1], bounds[1:]):
-                grp = order[a:b]
-                zid = zids[grp[0]]
-                ring = ring_cache.get(zid)
-                if ring is None:
-                    ring = parse_polygon(pdf["geom_wkt"].iloc[grp[0]])
-                    ring_cache[zid] = ring
-                inside = points_in_ring(lon[grp], lat[grp], ring)
-                hit = grp[inside]
-                out_ids.extend(ids[hit])
-                out_zones.extend([zid] * len(hit))
-            yield pd.DataFrame({id_col: out_ids, "zone_id": out_zones})
+    def refine(key, cand_pdf, zone_pdf):
+        if not len(cand_pdf) or not len(zone_pdf):
+            return pd.DataFrame({id_col: [], "zone_id": []})
+        ring = parse_polygon(zone_pdf["geom_wkt"].iloc[0])
+        lon = cand_pdf["_lon"].to_numpy(dtype="float64")
+        lat = cand_pdf["_lat"].to_numpy(dtype="float64")
+        inside = points_in_ring(lon, lat, ring)
+        return pd.DataFrame(
+            {
+                id_col: cand_pdf[id_col].to_numpy(dtype=object)[inside],
+                "zone_id": key[0],
+            }
+        )
 
-    return attached.mapInPandas(refine, schema=out_schema)
+    return (
+        cand.groupBy("zone_id", "_salt")
+        .cogroup(zsalt.groupBy("zone_id", "_salt"))
+        .applyInPandas(refine, schema=out_schema)
+    )

@@ -78,22 +78,49 @@ def test_pip_partitioned_matches_broadcast(spark):
     from asag_spark.datagen import generate_zones
     from asag_spark.operators.pip import pip_join, pip_join_partitioned
 
+    zones = generate_zones(spark)
+    # half uniform over the bbox, half clustered tightly on the zone
+    # centroids so MANY points hit polygons: the first version of this
+    # test used a sparse uniform cloud and PASSED against a cogroup
+    # whose type-mismatched salt keys silently dropped ~90% of
+    # candidate groups — a handful of pairs is not evidence
     rng = np.random.default_rng(23)
     n = 2000
     lon = rng.uniform(4.5, 31.0, n)
     lat = rng.uniform(57.9, 71.2, n)
+    cents = np.array([
+        [float(x) for x in
+         r["geom_wkt"].split("((")[1].split(",")[0].strip().split()]
+        for r in zones.collect()
+    ])
+    pick = rng.integers(0, len(cents), n)
+    lon2 = cents[pick, 0] + rng.normal(0, 0.05, n)
+    lat2 = cents[pick, 1] + rng.normal(0, 0.03, n)
+    lon = np.r_[lon, lon2]
+    lat = np.r_[lat, lat2]
     pts = spark.createDataFrame(
-        [(f"P:{i}", float(lon[i]), float(lat[i])) for i in range(n)],
+        [(f"P:{i}", float(lon[i]), float(lat[i])) for i in range(len(lon))],
         "feature_id string, lon double, lat double",
     )
-    zones = generate_zones(spark)
-    a = {(r["feature_id"], r["zone_id"]) for r in pip_join(pts, zones).collect()}
-    b = {
-        (r["feature_id"], r["zone_id"])
-        for r in pip_join_partitioned(pts, zones).collect()
-    }
+    # the mis-partitioning bug hides whenever AQE coalesces both
+    # cogroup exchanges to one partition (everything co-located by
+    # accident) — pin a real partition count AND disable coalescing so
+    # hash-placement disagreements between the two sides must surface
+    prev_p = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_c = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "37")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        a = {(r["feature_id"], r["zone_id"]) for r in pip_join(pts, zones).collect()}
+        b = {
+            (r["feature_id"], r["zone_id"])
+            for r in pip_join_partitioned(pts, zones).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_p)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev_c)
     assert a == b
-    assert len(a) > 0  # the cloud actually hits polygons
+    assert len(a) > 500  # a dense cloud must produce real hit volume
 
 
 def test_knn_golden(spark, features):
