@@ -12,13 +12,22 @@ Scale design:
   groupBy(band_key). Candidates per band bucket; Jaccard verify only
   on candidates. All md5-based so a SQL oracle matches exactly.
 * SimHash — 32-bit, md5-derived token hashes, pure built-in
-  expressions (32 vote sums in one hash aggregate).
-* embedding cosine — sign-LSH bucketing (first SIGN_DIMS dims) to
-  keep the self-join within buckets; exact cosine refine.
+  expressions (32 vote sums in one hash aggregate); near-dups via
+  4 bands × 8 bits (bands ≥ max_hamming+1 = 4 guarantees recall at
+  Hamming ≤ 3 by pigeonhole: 3 flipped bits cannot touch all 4 bands).
+* embedding cosine — seeded random-hyperplane (Rademacher ±1) sign
+  bits, banded exactly like the MinHash LSH: band-key equi-join on
+  high-cardinality keys (bands × 2^bits_per_band buckets), exact
+  cosine refine on candidate pairs only. The signature math is
+  integer-exact (power-of-two quantization + ±1 coefficients keeps
+  every intermediate below 2^53) so a DuckDB oracle reproduces it
+  bit-for-bit regardless of summation order.
 """
 
 from __future__ import annotations
 
+import functools
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -68,11 +77,33 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = SHINGLE_N) -> Dat
 
 
 def jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  max_df: int | None = None) -> DataFrame:
     """Doc pairs with shingle-Jaccard ≥ threshold (exact; the verify
-    primitive). Output (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    primitive). Output (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``max_df``: document-frequency cap for STANDALONE use at scale —
+    the shingle-postings self-join is quadratic in per-shingle df, so
+    a hot shingle ("of the") with df=d contributes d² join rows. With
+    a cap, shingles seen in more than ``max_df`` docs are excluded
+    from the JOIN side only; per-doc set sizes (the Jaccard
+    denominator) still count every shingle, so capped jaccard is a
+    conservative underestimate (pairs whose overlap is carried solely
+    by ultra-hot shingles can be missed — they were never near-dup
+    evidence). In the post-LSH verify role (minhash_dedup) the corpus
+    is already candidate-restricted, so the default is exact
+    (max_df=None).
+    """
     sh = shingles(docs, text_col).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -209,18 +240,33 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sig.select("doc_id", acc.cast("long").alias("simhash"))
 
 
+SIMHASH_BANDS = 4  # bands ≥ max_hamming + 1: guaranteed recall at h ≤ 3
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text") -> DataFrame:
-    """SimHash near-dup pairs: same 16-bit prefix band (2 bands) then
-    Hamming ≤ max_hamming — the standard bit-band LSH for SimHash."""
+    """SimHash near-dup pairs: 4 bands × 8 bits, then Hamming ≤
+    max_hamming — bit-band LSH with the banding requirement
+    bands ≥ max_hamming + 1 satisfied, so recall is EXACT by
+    pigeonhole: ≤3 differing bits cannot touch all 4 bands, hence
+    every qualifying pair shares at least one untouched band
+    verbatim (property-tested against brute-force Hamming in
+    tests/test_training_ops.py). 4×8 also multiplies per-band bucket
+    count vs the old 2×16 split's 2^16 ceiling at corpus scale."""
     sh = simhash(docs, text_col)
     banded = sh.select(
         "doc_id", "simhash",
         F.explode(
-            F.array(
-                F.concat_ws(":", F.lit("hi"), F.shiftright("simhash", 16)),
-                F.concat_ws(":", F.lit("lo"), F.col("simhash").bitwiseAND(F.lit(0xFFFF))),
-            )
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(f"b{b}"),
+                    F.shiftright("simhash", 8 * b)
+                    .bitwiseAND(F.lit(0xFF))
+                    .cast("string"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
         ).alias("bkey"),
     )
     a = banded.alias("a")
@@ -240,25 +286,76 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     return pairs.filter(F.col("hamming") <= max_hamming)
 
 
-SIGN_DIMS = 4
+# --------------------------------------------------------------------------
+# Random-hyperplane sign-LSH for embeddings (banded, minhash-style)
+# --------------------------------------------------------------------------
+#
+# Hyperplanes are seeded Rademacher (±1) vectors derived from md5 —
+# balanced, pairwise-uncorrelated, and recomputable in ANSI SQL so the
+# DuckDB oracle reproduces the exact bucketing. Exactness contract:
+# embeddings are quantized by q_i = floor(double(v_i) * 2^20) (a
+# power-of-two scale of a float32 is exact in IEEE double, floor is
+# exact), then dotted with ±1 coefficients — every product and partial
+# sum is an integer far below 2^53, so the sign bit is identical under
+# ANY summation order (numpy BLAS vs SQL SUM). Defaults: 96 bits in
+# 12 bands of 8 → 12 × 256 band buckets; at 10^12-vector scale raise
+# bits_per_band to 16 (keyspace 12 × 65536) exactly like adding
+# minhash rows-per-band — recall for cosine ≥ 0.95 pairs stays
+# 1-(1-0.9^b)^B ≈ 0.99 (b=8) / 0.81 (b=16, 8 bands) by the
+# sign-agreement probability 1 - θ/π.
+
+EMB_LSH_BITS = 96
+EMB_LSH_BANDS = 12
+EMB_QUANT = 1 << 20
 
 
-def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Embedding-cosine near-dup pairs ≥ threshold.
-
-    Bucketing: sign bits of the first SIGN_DIMS dimensions (a
-    deterministic hyperplane LSH — vectors this similar almost surely
-    share all sign bits). Exact cosine refine inside buckets; doubles
-    throughout, rounded to 6 for engine parity.
-    """
-    sign_key = F.concat_ws(
-        "",
-        *[
-            (F.element_at("embedding", i + 1) >= 0).cast("int").cast("string")
-            for i in range(SIGN_DIMS)
-        ],
+@functools.lru_cache(maxsize=8)
+def hyperplanes(nbits: int, dim: int) -> np.ndarray:
+    """Seeded ±1 hyperplane matrix (nbits × dim): coefficient (j, i) is
+    +1 iff the first hex digit of md5('{j}:{i}') < 8 — the same
+    construction the SQL oracle evaluates with strpos/substr/md5."""
+    return np.array(
+        [
+            [
+                1.0
+                if int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16) < 8
+                else -1.0
+                for i in range(dim)
+            ]
+            for j in range(nbits)
+        ]
     )
-    e = emb.select(
+
+
+def band_keys(emb: DataFrame, nbits: int = EMB_LSH_BITS,
+              bands: int = EMB_LSH_BANDS, vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """(vec_id, bkey) — one row per LSH band; bkey = band << bits_per_band
+    | packed sign bits of that band. One Arrow matmul per batch, map-side
+    (the corpus never shuffles to get its keys)."""
+    rows = nbits // bands
+    assert rows * bands == nbits
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def keys(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        Q = np.floor(M * EMB_QUANT)
+        C = hyperplanes(nbits, M.shape[1])
+        bits = (Q @ C.T) >= 0  # (n, nbits); integer-exact sums
+        w = 1 << np.arange(rows, dtype=np.int64)
+        packed = np.empty((len(M), bands), dtype=np.int64)
+        for b in range(bands):
+            packed[:, b] = bits[:, b * rows:(b + 1) * rows] @ w + (b << rows)
+        return pd.Series(list(packed))
+
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.explode(keys(F.col(vec_col))).alias("bkey"),
+    )
+
+
+def _with_vec_norm(emb: DataFrame) -> DataFrame:
+    return emb.select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
         F.sqrt(
@@ -268,21 +365,43 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
                 lambda acc, x: acc + x * x,
             )
         ).alias("norm"),
-        sign_key.alias("bucket"),
     )
+
+
+def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
+                        nbits: int = EMB_LSH_BITS,
+                        bands: int = EMB_LSH_BANDS) -> DataFrame:
+    """Embedding-cosine near-dup pairs ≥ threshold: banded
+    random-hyperplane LSH candidates (band-key equi-join, same shape
+    as lsh_candidate_pairs) → exact cosine refine on candidate pairs
+    only. Candidate pairs carry ids only through the distinct (the
+    vectors re-attach afterwards, so the band explode never ships
+    ×bands copies of the embedding through the shuffle)."""
+    bk = band_keys(emb, nbits, bands)
+    x = bk.alias("x")
+    y = bk.alias("y")
+    pairs = (
+        x.join(y, "bkey")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    e = _with_vec_norm(emb)
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda p, q: p * q),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, p: acc + p,
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        pairs.join(a, F.col("vec_a") == F.col("a.vec_id"))
+        .join(b, F.col("vec_b") == F.col("b.vec_id"))
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
+            "vec_a",
+            "vec_b",
             F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)

@@ -118,6 +118,10 @@ def _cell_bound(lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 KNN_RES = 6
 KNN_RINGS = 1
+# _ring_cells hardcodes the 6 ring-1 axial offsets; the brute-force
+# parity reference uses grid_disk(..., KNN_RINGS). Raising KNN_RINGS
+# without widening the offset list would silently change the contract:
+assert KNN_RINGS == 1, "_ring_cells offsets are ring-1 only"
 
 
 def haversine_expr(lon1, lat1, lon2, lat2):
@@ -173,13 +177,18 @@ def knn_join(points: DataFrame, k: int = 3,
     # without it Spark re-runs the quadratic own-cell join per
     # consumer (measured: 6 parquet scans / 9 window sorts in one
     # executedPlan, net SLOWER than the one-pass operator it was
-    # meant to beat). Blocks are LRU-evicted under pressure; callers
-    # never see the handle.
+    # meant to beat). MEMORY_ONLY so blocks really are LRU-evicted
+    # under pressure (the MEMORY_AND_DISK default would spill evicted
+    # blocks to disk and keep them until session end — one leaked
+    # cache entry per call in a long-lived session); callers never
+    # see the handle.
+    from pyspark import StorageLevel
+
     topk1 = (
         own.withColumn("rank", F.row_number().over(w_id))
         .filter(F.col("rank") <= k)
         .select("id", "lon", "lat", "bound_m", "neighbor_id", "dist_m")
-        .persist()
+        .persist(StorageLevel.MEMORY_ONLY)
     )
 
     # a probe is DONE iff phase 1 found k candidates and the kth is

@@ -1,16 +1,19 @@
 """Multimodal span plumbing (task brief).
 
 Image/audio/video ride as opaque references/binary in ``media`` spans
-(kind='media', media_ref like 'img://...'). The decode step is STUBBED
-— no imaging libraries exist in this container — but the Spark-side
-plumbing is real and tested: schema, Arrow batch shape, partitioning,
-and deterministic fake features so downstream operators (similarity,
-dedup) are exercisable end-to-end.
+(kind='media', media_ref like 'img://...'). ``decode_media`` has two
+paths and an HONEST ``is_stub`` flag per row:
 
-``decode_media`` gates on PIL availability: with a real image lib it
-would decode bytes; here it raises NotImplementedError unless
-``allow_stub=True``, in which case a clearly-marked deterministic fake
-(md5-derived) stands in.
+* real — when a binary column of image bytes is supplied, the
+  PNG/GIF/JPEG header is parsed (pure-Python, no imaging library
+  needed for dimensions/format) and ``is_stub=False``;
+* stub — when no bytes exist (the docs table carries media_ref
+  pointers only; no object store in this sandbox) or the bytes don't
+  parse, a clearly-marked deterministic fake (md5-derived dims) stands
+  in with ``is_stub=True``. Pixel-level decode/resample would need an
+  imaging library and stays stubbed; the Spark-side plumbing —
+  schema, Arrow batch shape, partitioning — is real and tested either
+  way.
 """
 
 from __future__ import annotations
@@ -51,36 +54,85 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
-def decode_media(media: DataFrame, allow_stub: bool = True) -> DataFrame:
-    """Decode metadata per media ref (mapInPandas, Arrow-batched).
+def parse_image_header(b: bytes | None):
+    """(width, height, format) from PNG/GIF/JPEG header bytes, or None
+    if the bytes are absent/unrecognized. Pure Python — dimension
+    decode needs no imaging library, only the container headers."""
+    if not b:
+        return None
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+        return (
+            int.from_bytes(b[16:20], "big"),
+            int.from_bytes(b[20:24], "big"),
+            "png",
+        )
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+            "gif",
+        )
+    if b[:2] == b"\xff\xd8":  # JPEG: scan segments for a SOF marker
+        i = 2
+        while i + 9 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xFF, 0x01) or 0xD0 <= marker <= 0xD9:
+                i += 2
+                continue
+            seg_len = int.from_bytes(b[i + 2:i + 4], "big")
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(b[i + 7:i + 9], "big"),
+                    int.from_bytes(b[i + 5:i + 7], "big"),
+                    "jpeg",
+                )
+            i += 2 + seg_len
+    return None
 
-    STUB: real decoding needs an image library not present in this
-    container. The fake is a pure function of media_ref (md5-derived
-    dims), marked ``is_stub=True``.
+
+def decode_media(media: DataFrame, bytes_col: str | None = None,
+                 allow_stub: bool = True) -> DataFrame:
+    """Decode metadata per media item (mapInPandas, Arrow-batched).
+
+    With ``bytes_col`` (a binary column of image bytes), dimensions and
+    format are REALLY decoded from the container header and the row is
+    marked ``is_stub=False`` (duration is null — stills have none). A
+    row whose bytes are missing or unparseable falls back to the
+    deterministic md5-derived fake and is marked ``is_stub=True`` —
+    the flag always reflects whether a real decode happened. Without
+    ``bytes_col`` every row is the stub; that requires
+    ``allow_stub=True`` (default) or this raises.
     """
-    try:
-        import PIL  # noqa: F401
-
-        have_pil = True
-    except ImportError:
-        have_pil = False
-
-    if not have_pil and not allow_stub:
+    if bytes_col is None and not allow_stub:
         raise NotImplementedError(
-            "media decode requires an imaging library (PIL) not present "
-            "in this environment; pass allow_stub=True for the "
-            "deterministic fake"
+            "no bytes column to decode and stubs disallowed; the docs "
+            "table carries media_ref pointers only — supply bytes_col "
+            "or pass allow_stub=True for the deterministic fake"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            widths, heights, fmts, durs = [], [], [], []
-            for ref in pdf["media_ref"]:
-                d = hashlib.md5(ref.encode()).digest()
-                widths.append(64 + d[0] * 8)
-                heights.append(64 + d[1] * 8)
-                fmts.append(["jpeg", "png", "webp"][d[2] % 3])
-                durs.append(1 + d[3] % 120)
+            raw = pdf[bytes_col] if bytes_col is not None else [None] * len(pdf)
+            widths, heights, fmts, durs, stubs = [], [], [], [], []
+            for ref, b in zip(pdf["media_ref"], raw):
+                parsed = parse_image_header(b)
+                if parsed is not None:
+                    w, h, fmt = parsed
+                    widths.append(w)
+                    heights.append(h)
+                    fmts.append(fmt)
+                    durs.append(None)
+                    stubs.append(False)
+                else:
+                    d = hashlib.md5(ref.encode()).digest()
+                    widths.append(64 + d[0] * 8)
+                    heights.append(64 + d[1] * 8)
+                    fmts.append(["jpeg", "png", "webp"][d[2] % 3])
+                    durs.append(1 + d[3] % 120)
+                    stubs.append(True)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -88,14 +140,13 @@ def decode_media(media: DataFrame, allow_stub: bool = True) -> DataFrame:
                     "width": widths,
                     "height": heights,
                     "format": fmts,
-                    "duration_s": durs,
-                    "is_stub": [not have_pil] * len(pdf),
+                    "duration_s": pd.array(durs, dtype="Int32"),
+                    "is_stub": stubs,
                 }
             )
 
-    return media.select("doc_id", "media_ref").mapInPandas(
-        kernel, schema=_DECODE_SCHEMA
-    )
+    cols = ["doc_id", "media_ref"] + ([bytes_col] if bytes_col else [])
+    return media.select(*cols).mapInPandas(kernel, schema=_DECODE_SCHEMA)
 
 
 def resize_dims(decoded: DataFrame, target: int = 256) -> DataFrame:

@@ -36,15 +36,25 @@ PIP_SALT = 16
 
 
 def _zone_index(zones_rows: list) -> tuple[dict, dict]:
-    """rings[zone_id] = (N,2) ring; cover[cell_qr] = [zone_id, ...]."""
+    """rings[zone_id] = (N,2) ring; cover[cell_qr] = [zone_id, ...].
+
+    Dirty-input guard: duplicate zone_id rows keep the max geom_wkt —
+    the same rule pip_join_partitioned applies — so both PIP variants
+    agree (and no zone appears twice in a cell's cover list, which
+    would duplicate output rows)."""
+    best: dict[str, str] = {}
+    for row in zones_rows:
+        zid, wkt = row["zone_id"], row["geom_wkt"]
+        if zid not in best or wkt > best[zid]:
+            best[zid] = wkt
     rings: dict[str, np.ndarray] = {}
     cover: dict[tuple[int, int], list[str]] = {}
-    for row in zones_rows:
-        ring = parse_polygon(row["geom_wkt"])
-        rings[row["zone_id"]] = ring
+    for zid in best:
+        ring = parse_polygon(best[zid])
+        rings[zid] = ring
         bb = ring_bbox(ring)
         for qr in hexgrid.cover_bbox(*bb, res=PIP_RES):
-            cover.setdefault(qr, []).append(row["zone_id"])
+            cover.setdefault(qr, []).append(zid)
     return rings, cover
 
 
@@ -175,6 +185,11 @@ def pip_join_partitioned(points: DataFrame, zones: DataFrame,
     executor."""
     from ..functions import hex_cell
 
+    # dirty-input guard: duplicate zone_id rows would double candidates
+    # via duplicated covers and make refine's ring pick arbitrary —
+    # keep one row per zone_id (max geom_wkt: deterministic, and
+    # matches nothing when zones are clean, the normal case)
+    zones = zones.groupBy("zone_id").agg(F.max("geom_wkt").alias("geom_wkt"))
     pts = points.select(
         F.col(id_col), F.col(lon_col).alias("_lon"), F.col(lat_col).alias("_lat")
     ).filter(F.col("_lon").isNotNull() & F.col("_lat").isNotNull())

@@ -3,10 +3,12 @@ brute-force cosine top-k baseline + LSH-bucketed approximate variant.
 
 Scale design: the exact path broadcasts the (small) query set against
 the full corpus — a map-only pass, no shuffle except the final
-per-query top-k. The approximate path prunes the corpus to matching
-sign-LSH buckets first (same deterministic hyperplanes as
-dedup.embedding_near_dups), turning the scan into a bucket-local
-probe — the IVF-style cell restriction.
+per-query top-k. The approximate path restricts candidates to corpus
+vectors sharing at least one random-hyperplane LSH band with the
+query (the same seeded banded signature as
+dedup.embedding_near_dups) — multi-band probing over
+bands × 2^bits_per_band buckets, exact cosine refine on candidates
+only.
 """
 
 from __future__ import annotations
@@ -14,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import SIGN_DIMS
+from .dedup import EMB_LSH_BANDS, EMB_LSH_BITS, band_keys
 
 
 def _with_norm(emb: DataFrame, prefix: str) -> DataFrame:
@@ -153,33 +155,29 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
-def sign_bucket(col=None):
-    """Deterministic sign-LSH bucket key over the first SIGN_DIMS dims."""
-    e = col if col is not None else F.col("embedding")
-    return F.concat_ws(
-        "",
-        *[
-            (F.element_at(e, i + 1) >= 0).cast("int").cast("string")
-            for i in range(SIGN_DIMS)
-        ],
+def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
+                    nbits: int = EMB_LSH_BITS,
+                    bands: int = EMB_LSH_BANDS) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing ≥1 LSH
+    band key with the query (banded multi-probe; recall < 1 by design
+    — the 10^12-vector scale path where the brute-force scan is off
+    the table). The query side's band keys are broadcast, so the
+    corpus pass is map-side band-key generation + a broadcast
+    semi-probe; only candidate ids reach the distinct/refine shuffle.
+    """
+    qbk = band_keys(queries, nbits, bands).withColumnRenamed("vec_id", "q_id")
+    cbk = band_keys(emb, nbits, bands)
+    cand = (
+        cbk.join(F.broadcast(qbk), "bkey")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"))
+        .distinct()
     )
-
-
-def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign-LSH
-    bucket (IVF-style cell probe; recall < 1 by design, the scale path
-    for 10^12 vectors where brute force is off the table)."""
-    q = _with_norm(queries, "q").join(
-        queries.select(F.col("vec_id").alias("q_id"), sign_bucket().alias("bucket")),
-        "q_id",
-    )
-    c = _with_norm(emb, "n").join(
-        emb.select(F.col("vec_id").alias("n_id"), sign_bucket().alias("bucket")),
-        "n_id",
-    )
+    q = _with_norm(queries, "q")
+    c = _with_norm(emb, "n")
     scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("n_id"))
+        cand.join(c, "n_id")
+        .join(F.broadcast(q), "q_id")
         .select(
             F.col("q_id").alias("query_id"),
             F.col("n_id").alias("neighbor_id"),

@@ -80,16 +80,39 @@ def write_bucketed(
     dedup-verdict application) shuffle-free forever after one layout
     pass."""
     spark = df.sparkSession
+    if "." in table:
+        # the orphan-location cleanup below assumes the default
+        # database's warehouse layout; a qualified name would compute
+        # (and potentially delete) the wrong directory
+        raise ValueError(
+            f"write_bucketed takes an unqualified table name, got {table!r}"
+        )
     # idempotent overwrite across sessions: a fresh in-memory catalog
     # does not know about a previous session's managed-table location,
     # and saveAsTable refuses to claim an existing directory — drop the
-    # catalog entry AND clear an orphaned default-database location
+    # catalog entry AND clear the orphaned location. Resolve the real
+    # path from the catalog when the table is still registered; fall
+    # back to the default-database warehouse layout only for a
+    # catalog-unknown orphan, and only for a local file: warehouse.
+    orphan = None
+    try:
+        detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        for row in detail:
+            if row.col_name == "Location":
+                loc = row.data_type
+                if loc.startswith("file:"):
+                    orphan = loc[5:]
+                break
+    except Exception:  # noqa: BLE001 — table not in this session's catalog
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+        if warehouse.startswith("file:"):
+            warehouse = warehouse[5:]
+        elif ":" in warehouse.split(os.sep)[0]:
+            warehouse = ""  # non-file warehouse URI: no local path to clean
+        if warehouse:
+            orphan = os.path.join(warehouse, table.lower())
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
-    if warehouse.startswith("file:"):
-        warehouse = warehouse[5:]
-    orphan = os.path.join(warehouse, table.lower())
-    if warehouse and os.path.isdir(orphan):
+    if orphan and os.path.isdir(orphan):
         shutil.rmtree(orphan)
     (
         df.write.mode("overwrite")

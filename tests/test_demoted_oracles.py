@@ -1,0 +1,71 @@
+"""Correctness gate for the demoted query registry.
+
+The driver checks the first 50 entries of __spark_entry__.queries();
+the redundant relational demos were moved to demoted_queries() to make
+room for the dedup/ANN/media family (VERDICT r01). They keep the SAME
+oracle discipline here: each runs against its DuckDB oracle with the
+driver's compare (row count, column set, order-insensitive value
+hash) at the test scale factor.
+"""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from asag_spark.sources import TABLES
+
+DEMOTED = sorted(entry_mod.demoted_queries())
+
+
+def _canon_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    rows = []
+    for tup in df.itertuples(index=False):
+        cells = []
+        for v in tup:
+            if v is None or (isinstance(v, float) and pd.isna(v)):
+                cells.append("<NULL>")
+            elif isinstance(v, float):
+                cells.append(repr(round(v, 9)))
+            else:
+                cells.append(str(v))
+        rows.append("|".join(cells))
+    rows.sort()
+    return hashlib.md5("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_registry_partition():
+    """Live registry is exactly 50 entries, every oracle-bearing entry
+    precedes the rows-only tail, and the two registries don't overlap."""
+    live = list(entry_mod.queries())
+    demoted = set(entry_mod.demoted_queries())
+    assert len(live) == 50
+    assert not demoted & set(live)
+    oracles = entry_mod.oracle_sql()
+    rows_only = [q for q in live if q not in oracles]
+    assert rows_only == ["t_media_features", "flagship_tiles"]
+    assert set(entry_mod.demoted_oracle_sql()) == demoted
+
+
+@pytest.mark.parametrize("name", DEMOTED)
+def test_demoted_oracle(name, spark, sf_dir, duck):
+    sdf = entry_mod.demoted_queries()[name](spark, sf_dir).toPandas()
+    odf = duck.execute(entry_mod.demoted_oracle_sql()[name]).df()
+    assert len(sdf) == len(odf), f"{name}: rows {len(sdf)} vs {len(odf)}"
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    assert _canon_hash(sdf) == _canon_hash(odf), f"{name}: value hash"

@@ -162,3 +162,176 @@ def test_winnow_short_doc_fallback(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
     assert by_doc[0] == by_doc[1] and len(by_doc[0]) == 1
     assert len(by_doc[2]) == 1  # global-min branch
+
+
+# ---------------------------------------------------------------------------
+# round-2 property tests (VERDICT r01: simhash banding recall, banded
+# hyperplane LSH, honest media decode, jaccard df-cap)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edit_corpus(spark):
+    """Seeded corpus rich in low-Hamming simhash pairs: a 60-token base
+    sentence, 15 single-token edits, plus an exact dup — single-token
+    edits flip ~3 signature bits, so pairs cluster right at the
+    max_hamming=3 recall boundary where the old 2x16 banding lost
+    pairs whose differing bits straddled the halves."""
+    import random
+
+    rng = random.Random(1234)
+    words = [f"w{rng.randrange(10_000)}" for _ in range(400)]
+    base = [rng.choice(words) for _ in range(60)]
+    rows = [(0, " ".join(base)), (1, " ".join(base))]
+    for i in range(15):
+        v = list(base)
+        v[i * 4] = f"edit{i}x"
+        rows.append((i + 2, " ".join(v)))
+    return spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_simhash_banding_recall_exact(edit_corpus):
+    """4x8 banding has GUARANTEED recall at h<=3 (bands >= h+1): the
+    operator output must equal brute-force all-pairs Hamming exactly —
+    no pair missed (recall), none added (the op verifies Hamming)."""
+    from itertools import combinations
+
+    from asag_spark.operators.dedup import simhash
+
+    sig = {r["doc_id"]: r["simhash"] for r in simhash(edit_corpus).collect()}
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a, b in combinations(sorted(sig), 2)
+        if bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dups(edit_corpus, max_hamming=3).collect()
+    }
+    assert len(brute) >= 3, "corpus must exercise the h<=3 regime"
+    assert got == brute
+
+
+@pytest.fixture(scope="module")
+def planted_vectors(spark):
+    """50 random unit vectors + 20 noisy clones (cosine >= ~0.99)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(50, 32)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    clones = base[:20] + rng.randn(20, 32) * 0.02
+    clones /= np.linalg.norm(clones, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(base)]
+    rows += [(50 + i, [float(x) for x in v], 1) for i, v in enumerate(clones)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_emb_lsh_recall_on_planted_dups(planted_vectors):
+    """Banded hyperplane LSH finds every planted cosine>=0.95 pair
+    (deterministic: seeded corpus x seeded hyperplanes), and the exact
+    refine admits nothing below threshold — so output == brute force."""
+    import numpy as np
+
+    rows = planted_vectors.select("vec_id", "embedding").collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    N = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = N @ N.T
+    brute = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(S[i, j], 6) >= 0.95
+    }
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(planted_vectors, threshold=0.95).collect()
+    }
+    assert len(brute) >= 15, "plant must produce the near-dup regime"
+    assert got == brute
+
+
+def test_lsh_band_key_cardinality(planted_vectors):
+    """Scale guard (VERDICT r01 'what's wrong' #3): the LSH self-join
+    key must be high-cardinality — the old sign-LSH joined on a
+    16-value bucket column (quadratic within |corpus|/16 buckets)."""
+    from asag_spark.operators.dedup import (
+        EMB_LSH_BANDS, EMB_LSH_BITS, band_keys,
+    )
+
+    rows = EMB_LSH_BITS // EMB_LSH_BANDS
+    assert EMB_LSH_BANDS * (1 << rows) >= 256, "keyspace must exceed 16 buckets"
+    n_keys = band_keys(planted_vectors).select("bkey").distinct().count()
+    assert n_keys > 16
+
+
+def test_simhash_band_key_cardinality(edit_corpus):
+    from asag_spark.operators.dedup import SIMHASH_BANDS
+
+    assert SIMHASH_BANDS >= 4  # bands >= max_hamming + 1
+    # keyspace = 4 bands x 256 chunk values
+    assert SIMHASH_BANDS * 256 >= 1024
+
+
+def test_decode_media_honest_flag(spark):
+    """is_stub must reflect whether a real decode happened: real
+    PNG/GIF/JPEG bytes parse with is_stub=False; absent or garbage
+    bytes fabricate with is_stub=True."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00" + b"\x00" * 8)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 6
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 480, 640) + b"\x01\x11\x00\x00")
+    rows = [
+        ("d1", "img://a.png", bytearray(png)),
+        ("d1", "img://b.gif", bytearray(gif)),
+        ("d1", "img://c.jpg", bytearray(jpeg)),
+        ("d1", "img://junk.bin", bytearray(b"not an image")),
+        ("d1", "img://missing.jpg", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, media_bytes binary"
+    )
+    out = {r["media_ref"]: r for r in
+           decode_media(media, bytes_col="media_bytes").collect()}
+    assert (out["img://a.png"]["width"], out["img://a.png"]["height"],
+            out["img://a.png"]["format"], out["img://a.png"]["is_stub"]) == (
+        640, 480, "png", False)
+    assert (out["img://b.gif"]["width"], out["img://b.gif"]["height"],
+            out["img://b.gif"]["format"], out["img://b.gif"]["is_stub"]) == (
+        320, 200, "gif", False)
+    assert (out["img://c.jpg"]["width"], out["img://c.jpg"]["height"],
+            out["img://c.jpg"]["format"], out["img://c.jpg"]["is_stub"]) == (
+        640, 480, "jpeg", False)
+    # real decodes have no fabricated duration
+    assert out["img://a.png"]["duration_s"] is None
+    # unparseable/absent bytes -> deterministic fake, honestly flagged
+    for ref in ("img://junk.bin", "img://missing.jpg"):
+        assert out[ref]["is_stub"] is True and out[ref]["width"] >= 64
+    # no-bytes path is all-stub; disallowing stubs without bytes raises
+    assert all(r["is_stub"] for r in
+               decode_media(media.drop("media_bytes")).collect())
+    with pytest.raises(NotImplementedError):
+        decode_media(media.drop("media_bytes"), allow_stub=False)
+
+
+def test_jaccard_df_cap(corpus):
+    """A cap far above every shingle's df leaves output unchanged; a
+    cap of 1 removes all shared-shingle evidence (every common shingle
+    has df >= 2 by definition) -> no pairs."""
+    uncapped = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+                jaccard_pairs(corpus, threshold=0.5).collect()}
+    capped = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+              jaccard_pairs(corpus, threshold=0.5, max_df=10_000).collect()}
+    assert capped == uncapped and (0, 1) in capped
+    assert jaccard_pairs(corpus, threshold=0.5, max_df=1).count() == 0

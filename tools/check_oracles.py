@@ -47,8 +47,10 @@ def main() -> None:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    qs = dict(entry_mod.queries())
+    qs.update(entry_mod.demoted_queries())
+    oracles = dict(entry_mod.oracle_sql())
+    oracles.update(entry_mod.demoted_oracle_sql())
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and not name.startswith(only):
