@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-AS_OF = "2018-06-01T00:00:00"
+AS_OF = "2019-01-01T00:00:00"
 
 
 def _docs(spark):
@@ -904,12 +904,12 @@ SELECT * FROM (VALUES
   ('NSR:Quay:8',          CAST(0 AS INTEGER), 'Quay',       'NSR', NULL, NULL),
   ('NSR:StopPlace:1',     CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'railStation', 'Drangedal stasjon'),
   ('NSR:StopPlace:10',    CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'onstreetBus', 'Paradis'),
-  ('NSR:StopPlace:1000',  CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'railStation', NULL),
-  ('NSR:StopPlace:59879', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'ferryStop', NULL),
-  ('NSR:StopPlace:59880', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'onstreetBus', NULL),
-  ('NSR:StopPlace:59881', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'ferryStop_onstreetBus_railStation', NULL),
-  ('NSR:StopPlace:59883', CAST(0 AS INTEGER), 'StopPlace',  'NSR', NULL, NULL),
-  ('NSR:StopPlace:999',   CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'busStation', NULL),
+  ('NSR:StopPlace:1000',  CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'railStation', 'Another CompositeFrame Stop'),
+  ('NSR:StopPlace:59879', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'ferryStop', 'Test Charlie'),
+  ('NSR:StopPlace:59880', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'onstreetBus', 'Test Alpha'),
+  ('NSR:StopPlace:59881', CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'ferryStop_onstreetBus_railStation', 'Test Bravo'),
+  ('NSR:StopPlace:59883', CAST(0 AS INTEGER), 'StopPlace',  'NSR', NULL, 'Triangle'),
+  ('NSR:StopPlace:999',   CAST(0 AS INTEGER), 'StopPlace',  'NSR', 'busStation', 'CompositeFrame Stop'),
   ('VKT:TariffZone:729',  CAST(2 AS INTEGER), 'TariffZone', 'VKT', NULL, 'Bolærene'),
   ('VKT:TariffZone:730',  CAST(2 AS INTEGER), 'TariffZone', 'VKT', NULL, 'Bolærene')
 ) AS t(feature_id, section, entity_type, code_space, final_type, name)
@@ -1000,11 +1000,11 @@ _TILE_ASSEMBLY_GOLDEN = """
 SELECT tile, CAST(n_features AS BIGINT) AS n_features,
        CAST(fc_len AS INTEGER) AS fc_len
 FROM (VALUES
-  ('h7_-1494_3582', 4, 1620),
+  ('h7_-1494_3582', 4, 1932),
   ('h7_-1514_3595', 2, 1220),
-  ('h7_-1536_3639', 2, 648),
+  ('h7_-1536_3639', 2, 694),
   ('h7_-1550_3589', 1, 291),
-  ('h7_-1634_3580', 2, 642),
+  ('h7_-1634_3580', 2, 696),
   ('h7_-1671_3851', 1, 292)
 ) AS t(tile, n_features, fc_len)
 """
@@ -1032,7 +1032,7 @@ SELECT cell, CAST(n AS BIGINT) AS n, geom_wkt FROM (VALUES
 _GEOJSON_GOLDEN = """
 SELECT * FROM (VALUES
   ('NSR:StopPlace:1', '{"type":"Feature","id":"NSR:StopPlace:1","geometry":{"type":"Point","coordinates":[10.758136,59.911868]},"properties":{"codeSpace":"NSR","entityType":"StopPlace","finalStopPlaceType":"railStation","hasParentSiteRef":"false","id":"NSR:StopPlace:1","name":"Drangedal stasjon","nameLang":"nor","stopPlaceType":"railStation"}}'),
-  ('NSR:StopPlace:59881', '{"type":"Feature","id":"NSR:StopPlace:59881","geometry":{"type":"Point","coordinates":[10.957167,58.981227]},"properties":{"codeSpace":"NSR","entityType":"StopPlace","finalStopPlaceType":"ferryStop_onstreetBus_railStation","hasParentSiteRef":"true","id":"NSR:StopPlace:59881","isParentStopPlace":"false","isPrimaryAdjacentSite":"true","stopPlaceType":"railStation","weighting":"interchangeAllowed","adjacentSites":["NSR:StopPlace:59879","NSR:StopPlace:59880"]}}'),
+  ('NSR:StopPlace:59881', '{"type":"Feature","id":"NSR:StopPlace:59881","geometry":{"type":"Point","coordinates":[10.957167,58.981227]},"properties":{"codeSpace":"NSR","description":"","descriptionLang":"nor","entityType":"StopPlace","finalStopPlaceType":"ferryStop_onstreetBus_railStation","hasParentSiteRef":"true","id":"NSR:StopPlace:59881","isParentStopPlace":"false","isPrimaryAdjacentSite":"true","name":"Test Bravo","nameLang":"nor","stopPlaceType":"railStation","weighting":"interchangeAllowed","adjacentSites":["NSR:StopPlace:59879","NSR:StopPlace:59880"]}}'),
   ('NSR:Parking:99', '{"type":"Feature","id":"NSR:Parking:99","geometry":{"type":"Point","coordinates":[10.794161,63.411566]},"properties":{"codeSpace":"NSR","entityType":"Parking","hasParentSiteRef":"false","id":"NSR:Parking:99","name":"Parkeringen","nameLang":"nor"}}'),
   ('VKT:TariffZone:729', '{"type":"Feature","id":"VKT:TariffZone:729","geometry":{"type":"Polygon","coordinates":[[[10.47906867027,59.19325200734],[10.47434798241,59.18555854825],[10.4628582,59.1552823],[10.4883382988,59.14873791493],[10.54670316696,59.15252299004],[10.60695631027,59.16686726457],[10.61759931564,59.19993296444],[10.55768949509,59.23683024321],[10.50550443649,59.24130791157],[10.49983961105,59.24034218969],[10.49468976974,59.21654167617],[10.47906867027,59.19325200734]]]},"properties":{"codeSpace":"VKT","entityType":"TariffZone","id":"VKT:TariffZone:729","name":"Bolærene","nameLang":"nor"}}')
 ) AS t(feature_id, feature_json)

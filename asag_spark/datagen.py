@@ -30,7 +30,10 @@ from .schema import DOCS, ZONES
 
 # Pinned "now" for the validity filter (FIXTURES.md §1.1) — replaces the
 # reference's wall-clock LocalDateTime.now() (ValidityFilter.java:41).
-AS_OF = "2018-06-01T00:00:00"
+# Must postdate every fixture validFrom (the latest is
+# adjacent_sites_netex.xml's 2018-11-30T09:44:04 on NSR:StopPlace:59883;
+# the reference's tests ran with a later wall clock and include it).
+AS_OF = "2019-01-01T00:00:00"
 
 # FIXTURES.md §1 span-encoding prop-key order — canonical list lives in
 # schema.ENTITY_PROP_KEYS (the extract kernel and the generator must
@@ -83,7 +86,7 @@ def _doc(doc_id: str, entity_type: str, version: str = "1",
 def fixture_docs_rows() -> list[tuple[str, list]]:
     rows = [
         # F-PD — publication-delivery.xml (9 docs)
-        _doc("NSR:StopPlace:1", "StopPlace",
+        _doc("NSR:StopPlace:1", "StopPlace", version="2",
              props={"name": "Drangedal stasjon", "nameLang": "nor",
                     "stopPlaceType": "railStation",
                     "validFrom": "2017-08-09T12:11:42"},
@@ -91,22 +94,22 @@ def fixture_docs_rows() -> list[tuple[str, list]]:
         _doc("NSR:StopPlace:22", "StopPlace",
              props={"name": "Outdated stop", "nameLang": "nor",
                     "stopPlaceType": "onstreetBus",
-                    "validFrom": "2017-06-19T00:00:00",
-                    "validTo": "2017-06-20T00:00:00"},   # expired → excluded
+                    "validFrom": "2017-06-19T19:12:31.003",
+                    "validTo": "2017-06-20T19:12:31.003"},  # expired → excluded
              geom_wkt="POINT(5.741593 58.956267)"),
         _doc("NSR:StopPlace:10", "StopPlace",
              props={"name": "Paradis", "nameLang": "nor",
                     "stopPlaceType": "onstreetBus",
-                    "validFrom": "2017-06-19T00:00:00"},
+                    "validFrom": "2017-06-19T19:12:31.003"},
              geom_wkt="POINT(5.741593 58.956267)"),
-        _doc("NSR:Quay:8", "Quay",
+        _doc("NSR:Quay:8", "Quay", version="2",
              props={"description": "", "descriptionLang": "nor",
                     "privateCode": "2", "publicCode": "2",
                     "keyList": ("grails-platformId:6684|uicCode:7602103|"
                                 "imported-id:NSB:Quay:0076021032|tpsiId:760210302"),
                     "parentDocId": "NSR:StopPlace:10"},
              geom_wkt="POINT(9.064469 59.096179)"),
-        _doc("NSR:Parking:99", "Parking",
+        _doc("NSR:Parking:99", "Parking", version="4",
              props={"name": "Parkeringen", "nameLang": "nor"},
              geom_wkt="POINT(10.794161 63.411566)"),
         _doc("VKT:TariffZone:729", "TariffZone",
@@ -118,27 +121,37 @@ def fixture_docs_rows() -> list[tuple[str, list]]:
              props={"name": "Bolærene", "nameLang": "nor"},
              geom_wkt=BOLAERENE_WKT),
         # F-ADJ — adjacent_sites_netex.xml (4 docs)
-        _doc("NSR:StopPlace:59881", "StopPlace",
-             props={"stopPlaceType": "railStation",
+        _doc("NSR:StopPlace:59881", "StopPlace", version="7",
+             props={"name": "Test Bravo", "nameLang": "nor",
+                    "description": "", "descriptionLang": "nor",
+                    "stopPlaceType": "railStation",
                     "adjacentSites": "NSR:StopPlace:59879,NSR:StopPlace:59880",
                     "parentSiteRef": "NSR:StopPlace:59883",
                     "keyList": "IS_PARENT_STOP_PLACE:false",
                     "weighting": "interchangeAllowed"},
              geom_wkt="POINT(10.957167 58.981227)"),
-        _doc("NSR:StopPlace:59883", "StopPlace",
-             props={"airSubmode": "unknown",
-                    "keyList": "IS_PARENT_STOP_PLACE:true",
-                    "weighting": "interchangeAllowed"},
+        _doc("NSR:StopPlace:59883", "StopPlace", version="6",
+             props={"name": "Triangle", "nameLang": "nor",
+                    "description": "", "descriptionLang": "nor",
+                    "airSubmode": "unknown",
+                    "keyList": ("CHANGED_BY:johan.wiklund-test|"
+                                "IS_PARENT_STOP_PLACE:true"),
+                    "weighting": "interchangeAllowed",
+                    "validFrom": "2018-11-30T09:44:04"},
              geom_wkt="POINT(10.957344 58.981500)"),
-        _doc("NSR:StopPlace:59879", "StopPlace",
-             props={"stopPlaceType": "ferryStop",
+        _doc("NSR:StopPlace:59879", "StopPlace", version="7",
+             props={"name": "Test Charlie", "nameLang": "nor",
+                    "description": "", "descriptionLang": "nor",
+                    "stopPlaceType": "ferryStop",
                     "adjacentSites": "NSR:StopPlace:59881",
                     "parentSiteRef": "NSR:StopPlace:59883",
                     "keyList": "IS_PARENT_STOP_PLACE:false",
                     "weighting": "interchangeAllowed"},
              geom_wkt="POINT(10.957891 58.981594)"),
-        _doc("NSR:StopPlace:59880", "StopPlace",
-             props={"stopPlaceType": "onstreetBus",
+        _doc("NSR:StopPlace:59880", "StopPlace", version="8",
+             props={"name": "Test Alpha", "nameLang": "nor",
+                    "description": "", "descriptionLang": "nor",
+                    "stopPlaceType": "onstreetBus",
                     "adjacentSites": "NSR:StopPlace:59881",
                     "parentSiteRef": "NSR:StopPlace:59883",
                     "keyList": "IS_PARENT_STOP_PLACE:false",
@@ -146,10 +159,12 @@ def fixture_docs_rows() -> list[tuple[str, list]]:
              geom_wkt="POINT(10.956947 58.981708)"),
         # F-CF — composite-frame-delivery.xml (2 docs)
         _doc("NSR:StopPlace:999", "StopPlace",
-             props={"stopPlaceType": "busStation"},
+             props={"name": "CompositeFrame Stop", "nameLang": "nor",
+                    "stopPlaceType": "busStation"},
              geom_wkt="POINT(10.758136 59.911868)"),
         _doc("NSR:StopPlace:1000", "StopPlace",
-             props={"stopPlaceType": "railStation"},
+             props={"name": "Another CompositeFrame Stop", "nameLang": "nor",
+                    "stopPlaceType": "railStation"},
              geom_wkt="POINT(5.741593 58.956267)"),
     ]
     return rows

@@ -1,0 +1,281 @@
+"""NeTEx XML → docs-table encoder (ingestion front end).
+
+The reference's entire front end is a streaming NeTEx scan
+(DeliveryPublicationStreamToGeoJson.java:104-132 walks
+PublicationDelivery → dataObjects → SiteFrame — directly or inside a
+CompositeFrame, PublicationDeliveryHelper.resolveSiteFrames — and
+visits stopPlaces / parkings / tariffZones, with quays nested under
+their stop place). This module parses the same documents with stdlib
+ElementTree into the FIXTURES.md §1 span encoding, so the reference's
+own test resources (publication-delivery.xml,
+adjacent_sites_netex.xml, composite-frame-delivery.xml, stops.zip's
+tiamat-export.xml) run through the engine end-to-end.
+
+XML parsing is driver-side by design at fixture scale; at 100 TB the
+same `parse_*` functions ride a binaryFile scan + mapInPandas (one
+NeTEx delivery file per row — see ``docs_from_netex_files``), which
+distributes because each delivery parses independently.
+
+Encoding rules (identical to datagen.fixture_docs, which pins the same
+documents as literals):
+
+* one doc per entity (Quay docs carry parentDocId = owning stop);
+* meta span ``entity_type=<T>;id=<id>;version=<v>``;
+* one prop span per present property, in schema.ENTITY_PROP_KEYS
+  order; keyList pairs with empty values are dropped (the reference's
+  null-guarded setters never emit empties — MapperHelper.setIfNotNull);
+* geometry: Centroid → ``POINT(lon lat)`` using the raw decimal text
+  from the XML (no float round-trip), gml posList (lat lon
+  interleaved) → exterior-ring ``POLYGON((lon lat, ...))`` with the
+  pair swap of ZoneToGeoJsonFeatureMapper.java:93-101.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import xml.etree.ElementTree as ET
+
+NS = "{http://www.netex.org.uk/netex}"
+GML = "{http://www.opengis.net/gml/3.2}"
+
+_SUBMODE_TAGS = (
+    ("AirSubmode", "airSubmode"),
+    ("BusSubmode", "busSubmode"),
+    ("CoachSubmode", "coachSubmode"),
+    ("FunicularSubmode", "funicularSubmode"),
+    ("MetroSubmode", "metroSubmode"),
+    ("RailSubmode", "railSubmode"),
+    ("TramSubmode", "tramSubmode"),
+    ("TelecabinSubmode", "telecabinSubmode"),
+    ("WaterSubmode", "waterSubmode"),
+    ("SnowAndIceSubmode", "snowAndIceSubmode"),
+)
+
+
+def _child(el, *tags):
+    """Direct-child lookup through a namespaced path."""
+    cur = el
+    for t in tags:
+        if cur is None:
+            return None
+        cur = cur.find(NS + t)
+    return cur
+
+
+def _text(el, *tags) -> str | None:
+    c = _child(el, *tags)
+    if c is None:
+        return None
+    return c.text if c.text is not None else ""
+
+
+def _point_wkt(el) -> str | None:
+    loc = _child(el, "Centroid", "Location")
+    if loc is None:
+        return None
+    lon = _text(loc, "Longitude")
+    lat = _text(loc, "Latitude")
+    if not lon or not lat:
+        return None
+    return f"POINT({lon.strip()} {lat.strip()})"
+
+
+def _polygon_wkt(el) -> str | None:
+    """gml:Polygon exterior ring → WKT with the NeTEx lat,lon → WKT
+    lon,lat pair swap, preserving the XML's decimal text verbatim."""
+    poly = el.find(GML + "Polygon")
+    if poly is None:
+        return None
+    pos = poly.find(f"{GML}exterior/{GML}LinearRing/{GML}posList")
+    if pos is None or not pos.text:
+        return None
+    toks = pos.text.split()
+    pairs = [f"{toks[i + 1]} {toks[i]}" for i in range(0, len(toks) - 1, 2)]
+    return "POLYGON((" + ", ".join(pairs) + "))"
+
+
+def _keylist(el) -> str | None:
+    kl = _child(el, "keyList")
+    if kl is None:
+        return None
+    pairs = []
+    for kv in kl.findall(NS + "KeyValue"):
+        k = _text(kv, "Key")
+        v = _text(kv, "Value")
+        if k and v:  # empty values are never emitted (setIfNotNull)
+            pairs.append(f"{k}:{v}")
+    return "|".join(pairs) if pairs else None
+
+
+def _common_props(el) -> dict[str, str]:
+    props: dict[str, str] = {}
+    name_el = _child(el, "Name")
+    if name_el is not None:
+        props["name"] = name_el.text if name_el.text is not None else ""
+        if name_el.get("lang"):
+            props["nameLang"] = name_el.get("lang")
+    desc_el = _child(el, "Description")
+    if desc_el is not None:
+        props["description"] = desc_el.text if desc_el.text is not None else ""
+        if desc_el.get("lang"):
+            props["descriptionLang"] = desc_el.get("lang")
+    for tag, key in (("PrivateCode", "privateCode"), ("PublicCode", "publicCode")):
+        v = _text(el, tag)
+        if v:
+            props[key] = v
+    kl = _keylist(el)
+    if kl:
+        props["keyList"] = kl
+    vb = _child(el, "ValidBetween")
+    if vb is not None:
+        f, t = _text(vb, "FromDate"), _text(vb, "ToDate")
+        if f:
+            props["validFrom"] = f
+        if t:
+            props["validTo"] = t
+    return props
+
+
+def _stop_props(el) -> dict[str, str]:
+    props = _common_props(el)
+    v = _text(el, "StopPlaceType")
+    if v:
+        props["stopPlaceType"] = v
+    for tag, key in _SUBMODE_TAGS:
+        s = _text(el, tag)
+        if s:
+            props[key] = s
+    w = _text(el, "Weighting")
+    if w:
+        props["weighting"] = w
+    parent = _child(el, "ParentSiteRef")
+    if parent is not None and parent.get("ref"):
+        props["parentSiteRef"] = parent.get("ref")
+    adj = _child(el, "adjacentSites")
+    if adj is not None:
+        refs = [s.get("ref") for s in adj.findall(NS + "SiteRef") if s.get("ref")]
+        if refs:
+            props["adjacentSites"] = ",".join(refs)
+    return props
+
+
+def _parking_props(el) -> dict[str, str]:
+    props = _common_props(el)
+    for tag, key in (
+        ("TotalCapacity", "totalCapacity"),
+        ("PrincipalCapacity", "principalCapacity"),
+        ("NumberOfParkingLevels", "numberOfParkingLevels"),
+        ("Covered", "covered"),
+    ):
+        v = _text(el, tag)
+        if v:
+            props[key] = v
+    pvt = _child(el, "parkingVehicleTypes")
+    if pvt is None:
+        # single-element form: <ParkingVehicleTypes>car</ParkingVehicleTypes>
+        v = _text(el, "ParkingVehicleTypes")
+        if v:
+            props["parkingVehicleTypes"] = v
+    else:
+        vals = [c.text for c in pvt if c.text]
+        if vals:
+            props["parkingVehicleTypes"] = ",".join(vals)
+    return props
+
+
+def parse_publication_delivery(source) -> list[tuple[str, list]]:
+    """Parse a NeTEx PublicationDelivery (path / file-like / bytes) into
+    docs rows [(doc_id, [(kind, text, media_ref, offset), ...])] in
+    document order: per SiteFrame, stop places (each followed by its
+    quays), parkings, tariff zones."""
+    from .datagen import _doc
+
+    if isinstance(source, (bytes, bytearray)):
+        root = ET.fromstring(source)
+    else:
+        root = ET.parse(source).getroot()
+
+    rows: list[tuple[str, list]] = []
+    # SiteFrames both directly under dataObjects and nested in
+    # CompositeFrame/frames (resolveSiteFramesFromCommonFrame branch)
+    for frame in root.iter(NS + "SiteFrame"):
+        stops = _child(frame, "stopPlaces")
+        for sp in stops.findall(NS + "StopPlace") if stops is not None else []:
+            sid = sp.get("id")
+            rows.append(_doc(sid, "StopPlace", version=sp.get("version", "1"),
+                             props=_stop_props(sp), geom_wkt=_point_wkt(sp)))
+            quays = _child(sp, "quays")
+            for q in quays.findall(NS + "Quay") if quays is not None else []:
+                qprops = _common_props(q)
+                qprops["parentDocId"] = sid
+                rows.append(_doc(q.get("id"), "Quay",
+                                 version=q.get("version", "1"),
+                                 props=qprops, geom_wkt=_point_wkt(q)))
+        parkings = _child(frame, "parkings")
+        for p in parkings.findall(NS + "Parking") if parkings is not None else []:
+            rows.append(_doc(p.get("id"), "Parking",
+                             version=p.get("version", "1"),
+                             props=_parking_props(p), geom_wkt=_point_wkt(p)))
+        zones = _child(frame, "tariffZones")
+        for z in zones.findall(NS + "TariffZone") if zones is not None else []:
+            rows.append(_doc(z.get("id"), "TariffZone",
+                             version=z.get("version", "1"),
+                             props=_common_props(z),
+                             geom_wkt=_polygon_wkt(z) or _point_wkt(z)))
+    return rows
+
+
+def parse_netex_zip(path: str) -> list[tuple[str, list]]:
+    """Docs rows from every .xml inside a NeTEx zip export (the
+    reference consumes stops.zip the same way: unzip → stream each
+    delivery — ZipFileUtils/DeliveryPublicationStreamToGeoJson)."""
+    rows: list[tuple[str, list]] = []
+    with zipfile.ZipFile(path) as zf:
+        for name in sorted(zf.namelist()):
+            if name.lower().endswith(".xml"):
+                rows.extend(parse_publication_delivery(io.BytesIO(zf.read(name))))
+    return rows
+
+
+def docs_from_netex(spark, source) -> "DataFrame":  # noqa: F821
+    """Docs DataFrame from one delivery file (driver-side parse —
+    fixture-scale ingestion)."""
+    from .schema import DOCS
+
+    return spark.createDataFrame(parse_publication_delivery(source), schema=DOCS)
+
+
+def docs_from_netex_files(spark, paths_glob: str) -> "DataFrame":  # noqa: F821
+    """Distributed ingestion: one NeTEx delivery (or zip) per file via
+    binaryFile scan; each file parses independently inside an Arrow
+    batch — the scale path when deliveries number in the millions."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .schema import DOCS
+
+    files = spark.read.format("binaryFile").load(paths_glob).select(
+        "path", "content"
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, spans = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                if path.lower().endswith(".zip"):
+                    with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                        rows = []
+                        for name in sorted(zf.namelist()):
+                            if name.lower().endswith(".xml"):
+                                rows.extend(parse_publication_delivery(
+                                    io.BytesIO(zf.read(name))))
+                else:
+                    rows = parse_publication_delivery(bytes(content))
+                for did, sp in rows:
+                    ids.append(did)
+                    spans.append(sp)
+            yield pd.DataFrame({"doc_id": ids, "spans": spans})
+
+    return files.mapInPandas(kernel, schema=DOCS)

@@ -28,7 +28,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--input", required=True, help="docs parquet dir")
     ap.add_argument("--workdir", required=True)
     ap.add_argument("--zones", default=None, help="zones parquet dir")
-    ap.add_argument("--as-of", default="2018-06-01T00:00:00")
+    ap.add_argument("--as-of", default="2019-01-01T00:00:00")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 

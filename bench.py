@@ -30,7 +30,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # setup) stop dominating — measured 115k docs/s at 1M vs ~45k at 200k
 # on identical code; the generated input is cached under /tmp per size
 N_DOCS = int(os.environ.get("ASAG_BENCH_DOCS", "1000000"))
-AS_OF = "2018-06-01T00:00:00"
+AS_OF = "2019-01-01T00:00:00"
 
 
 def bench_docs_path(spark) -> str:

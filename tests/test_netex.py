@@ -1,0 +1,95 @@
+"""NeTEx XML → docs encoder parity (VERDICT r01 §next-round-5).
+
+The reference's own test resources must round-trip into the engine:
+the encoder's output is asserted EQUAL, span for span, to the pinned
+fixture literals in datagen.fixture_docs (which FIXTURES.md §1 defines
+as the encoding of those same XML files), and stops.zip must yield the
+counts the reference's route test consumes (7 StopPlaces / 5 Quays —
+tiamat-export.xml).
+"""
+
+import os
+
+import pytest
+
+from asag_spark.datagen import fixture_docs_rows
+from asag_spark.netex import (
+    docs_from_netex_files, parse_netex_zip, parse_publication_delivery,
+)
+
+REF = "/root/reference/src/test/resources"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference test resources not present"
+)
+
+
+def _encoded():
+    rows = []
+    for f in ("publication-delivery.xml", "adjacent_sites_netex.xml",
+              "composite-frame-delivery.xml"):
+        rows.extend(parse_publication_delivery(f"{REF}/{f}"))
+    return rows
+
+
+def test_encoder_matches_fixture_literals_exactly():
+    enc = dict(_encoded())
+    fx = dict(fixture_docs_rows())
+    assert set(enc) == set(fx)
+    for doc_id in fx:
+        assert enc[doc_id] == fx[doc_id], f"span mismatch for {doc_id}"
+
+
+def test_encoder_document_order_preserved():
+    # per file: stop places (each followed by its quays), parkings,
+    # tariff zones — the reference's stream order
+    ids = [r[0] for r in
+           parse_publication_delivery(f"{REF}/publication-delivery.xml")]
+    assert ids == [
+        "NSR:StopPlace:1", "NSR:StopPlace:22", "NSR:StopPlace:10",
+        "NSR:Quay:8", "NSR:Parking:99", "VKT:TariffZone:729",
+        "VKT:TariffZone:788", "VKT:TariffZone:730",
+    ]
+
+
+def test_stops_zip_counts():
+    rows = parse_netex_zip(f"{REF}/stops.zip")
+    kinds = [s[1].split(";")[0].split("=")[1]
+             for _, spans in rows for s in spans if s[0] == "meta"]
+    assert kinds.count("StopPlace") == 7  # TestConfig.java:27-33 export
+    assert kinds.count("Quay") == 5
+
+
+def test_polygon_pair_swap():
+    # NeTEx posList is lat,lon interleaved; WKT must come out lon,lat
+    rows = dict(parse_publication_delivery(f"{REF}/publication-delivery.xml"))
+    geom = [s for s in rows["VKT:TariffZone:729"] if s[0] == "geom"]
+    assert len(geom) == 1
+    assert geom[0][1].startswith("POLYGON((10.47906867027 59.19325200734, ")
+    # no-geometry zone emits no geom span
+    assert not [s for s in rows["VKT:TariffZone:788"] if s[0] == "geom"]
+
+
+def test_distributed_netex_ingestion(spark, tmp_path):
+    """binaryFile-scan path: same rows as the driver-side parse, and
+    the full pipeline runs on the reference's own resources."""
+    import shutil
+
+    from asag_spark.datagen import AS_OF
+    from asag_spark.operators.enrich import build_features
+
+    src = str(tmp_path / "netex")
+    os.makedirs(src)
+    for f in ("publication-delivery.xml", "adjacent_sites_netex.xml",
+              "composite-frame-delivery.xml"):
+        shutil.copy(f"{REF}/{f}", src)
+    shutil.copy(f"{REF}/stops.zip", src)
+    docs = docs_from_netex_files(spark, src)
+    assert docs.count() == len(fixture_docs_rows()) + 12  # + stops.zip docs
+    feats = build_features(docs, as_of=AS_OF)
+    ids = {r["feature_id"] for r in feats.select("feature_id").collect()}
+    # reference expectations: expired and geometry-less entities excluded
+    assert "NSR:StopPlace:22" not in ids
+    assert "VKT:TariffZone:788" not in ids
+    assert {"NSR:StopPlace:1", "NSR:Quay:8", "VKT:TariffZone:729"} <= ids
+    assert "NSR:StopPlace:39231" in ids  # from stops.zip

@@ -60,7 +60,7 @@ spark = get_spark("abprobe", master="local[{cores}]",
                           f"-Xms{{heap_gb}}g -XX:+AlwaysPreTouch",
                   }})
 docs = spark.read.parquet({docs_path!r})
-AS_OF = "2018-06-01T00:00:00"
+AS_OF = "2019-01-01T00:00:00"
 
 def steal_jiffies():
     tot = 0

@@ -101,7 +101,7 @@ spark = get_spark("scaling", master="local[{cores}]",
                   }})
 docs = spark.read.parquet({docs_path!r})
 n_docs = docs.count()
-tiles = assign_tiles(build_features(docs, as_of="2018-06-01T00:00:00"))
+tiles = assign_tiles(build_features(docs, as_of="2019-01-01T00:00:00"))
 
 def run_tiles():
     tiles.write.format("noop").mode("overwrite").save()

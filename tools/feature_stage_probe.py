@@ -49,7 +49,7 @@ spark = get_spark("fsprobe", master="local[{cores}]",
                           f"-Xms{{heap_gb}}g -XX:+AlwaysPreTouch",
                   }})
 docs = spark.read.parquet({docs_path!r})
-AS_OF = "2018-06-01T00:00:00"
+AS_OF = "2019-01-01T00:00:00"
 
 e0 = extract_entities(docs, spans_through=False).persist(
     StorageLevel.MEMORY_AND_DISK)

@@ -50,7 +50,7 @@ docs = spark.read.parquet({docs_path!r})
 def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
-AS_OF = "2018-06-01T00:00:00"
+AS_OF = "2019-01-01T00:00:00"
 e0 = validity_filter(extract_entities(docs, spans_through=False), AS_OF)
 feats = build_features(docs, as_of=AS_OF)
 stages = [

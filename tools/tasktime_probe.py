@@ -39,7 +39,7 @@ spark = get_spark("tasktime", master="local[{cores}]",
                       "spark.eventLog.dir": {evdir!r},
                   }})
 docs = spark.read.parquet({docs_path!r})
-tiles = assign_tiles(build_features(docs, as_of="2018-06-01T00:00:00"))
+tiles = assign_tiles(build_features(docs, as_of="2019-01-01T00:00:00"))
 tiles.write.format("noop").mode("overwrite").save()   # warm
 t0 = time.perf_counter()
 tiles.write.format("noop").mode("overwrite").save()
