@@ -102,6 +102,48 @@ def feature_json(df: DataFrame) -> DataFrame:
 
 
 def feature_collection(features_json: list[str]) -> str:
-    """Driver-side framing for single-file output — mirrors the
-    reference's header/comma/footer framing (:274-287)."""
+    """Driver-side framing for an in-memory list — fixture-scale only
+    (mirrors the reference's header/comma/footer framing :274-287).
+    For real outputs use ``write_feature_collection``."""
     return '{"features": [' + ",".join(features_json) + '], "type": "FeatureCollection"}'
+
+
+def write_feature_collection(df: DataFrame, path: str,
+                             order_by: tuple[str, ...] = ("section", "feature_id"),
+                             buffer_bytes: int = 1 << 20) -> int:
+    """Single-file FeatureCollection sink at scale: stream the
+    ``feature_json`` column through ``toLocalIterator()`` with the
+    reference's header/comma/footer framing
+    (DeliveryPublicationStreamToGeoJson.java:274-287) — the driver
+    holds ONE partition at a time, never the whole collection (the
+    round-1 list assembly materialized every feature on the driver).
+    Rows arrive in canonical (section, feature_id) order, matching the
+    tiled sink's determinism contract; partitions are fetched lazily in
+    that sort order. Returns the feature count.
+
+    This is the asag-compat whole-output path; the scale-preferred
+    layout remains per-tile files (geo/tiles.py) where no single-file
+    bottleneck exists at all — a single .geojson file is inherently a
+    one-writer sink, so the driver streams it; everything upstream
+    (feature build, JSON render, sort) stays distributed."""
+    fj = feature_json(df) if "feature_json" not in df.columns else df
+    it = fj.orderBy(*order_by).select("feature_json").toLocalIterator(
+        prefetchPartitions=True
+    )
+    n = 0
+    buf: list[str] = []
+    buf_len = 0
+    with open(path, "w", encoding="utf-8") as out:
+        out.write('{"features": [')
+        for row in it:
+            if n:
+                buf.append(",")
+            buf.append(row[0])
+            buf_len += len(row[0]) + 1
+            n += 1
+            if buf_len >= buffer_bytes:
+                out.write("".join(buf))
+                buf, buf_len = [], 0
+        out.write("".join(buf))
+        out.write('], "type": "FeatureCollection"}')
+    return n

@@ -135,3 +135,56 @@ def test_adjacency_strategy_parity(spark):
         a, b = bp.select(*cols), sg.select(*cols)
         assert a.exceptAll(b).count() == 0
         assert b.exceptAll(a).count() == 0
+
+
+def test_streamed_feature_collection_sink(spark, tmp_path):
+    """write_feature_collection streams 100k+ features through
+    toLocalIterator (no driver-side list of the whole collection) and
+    produces a valid FeatureCollection with the reference framing."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from asag_spark.geojson import write_feature_collection
+    from asag_spark.schema import PROP_FIELDS
+
+    props = F.struct(*[
+        (F.concat(F.lit("n"), F.col("id")) if k == "name"
+         else F.lit(None).cast("string")).alias(k)
+        for k in PROP_FIELDS
+    ])
+    feats = spark.range(100_000).select(
+        F.concat(F.lit("F:"), F.col("id")).alias("feature_id"),
+        F.lit(0).alias("section"),
+        F.concat(F.lit("POINT(10.0 59."),
+                 F.pmod(F.col("id"), F.lit(1000)).cast("string"),
+                 F.lit(")")).alias("geometry_wkt"),
+        F.lit(10.0).alias("lon"),
+        (F.lit(59.0) + F.pmod(F.col("id"), F.lit(1000)) / 1e6).alias("lat"),
+        props.alias("properties"),
+        F.lit(None).cast("array<string>").alias("adjacent_sites"),
+    )
+    path = str(tmp_path / "out.geojson")
+    n = write_feature_collection(feats, path, order_by=("feature_id",))
+    assert n == 100_000
+    with open(path, encoding="utf-8") as f:
+        fc = json.load(f)
+    assert fc["type"] == "FeatureCollection"
+    assert len(fc["features"]) == 100_000
+    assert fc["features"][0]["id"] == "F:0"
+    assert fc["features"][0]["properties"]["name"] == "n0"
+
+
+def test_streamed_sink_matches_driver_framing(spark, tmp_path):
+    """Fixture-scale parity: the streamed sink's bytes equal the
+    driver-list framing of the same ordered feature_json values."""
+    from asag_spark.datagen import AS_OF, fixture_docs
+    from asag_spark.geojson import feature_collection, feature_json, write_feature_collection
+    from asag_spark.operators.enrich import build_features
+
+    feats = build_features(fixture_docs(spark), as_of=AS_OF)
+    path = str(tmp_path / "fx.geojson")
+    write_feature_collection(feats, path)
+    ordered = [r[0] for r in feature_json(feats)
+               .orderBy("section", "feature_id").select("feature_json").collect()]
+    assert open(path, encoding="utf-8").read() == feature_collection(ordered)
