@@ -197,6 +197,20 @@ def main() -> None:
         )),
         warm=1,
     )
+    # round-2 rebuilds (banded hyperplane LSH / 4x8 SimHash): benched so
+    # regressions in the scale-path dedup family are attributable
+    from asag_spark.operators.dedup import embedding_near_dups, simhash_near_dups
+
+    timed(
+        "emb_near_dups",
+        lambda: materialize(embedding_near_dups(embeddings, threshold=0.3)),
+        warm=1,
+    )
+    timed(
+        "simhash_near_dups",
+        lambda: materialize(simhash_near_dups(documents, max_hamming=3)),
+        warm=1,
+    )
 
     # 6. relational headliners
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
