@@ -93,3 +93,15 @@ def test_distributed_netex_ingestion(spark, tmp_path):
     assert "VKT:TariffZone:788" not in ids
     assert {"NSR:StopPlace:1", "NSR:Quay:8", "VKT:TariffZone:729"} <= ids
     assert "NSR:StopPlace:39231" in ids  # from stops.zip
+
+
+def test_malformed_xml_fails_loudly(tmp_path):
+    """Reference parity: a malformed delivery fails the run
+    (DeliveryPublicationStreamToGeoJsonTest malformed-XML case) —
+    never a silent empty result."""
+    import xml.etree.ElementTree as ET
+
+    bad = tmp_path / "bad.xml"
+    bad.write_text("<PublicationDelivery><dataObjects><SiteFrame>")
+    with pytest.raises(ET.ParseError):
+        parse_publication_delivery(str(bad))

@@ -335,3 +335,41 @@ def test_jaccard_df_cap(corpus):
               jaccard_pairs(corpus, threshold=0.5, max_df=10_000).collect()}
     assert capped == uncapped and (0, 1) in capped
     assert jaccard_pairs(corpus, threshold=0.5, max_df=1).count() == 0
+
+
+def test_parse_image_header_property():
+    """Property: for any dims, a synthesized PNG/GIF/JPEG header parses
+    back to exactly those dims (pure function, no Spark needed)."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from asag_spark.operators.media import parse_image_header
+
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(1, 2**31 - 1), h=st.integers(1, 2**31 - 1),
+           fmt=st.sampled_from(["png", "gif", "jpeg"]))
+    def check(w, h, fmt):
+        if fmt == "png":
+            b = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+                 + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00")
+        elif fmt == "gif":
+            if w > 0xFFFF or h > 0xFFFF:
+                return  # GIF dims are 16-bit by format definition
+            b = b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+        else:
+            if w > 0xFFFF or h > 0xFFFF:
+                return  # JPEG SOF dims are 16-bit
+            b = (b"\xff\xd8"
+                 + b"\xff\xe0" + struct.pack(">H", 7) + b"JFIF\x00"
+                 + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+                 + struct.pack(">HH", h, w) + b"\x01\x11\x00\x00")
+        assert parse_image_header(b) == (w, h, fmt)
+
+    check()
+    # garbage and truncation never crash, never claim a decode
+    assert parse_image_header(b"") is None
+    assert parse_image_header(None) is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a") is None
+    assert parse_image_header(b"\xff\xd8\xff") is None
