@@ -665,6 +665,13 @@ def _t_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def _t_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
 def _t_emb_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.dedup import embedding_near_dups
 
@@ -831,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_dedup": _t_minhash_dedup,
         "t_cosine_topk": _t_cosine_topk,
         "t_cosine_topk_lsh": _t_cosine_topk_lsh,
+        "t_ivf_topk": _t_ivf_topk,
         "t_emb_near_dups": _t_emb_near_dups,
         "t_simhash_near_dups": _t_simhash,
         "t_media_decode": _t_media_decode,
@@ -858,7 +866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_multijoin": _q5_multijoin,
         "q_window_topk": _q_window,
         "q_explode_tokens": _q_explode_tokens,
-        "q_events_hourly": _q_events_hourly,
         "q_asof_window": _q_asof_window,
         "q_sessionize": _q_sessionize,
         # streaming (live SQL oracles)
@@ -880,6 +887,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_demoted_oracles.py runs each against its DuckDB oracle,
     and tools/check_oracles.py covers both registries."""
     return {
+        # demoted round 2 to make room for t_ivf_topk: its oracle is
+        # the same hourly aggregation s_hourly_stream still carries in
+        # the live registry (availableNow batch-parity)
+        "q_events_hourly": _q_events_hourly,
         "q_anti_join": _q_anti,
         "q_rollup": _q_rollup,
         "q_union_distinct": _q_union_distinct,
@@ -1501,6 +1512,69 @@ FROM scored
 QUALIFY rank <= 5
 """
 
+# IVF-flat oracle mirroring operators/similarity.ivf_topk exactly:
+# centroids = the IVF_CELLS corpus vectors with smallest md5(vec_id)
+# (seeded uniform sample), assignment = rounded-cosine argmax with
+# ties to the smallest centroid id (numpy argmax over c_id-ascending
+# columns), probe set = IVF_NPROBE nearest cells per query under the
+# same ordering, candidates = corpus rows in probed cells, final rank
+# = (cosine DESC, neighbor_id ASC). All cosines rounded to 6 dp before
+# any comparison so numpy and DuckDB summation order cannot diverge.
+def _ivf_sql() -> str:
+    from asag_spark.operators.similarity import IVF_CELLS, IVF_NPROBE
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+  FROM embeddings
+  ORDER BY md5(vec_id::VARCHAR), vec_id
+  LIMIT {IVF_CELLS}
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT e.vec_id, cent.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.v, cent.cv)
+                            / (e.norm * cent.cnorm), 6) DESC,
+                      cent.c_id ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT query_id, c_id FROM (
+    SELECT e.vec_id AS query_id, cent.c_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.v, cent.cv)
+                            / (e.norm * cent.cnorm), 6) DESC,
+                      cent.c_id ASC) AS rn
+    FROM e CROSS JOIN cent
+    WHERE e.vec_id < 5
+  ) WHERE rn <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qe.v, ne.v) / (qe.norm * ne.norm), 6) AS cosine
+  FROM probe p
+  JOIN assign a ON a.c_id = p.c_id
+  JOIN e qe ON qe.vec_id = p.query_id
+  JOIN e ne ON ne.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
 _EMB_ND_SQL = f"""
 WITH {_emb_bk_cte()},
 pairs AS (
@@ -1767,6 +1841,7 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "t_cosine_topk": _COSINE_TOPK_SQL,
         "t_cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
+        "t_ivf_topk": _ivf_sql(),
         "t_emb_near_dups": _EMB_ND_SQL,
         "t_simhash_near_dups": _simhash_sql(),
         "t_media_decode": _MEDIA_DECODE_SQL,

@@ -192,3 +192,156 @@ def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
     )
+
+
+# IVF coarse-quantizer defaults: cells ~ sqrt(|corpus|) is the classic
+# IVF-flat operating point; nprobe trades recall for scan fraction.
+IVF_CELLS = 32
+IVF_NPROBE = 4
+
+
+def ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
+    """Deterministic coarse quantizer: the ``n_cells`` corpus vectors
+    with the smallest md5(vec_id) serve as centroids (a seeded uniform
+    sample — no iterative k-means, which keeps the assignment
+    closed-form for the value oracle). At scale the centroid set is
+    whatever the quantizer training produced; the plan downstream is
+    identical — only this tiny frame changes. Returns (ids, matrix)
+    with centroid columns sorted by centroid id ascending (the
+    tie-break order assignment relies on)."""
+    import numpy as np
+
+    rows = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>"))
+        .withColumn("_h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("_h", "vec_id")
+        .limit(n_cells)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r[0])  # columns by c_id asc → argmax ties → smallest id
+    c_ids = np.array([r[0] for r in rows])
+    C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    return c_ids, C
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-flat approximate top-k (the brief's named ANN scale path,
+    alongside the LSH-banded variant): assign every corpus vector to
+    its nearest centroid (one Arrow matmul per batch — map-only), then
+    each query scans ONLY its ``nprobe`` nearest cells, i.e. a
+    ~nprobe/n_cells fraction of the corpus, with the same
+    per-partition matmul + local top-k + tiny global merge as the
+    brute path. The corpus never shuffles; candidates (≤ partitions ×
+    n_q × k rows) are the only exchange. Ranking ties and centroid
+    ties both break on id over 6-decimal-rounded cosines, so the
+    assignment and result are parallelism- and engine-invariant.
+
+    At 10^12 vectors the assignment pass writes (vec_id, cell_id) once
+    (cells ~ sqrt(N)), the probed fraction bounds each query's work,
+    and cell-partitioned storage turns the probe into partition
+    pruning — the standard IVF-flat layout."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    id_type = emb.schema["vec_id"].dataType
+    c_ids, C = ivf_centroids(emb, n_cells)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    q_rows = queries.select(
+        "vec_id", F.col("embedding").cast("array<double>")
+    ).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], out_schema.add("rank", T.IntegerType())
+        ).select("query_id", "neighbor_id", "rank", "cosine")
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    # driver-side probe sets: per query the nprobe cells nearest by
+    # rounded cosine, ties to smaller centroid id (argsort is stable
+    # and columns are c_id-ascending)
+    SQ = np.round((Q @ C.T) / (qn[:, None] * cn[None, :]), 6)
+    probe_cols = np.argsort(-SQ, axis=1, kind="stable")[:, :nprobe]
+    # membership matrix over centroid columns: M[c, j] = query j probes cell c
+    M = np.zeros((len(c_ids), len(q_ids)), dtype=bool)
+    for j in range(len(q_ids)):
+        M[probe_cols[j], j] = True
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (c_ids, C.T.copy(), cn, q_ids, Q.T.copy(), qn, M)
+    )
+
+    def probe_topk(batches):
+        c_ids_v, Ct, cn_v, q_ids_v, Qt, qn_v, M_v = bc.value
+        nq = len(q_ids_v)
+        pool: list = []
+        for batch in batches:
+            ids = batch["vec_id"].to_numpy()
+            B = np.stack(batch["embedding"].to_numpy())
+            bn = np.sqrt((B * B).sum(axis=1))
+            # cell assignment: rounded cosine argmax; np.argmax returns
+            # the FIRST maximal column and columns are c_id-ascending,
+            # so ties resolve to the smallest centroid id — the same
+            # order the oracle's (cos DESC, c_id ASC) row_number uses
+            SC = np.round((B @ Ct) / (bn[:, None] * cn_v[None, :]), 6)
+            cell_col = np.argmax(SC, axis=1)
+            S = np.round((B @ Qt) / (bn[:, None] * qn_v[None, :]), 6)
+            S[~M_v[cell_col, :]] = -np.inf       # not in a probed cell
+            S[ids[:, None] == q_ids_v[None, :]] = -np.inf  # self-match
+            if len(ids) > k:
+                kth = np.partition(S, -k, axis=0)[-k, :]
+                keep = (S >= kth[None, :]) & (S > -np.inf)
+            else:
+                keep = S > -np.inf
+            rows, cols = np.nonzero(keep)
+            if len(rows):
+                pool.append((ids[rows], cols, S[rows, cols]))
+        if not pool:
+            return
+        nid = np.concatenate([p[0] for p in pool])
+        qcol = np.concatenate([p[1] for p in pool])
+        cos = np.concatenate([p[2] for p in pool])
+        out_q, out_n, out_c = [], [], []
+        for j in range(nq):
+            m = qcol == j
+            if not m.any():
+                continue
+            nj, cj = nid[m], cos[m]
+            order = np.lexsort((nj, -cj))[:k]
+            out_q.append(np.repeat(q_ids_v[j], len(order)))
+            out_n.append(nj[order])
+            out_c.append(cj[order])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    cand = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(probe_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "cosine",
+        )
+    )
