@@ -197,6 +197,17 @@ def main() -> None:
         )),
         warm=1,
     )
+    # IVF-flat ANN (the coarse-quantized scale path): probe cost is the
+    # honest number to track — centroid selection is a one-off
+    from asag_spark.operators.similarity import ivf_topk
+
+    timed(
+        "ivf_topk",
+        lambda: materialize(ivf_topk(
+            embeddings, embeddings.filter(F.col("vec_id") < 16), k=10
+        )),
+        warm=1,
+    )
     # round-2 rebuilds (banded hyperplane LSH / 4x8 SimHash): benched so
     # regressions in the scale-path dedup family are attributable
     from asag_spark.operators.dedup import embedding_near_dups, simhash_near_dups

@@ -146,3 +146,23 @@ def test_emb_lsh_joins_key_on_band_keys(spark):
         assert "BatchEvalPython" not in plan
         # the legacy low-cardinality bucket column is gone
         assert "bucket" not in plan
+
+
+def test_ivf_probe_corpus_never_shuffles(spark):
+    """ivf_topk's scale contract: the corpus reaches the probe
+    mapInPandas with ZERO shuffle exchanges before it — assignment and
+    candidate generation are map-only (centroids + probe sets ride a
+    broadcast variable); the only exchange in the plan is the single
+    hash exchange feeding the tiny global top-k window over candidate
+    rows (<= partitions x n_q x k)."""
+    from asag_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(ivf_topk(e, e.filter(F.col("vec_id") < 5), k=5))
+    assert _shuffles(plan) == 1, plan
+    # the one exchange must sit ABOVE the Python probe (window merge),
+    # not below it (corpus shuffle): in the bottom-up plan string the
+    # mapInPandas node appears after (deeper than) the exchange
+    probe_pos = plan.index("MapInPandas")
+    exch_pos = plan.index("Exchange hash")
+    assert exch_pos < probe_pos, plan

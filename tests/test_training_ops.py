@@ -373,3 +373,37 @@ def test_parse_image_header_property():
     assert parse_image_header(None) is None
     assert parse_image_header(b"\x89PNG\r\n\x1a") is None
     assert parse_image_header(b"\xff\xd8\xff") is None
+
+
+def test_ivf_topk_properties(spark):
+    """IVF-flat ANN contract on the provided embeddings table:
+    (a) every returned cosine is the EXACT pair cosine (the probe only
+        restricts candidates, never rescores),
+    (b) recall@5 vs brute force beats the probed corpus fraction by
+        >=2x (nprobe/n_cells = 1/8 of the corpus scanned; near-uniform
+        random vectors are IVF's worst case, so the floor is modest
+        but the lift must be real),
+    (c) output is invariant to input partitioning (determinism claim:
+        md5-seeded centroids + rounded cosines + pinned tie-breaks)."""
+    from asag_spark.operators.similarity import (
+        IVF_CELLS, IVF_NPROBE, cosine_topk, ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 20)
+    brute = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk(e, q, k=5).collect()}
+    ivf_rows = ivf_topk(e, q, k=5).collect()
+    ivf = {(r.query_id, r.neighbor_id): r.cosine for r in ivf_rows}
+
+    # (a) exact scores on the pairs both return
+    for pair in set(brute) & set(ivf):
+        assert abs(brute[pair] - ivf[pair]) < 1e-9
+    # (b) recall lift over the scanned fraction
+    recall = len(set(brute) & set(ivf)) / len(brute)
+    scanned = IVF_NPROBE / IVF_CELLS
+    assert recall >= 2 * scanned, f"recall {recall} vs scanned {scanned}"
+    # (c) partitioning invariance
+    a = sorted(map(tuple, ivf_topk(e.repartition(3), q, k=5).collect()))
+    b = sorted(map(tuple, ivf_rows))
+    assert a == b
