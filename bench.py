@@ -92,21 +92,55 @@ def main() -> None:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    def timed(name: str, fn, warm: int = 0, repeats: int = 2):
+    def _cpu_steal() -> tuple[float, float]:
+        # (steal_jiffies, total_jiffies) summed over all cpus
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [float(x) for x in f[1:]]
+        return vals[7] if len(vals) > 7 else 0.0, sum(vals)
+
+    steal_at_min: dict[str, float] = {}
+
+    def timed(name: str, fn, warm: int = 0, repeats: int = 2, max_repeats: int = 4):
         # warm runs: tiered JIT over the wide codegen'd projections needs
         # 1-3 full passes to steady state (production executors are
         # long-running, so steady state is the honest number). Best-of-N
         # timed runs: this box is a shared guest with bursty CPU steal
         # (measured 2-6x wall swings on identical actions), and min over
         # a few runs is the standard unbiased-under-noise estimator.
+        # Adaptive tail: if the two best runs still disagree by >1.3x a
+        # steal burst likely polluted the sample — take extra runs (cap
+        # max_repeats) so one bad window can't masquerade as a 2x
+        # regression in the per-round single-shot record.
+        # Per-run hypervisor steal is sampled so a polluted record is
+        # SELF-DESCRIBING: steal_at_min >~ 0.05 means the best run of
+        # this op was taken inside a steal burst and its wall time says
+        # more about the host than the engine (same practice as the
+        # pinned scaling ladder in BENCH/BASELINE.md).
         for _ in range(warm):
             fn()
-        best, out = 1e18, None
-        for _ in range(repeats):
+        walls, steals, out = [], [], None
+
+        def one_run():
+            nonlocal out
+            s0, t0j = _cpu_steal()
             t0 = time.perf_counter()
             out = fn()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            wall = time.perf_counter() - t0
+            s1, t1j = _cpu_steal()
+            walls.append(wall)
+            steals.append((s1 - s0) / max(t1j - t0j, 1.0))
+
+        for _ in range(repeats):
+            one_run()
+        while len(walls) < max_repeats:
+            top2 = sorted(walls)[:2]
+            if len(top2) >= 2 and top2[1] <= 1.3 * top2[0]:
+                break
+            one_run()
+        i_best = min(range(len(walls)), key=walls.__getitem__)
+        timings[name] = round(walls[i_best], 3)
+        steal_at_min[name] = round(steals[i_best], 4)
         return out
 
     def materialize(df):
@@ -234,6 +268,7 @@ def main() -> None:
         warm=1,
     )
 
+    extras["steal_at_min"] = steal_at_min
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
