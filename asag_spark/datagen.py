@@ -323,3 +323,39 @@ def generate_zones(spark: SparkSession, seed: int = 42) -> DataFrame:
         wkt = f"POLYGON(({ring}, {vx[0]:.7f} {vy[0]:.7f}))"
         rows.append((f"MUNI:{i:04d}", "municipality", f"Muni {i}", wkt))
     return spark.createDataFrame(rows, schema=ZONES)
+
+
+def generate_embeddings(spark: SparkSession, n_vecs: int, dim: int = 64,
+                        n_clusters: int = 64, seed: int = 42,
+                        partitions: int | None = None) -> DataFrame:
+    """Deterministic clustered embedding corpus for ANN benchmarks:
+    vec i = unit-normalized (center[c_i] + 0.6·(u−0.5) per-dim noise),
+    c_i Zipf-skewed like the geo generator. Clustered (not uniform)
+    because locality indexes are meaningless on uniform random vectors;
+    counter-based splitmix64 streams make every vector a pure function
+    of (vec_id, seed) — same rows at any partitioning (TESTDATA-style:
+    synthesized at small scale, no external data)."""
+    centers = np.random.default_rng(seed).standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cdf = _zipf_cdf(n_clusters)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx = pdf["id"].to_numpy(dtype=np.int64)
+            ci = np.searchsorted(cdf, _uniform(idx, 100, seed))
+            noise = np.stack(
+                [_uniform(idx, 101 + d, seed) - 0.5 for d in range(dim)],
+                axis=1,
+            )
+            V = centers[ci] + 0.6 * noise
+            V /= np.linalg.norm(V, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": idx,
+                    "embedding": [row.astype(np.float32) for row in V],
+                }
+            )
+
+    parts = partitions or spark.sparkContext.defaultParallelism
+    base = spark.range(0, n_vecs, numPartitions=parts)
+    return base.mapInPandas(gen, schema="vec_id long, embedding array<float>")

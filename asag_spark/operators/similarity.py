@@ -225,6 +225,52 @@ def ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
     return c_ids, C
 
 
+def _probe_sets(Q, qn, C, cn, nprobe: int):
+    """Per-query probe membership over centroid COLUMNS (c_id asc):
+    the nprobe cells nearest by 6-dp-rounded cosine, ties to the
+    smaller centroid id (stable argsort over c_id-ascending columns).
+    Returns the bool matrix M[c, j] = query j probes cell c."""
+    import numpy as np
+
+    SQ = np.round((Q @ C.T) / (qn[:, None] * cn[None, :]), 6)
+    probe_cols = np.argsort(-SQ, axis=1, kind="stable")[:, :nprobe]
+    M = np.zeros((C.shape[0], Q.shape[0]), dtype=bool)
+    for j in range(Q.shape[0]):
+        M[probe_cols[j], j] = True
+    return M
+
+
+def _local_topk(pool, q_ids_v, k):
+    """Per-partition merge: pool of (neighbor_ids, query_cols, cosines)
+    chunks → one pandas frame of each query's local top-k (ties on
+    (cosine DESC, neighbor_id ASC) via lexsort)."""
+    import numpy as np
+    import pandas as pd
+
+    nid = np.concatenate([p[0] for p in pool])
+    qcol = np.concatenate([p[1] for p in pool])
+    cos = np.concatenate([p[2] for p in pool])
+    out_q, out_n, out_c = [], [], []
+    for j in range(len(q_ids_v)):
+        m = qcol == j
+        if not m.any():
+            continue
+        nj, cj = nid[m], cos[m]
+        order = np.lexsort((nj, -cj))[:k]
+        out_q.append(np.repeat(q_ids_v[j], len(order)))
+        out_n.append(nj[order])
+        out_c.append(cj[order])
+    if not out_q:
+        return None
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "cosine": np.concatenate(out_c),
+        }
+    )
+
+
 def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
     """IVF-flat approximate top-k (the brief's named ANN scale path,
@@ -241,9 +287,9 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     At 10^12 vectors the assignment pass writes (vec_id, cell_id) once
     (cells ~ sqrt(N)), the probed fraction bounds each query's work,
     and cell-partitioned storage turns the probe into partition
-    pruning — the standard IVF-flat layout."""
+    pruning — the standard IVF-flat layout (``ivf_index_write`` /
+    ``ivf_topk_indexed`` below materialize exactly that)."""
     import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     id_type = emb.schema["vec_id"].dataType
@@ -268,15 +314,7 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = np.sqrt((Q * Q).sum(axis=1))
 
-    # driver-side probe sets: per query the nprobe cells nearest by
-    # rounded cosine, ties to smaller centroid id (argsort is stable
-    # and columns are c_id-ascending)
-    SQ = np.round((Q @ C.T) / (qn[:, None] * cn[None, :]), 6)
-    probe_cols = np.argsort(-SQ, axis=1, kind="stable")[:, :nprobe]
-    # membership matrix over centroid columns: M[c, j] = query j probes cell c
-    M = np.zeros((len(c_ids), len(q_ids)), dtype=bool)
-    for j in range(len(q_ids)):
-        M[probe_cols[j], j] = True
+    M = _probe_sets(Q, qn, C, cn, nprobe)
 
     bc = emb.sparkSession.sparkContext.broadcast(
         (c_ids, C.T.copy(), cn, q_ids, Q.T.copy(), qn, M)
@@ -284,7 +322,6 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
 
     def probe_topk(batches):
         c_ids_v, Ct, cn_v, q_ids_v, Qt, qn_v, M_v = bc.value
-        nq = len(q_ids_v)
         pool: list = []
         for batch in batches:
             ids = batch["vec_id"].to_numpy()
@@ -309,31 +346,217 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
                 pool.append((ids[rows], cols, S[rows, cols]))
         if not pool:
             return
-        nid = np.concatenate([p[0] for p in pool])
-        qcol = np.concatenate([p[1] for p in pool])
-        cos = np.concatenate([p[2] for p in pool])
-        out_q, out_n, out_c = [], [], []
-        for j in range(nq):
-            m = qcol == j
-            if not m.any():
-                continue
-            nj, cj = nid[m], cos[m]
-            order = np.lexsort((nj, -cj))[:k]
-            out_q.append(np.repeat(q_ids_v[j], len(order)))
-            out_n.append(nj[order])
-            out_c.append(cj[order])
-        if out_q:
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "cosine": np.concatenate(out_c),
-                }
-            )
+        merged = _local_topk(pool, q_ids_v, k)
+        if merged is not None:
+            yield merged
 
     cand = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).mapInPandas(probe_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "cosine",
+        )
+    )
+
+
+def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS,
+               centroids=None) -> DataFrame:
+    """Input columns + ``ivf_cell`` (the assigned centroid's vec_id) —
+    one map-only Arrow matmul per batch against the broadcast centroid
+    matrix; zero shuffles. float32 embeddings are widened to float64
+    BEFORE the matmul (exact widening), so the assignment is
+    bit-identical to ivf_topk's inline JVM-cast path."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_cells)
+    c_ids, C = centroids
+    cn = np.sqrt((C * C).sum(axis=1))
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, C.T.copy(), cn))
+    out_schema = T.StructType(
+        list(emb.schema.fields)
+        + [T.StructField("ivf_cell", emb.schema["vec_id"].dataType)]
+    )
+
+    def assign(batches):
+        c_ids_v, Ct, cn_v = bc.value
+        for batch in batches:
+            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            bn = np.sqrt((B * B).sum(axis=1))
+            SC = np.round((B @ Ct) / (bn[:, None] * cn_v[None, :]), 6)
+            out = batch.copy()
+            # argmax = FIRST maximal column, columns c_id-ascending →
+            # ties to the smallest centroid id (same as ivf_topk)
+            out["ivf_cell"] = c_ids_v[np.argmax(SC, axis=1)]
+            yield out
+
+    return emb.mapInPandas(assign, out_schema)
+
+
+def ivf_index_write(emb: DataFrame, path: str,
+                    n_cells: int = IVF_CELLS) -> None:
+    """Materialize the IVF-flat layout SCALE.md §8 describes: the
+    corpus written ``partitionBy(ivf_cell)`` (one directory per coarse
+    cell — the parquet stand-in for an Iceberg identity-partition on
+    the cell column) plus a tiny centroid sidecar. A probe against
+    this layout prunes non-probed cells at the FILE level: each query
+    touches nprobe/n_cells of the data physically, not just logically."""
+    spark = emb.sparkSession
+    c_ids, C = ivf_centroids(emb, n_cells)
+    (
+        ivf_assign(emb, centroids=(c_ids, C))
+        # cluster the write: without this every input partition writes
+        # a file into every cell dir (parts × cells tiny files — the
+        # probe then pays per-file open cost instead of saving scan).
+        # One hash shuffle on the cell key → ~one file per cell; at
+        # 100 TB the same pass targets maxPartitionBytes-sized files
+        # per cell (repartition(n, col) with n ∝ corpus/cell size).
+        .repartition(F.col("ivf_cell"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/index")
+    )
+    cent_rows = [(int(cid), [float(x) for x in vec])
+                 for cid, vec in zip(c_ids, C)]
+    (
+        spark.createDataFrame(cent_rows, "c_id long, cv array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(f"{path}/centroids")
+    )
+
+
+def _load_centroids(spark, path: str):
+    """Centroid sidecar → (c_ids asc, matrix). Read driver-side with
+    pyarrow when possible — it is a few KB and a Spark job just to
+    fetch it costs ~0.3 s of scheduler overhead per probe call; the
+    Spark reader remains the fallback for filesystems pyarrow cannot
+    reach."""
+    import numpy as np
+
+    try:
+        import pyarrow.dataset as ds
+
+        t = ds.dataset(f"{path}/centroids", format="parquet").to_table()
+        pdf = t.to_pandas().sort_values("c_id")
+        c_ids = pdf["c_id"].to_numpy()
+        C = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["cv"]])
+    except Exception:  # noqa: BLE001 — non-local FS or pyarrow gap
+        cent = spark.read.parquet(f"{path}/centroids").orderBy("c_id").collect()
+        c_ids = np.array([r["c_id"] for r in cent])
+        C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cent])
+    return c_ids, C
+
+
+def ivf_probe_cells(spark, path: str, queries: DataFrame,
+                    nprobe: int = IVF_NPROBE) -> list[int]:
+    """The union of cell ids the given queries probe against an
+    ``ivf_index_write`` layout — the partition list a planner (or an
+    Iceberg scan-file API) would prune to. Shared with
+    ``ivf_topk_indexed`` so tests can assert the physically-scanned
+    file set matches exactly this list."""
+    import numpy as np
+
+    c_ids, C = _load_centroids(spark, path)
+    cn = np.sqrt((C * C).sum(axis=1))
+    q_rows = queries.select(
+        "vec_id", F.col("embedding").cast("array<double>")
+    ).collect()
+    if not q_rows:
+        return []
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    M = _probe_sets(Q, qn, C, cn, nprobe)
+    return sorted(int(c_ids[c]) for c in np.nonzero(M.any(axis=1))[0])
+
+
+def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
+                     nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF probe over an ``ivf_index_write`` layout. The probe set is
+    computed driver-side from the centroid sidecar, then the scan reads
+    ONLY the probed cell partitions (``ivf_cell IN (...)`` compiles to
+    PartitionFilters — partition pruning before any byte is read; the
+    plan-shape test asserts the pruned file count). Output is
+    row-identical to ``ivf_topk`` on the same corpus: same centroids,
+    same rounded-cosine tie-breaks, and the stored assignment equals
+    the inline one by construction."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    c_ids, C = _load_centroids(spark, path)
+    cn = np.sqrt((C * C).sum(axis=1))
+
+    id_type = queries.schema["vec_id"].dataType
+    q_rows = queries.select(
+        "vec_id", F.col("embedding").cast("array<double>")
+    ).collect()
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    if not q_rows:
+        return spark.createDataFrame(
+            [], out_schema.add("rank", T.IntegerType())
+        ).select("query_id", "neighbor_id", "rank", "cosine")
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    M = _probe_sets(Q, qn, C, cn, nprobe)
+
+    probed = sorted(int(c_ids[c]) for c in np.nonzero(M.any(axis=1))[0])
+    idx = (
+        spark.read.parquet(f"{path}/index")
+        .filter(F.col("ivf_cell").isin(probed))
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+            F.col("ivf_cell").cast("long").alias("ivf_cell"),
+        )
+    )
+
+    bc = spark.sparkContext.broadcast(
+        (c_ids.astype(np.int64), q_ids, Q.T.copy(), qn, M)
+    )
+
+    def probe_topk(batches):
+        c_ids_v, q_ids_v, Qt, qn_v, M_v = bc.value
+        pool: list = []
+        for batch in batches:
+            ids = batch["vec_id"].to_numpy()
+            B = np.stack(batch["embedding"].to_numpy())
+            bn = np.sqrt((B * B).sum(axis=1))
+            # the stored assignment replaces the inline matmul: map the
+            # partition value back to its centroid COLUMN position
+            cell_col = np.searchsorted(c_ids_v, batch["ivf_cell"].to_numpy())
+            S = np.round((B @ Qt) / (bn[:, None] * qn_v[None, :]), 6)
+            S[~M_v[cell_col, :]] = -np.inf
+            S[ids[:, None] == q_ids_v[None, :]] = -np.inf
+            if len(ids) > k:
+                kth = np.partition(S, -k, axis=0)[-k, :]
+                keep = (S >= kth[None, :]) & (S > -np.inf)
+            else:
+                keep = S > -np.inf
+            rows, cols = np.nonzero(keep)
+            if len(rows):
+                pool.append((ids[rows], cols, S[rows, cols]))
+        if not pool:
+            return
+        merged = _local_topk(pool, q_ids_v, k)
+        if merged is not None:
+            yield merged
+
+    cand = idx.mapInPandas(probe_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

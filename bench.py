@@ -242,6 +242,52 @@ def main() -> None:
         )),
         warm=1,
     )
+    # IVF index at a size where pruning is visible: 2M clustered 64-d
+    # vectors (deterministic generator — FIXTURES.md-style, no external
+    # data). The brute matmul scans all 2M rows per batch; the indexed
+    # probe reads ONLY the probed cell partitions (file-level pruning —
+    # a 4-query batch at nprobe=4 over 64 cells touches ≲25% of the
+    # files; clustered queries usually share cells). Corpus + index are
+    # built once per size and cached like the docs table (at scale the
+    # layout pass is a one-off the corpus pays once); build time is
+    # recorded in extras when it happens.
+    from asag_spark.datagen import generate_embeddings
+    from asag_spark.operators.similarity import ivf_index_write, ivf_topk_indexed
+
+    n_vecs = int(os.environ.get("ASAG_BENCH_VECS", "2000000"))
+    emb_path = f"/tmp/asag_bench/emb_{n_vecs}"
+    if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+        generate_embeddings(spark, n_vecs).write.mode("overwrite").parquet(emb_path)
+    big_emb = spark.read.parquet(emb_path)
+    ivf_path = f"/tmp/asag_bench/ivf_{n_vecs}"
+    if not os.path.exists(os.path.join(ivf_path, "index", "_SUCCESS")):
+        t0 = time.perf_counter()
+        ivf_index_write(big_emb, ivf_path, n_cells=64)
+        extras["ivf_index_build_s"] = round(time.perf_counter() - t0, 3)
+    qbig = big_emb.filter(F.col("vec_id") < 4)
+    timed(
+        "cosine_topk_2m",
+        lambda: materialize(cosine_topk(big_emb, qbig, k=10)),
+        warm=1,
+    )
+    timed(
+        "ivf_indexed_2m",
+        lambda: materialize(ivf_topk_indexed(spark, ivf_path, qbig, k=10)),
+        warm=1,
+    )
+    # the scale evidence is the scanned FRACTION (at 512 MB job fixed
+    # costs mask the wall-clock gap; at 100 TB the fraction IS the win)
+    from asag_spark.operators.similarity import ivf_probe_cells
+
+    probed = ivf_probe_cells(spark, ivf_path, qbig)
+    extras["ivf_probed_cells"] = len(probed)
+    extras["ivf_cells_total"] = 64
+    extras["ivf_rows_scanned"] = (
+        spark.read.parquet(f"{ivf_path}/index")
+        .filter(F.col("ivf_cell").isin(probed)).count()
+    )
+    extras["ivf_corpus_rows"] = n_vecs
+
     # round-2 rebuilds (banded hyperplane LSH / 4x8 SimHash): benched so
     # regressions in the scale-path dedup family are attributable
     from asag_spark.operators.dedup import embedding_near_dups, simhash_near_dups
