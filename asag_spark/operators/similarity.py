@@ -92,67 +92,37 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     )
 
     def part_topk(batches):
-        import pandas as pd
-
         q_ids_v, Qt, qn_v = bq.value
-        nq = len(q_ids_v)
-        # per-query candidate pools accumulated across the partition
-        ids_pool: list = []
-        cos_pool: list = []
+        # per-query candidate pools accumulated across the partition;
+        # batch-local top-k keeps everything >= the k-th value (ties at
+        # the boundary resolve in the pool merge)
+        pool: list = []
         for batch in batches:
+            if not len(batch):
+                continue
             ids = batch["vec_id"].to_numpy()
             B = np.stack(batch["embedding"].to_numpy())
             bn = np.sqrt((B * B).sum(axis=1))
             S = np.round((B @ Qt) / (bn[:, None] * qn_v[None, :]), 6)
             S[ids[:, None] == q_ids_v[None, :]] = -np.inf  # self-matches
             if len(ids) > k:
-                # np.argpartition per query column: batch-local top-k by
-                # cosine only — ties at the boundary are resolved in the
-                # pool reduction below, so keep k+ties safe by taking
-                # everything >= the k-th value
                 kth = np.partition(S, -k, axis=0)[-k, :]
-                keep = S >= kth[None, :]
+                keep = (S >= kth[None, :]) & (S > -np.inf)
             else:
                 keep = S > -np.inf
             rows, cols = np.nonzero(keep)
-            ids_pool.append((ids[rows], cols, S[rows, cols]))
-        if not ids_pool:
+            if len(rows):
+                pool.append((ids[rows], cols, S[rows, cols]))
+        if not pool:
             return
-        nid = np.concatenate([p[0] for p in ids_pool])
-        qcol = np.concatenate([p[1] for p in ids_pool])
-        cos = np.concatenate([p[2] for p in ids_pool])
-        # partition-local exact top-k per query: (cosine desc,
-        # neighbor_id asc) via lexsort (last key is primary)
-        out_q, out_n, out_c = [], [], []
-        for j in range(nq):
-            m = qcol == j
-            if not m.any():
-                continue
-            nj, cj = nid[m], cos[m]
-            order = np.lexsort((nj, -cj))[:k]
-            out_q.append(np.repeat(q_ids_v[j], len(order)))
-            out_n.append(nj[order])
-            out_c.append(cj[order])
-        if out_q:
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "cosine": np.concatenate(out_c),
-                }
-            )
+        merged = _local_topk(pool, q_ids_v, k)
+        if merged is not None:
+            yield merged
 
     cand = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     ).mapInPandas(part_topk, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cosine")
-    )
+    return _rank_topk(cand, k)
 
 
 def cosine_topk_lsh(emb: DataFrame, queries: DataFrame, k: int = 5,
@@ -208,7 +178,8 @@ def ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
     whatever the quantizer training produced; the plan downstream is
     identical — only this tiny frame changes. Returns (ids, matrix)
     with centroid columns sorted by centroid id ascending (the
-    tie-break order assignment relies on)."""
+    tie-break order assignment relies on); (empty, None) for an empty
+    corpus."""
     import numpy as np
 
     rows = (
@@ -219,6 +190,8 @@ def ivf_centroids(emb: DataFrame, n_cells: int = IVF_CELLS):
         .select("vec_id", "embedding")
         .collect()
     )
+    if not rows:
+        return np.array([]), None
     rows.sort(key=lambda r: r[0])  # columns by c_id asc → argmax ties → smallest id
     c_ids = np.array([r[0] for r in rows])
     C = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
@@ -271,70 +244,90 @@ def _local_topk(pool, q_ids_v, k):
     )
 
 
-def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
-             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE) -> DataFrame:
-    """IVF-flat approximate top-k (the brief's named ANN scale path,
-    alongside the LSH-banded variant): assign every corpus vector to
-    its nearest centroid (one Arrow matmul per batch — map-only), then
-    each query scans ONLY its ``nprobe`` nearest cells, i.e. a
-    ~nprobe/n_cells fraction of the corpus, with the same
-    per-partition matmul + local top-k + tiny global merge as the
-    brute path. The corpus never shuffles; candidates (≤ partitions ×
-    n_q × k rows) are the only exchange. Ranking ties and centroid
-    ties both break on id over 6-decimal-rounded cosines, so the
-    assignment and result are parallelism- and engine-invariant.
+def _rank_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Global top-k tail over the tiny candidate set: (cosine DESC,
+    neighbor_id ASC) row_number per query — the one shuffle in every
+    top-k operator here."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "cosine",
+        )
+    )
 
-    At 10^12 vectors the assignment pass writes (vec_id, cell_id) once
-    (cells ~ sqrt(N)), the probed fraction bounds each query's work,
-    and cell-partitioned storage turns the probe into partition
-    pruning — the standard IVF-flat layout (``ivf_index_write`` /
-    ``ivf_topk_indexed`` below materialize exactly that)."""
-    import numpy as np
+
+def _empty_topk(spark, id_type) -> DataFrame:
     from pyspark.sql import types as T
 
-    id_type = emb.schema["vec_id"].dataType
-    c_ids, C = ivf_centroids(emb, n_cells)
-    cn = np.sqrt((C * C).sum(axis=1))
+    schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def _collect_queries(queries: DataFrame):
+    """(q_ids, Q, qn) for a small query frame, or None when empty."""
+    import numpy as np
 
     q_rows = queries.select(
         "vec_id", F.col("embedding").cast("array<double>")
     ).collect()
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", id_type),
-            T.StructField("neighbor_id", id_type),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
     if not q_rows:
-        return emb.sparkSession.createDataFrame(
-            [], out_schema.add("rank", T.IntegerType())
-        ).select("query_id", "neighbor_id", "rank", "cosine")
+        return None
     q_ids = np.array([r[0] for r in q_rows])
     Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
     qn = np.sqrt((Q * Q).sum(axis=1))
+    return q_ids, Q, qn
 
-    M = _probe_sets(Q, qn, C, cn, nprobe)
 
-    bc = emb.sparkSession.sparkContext.broadcast(
-        (c_ids, C.T.copy(), cn, q_ids, Q.T.copy(), qn, M)
-    )
+def _ivf_probe_kernel(bc, k: int, from_index: bool):
+    """The shared masked-probe kernel for both IVF paths. Rows whose
+    cell no query probes are dropped BEFORE the query matmul — the
+    probed fraction bounds the compute, not just the candidate set.
+    ``from_index`` reads the stored assignment (partition column);
+    otherwise the cell is assigned inline (rounded-cosine argmax; the
+    FIRST maximal column over c_id-ascending columns = smallest
+    centroid id, the same order the oracle's (cos DESC, c_id ASC)
+    row_number uses)."""
+    import numpy as np
 
     def probe_topk(batches):
-        c_ids_v, Ct, cn_v, q_ids_v, Qt, qn_v, M_v = bc.value
+        if from_index:
+            c_ids_v, q_ids_v, Qt, qn_v, M_v = bc.value
+        else:
+            Ct, cn_v, q_ids_v, Qt, qn_v, M_v = bc.value
         pool: list = []
         for batch in batches:
+            if not len(batch):
+                continue
             ids = batch["vec_id"].to_numpy()
             B = np.stack(batch["embedding"].to_numpy())
             bn = np.sqrt((B * B).sum(axis=1))
-            # cell assignment: rounded cosine argmax; np.argmax returns
-            # the FIRST maximal column and columns are c_id-ascending,
-            # so ties resolve to the smallest centroid id — the same
-            # order the oracle's (cos DESC, c_id ASC) row_number uses
-            SC = np.round((B @ Ct) / (bn[:, None] * cn_v[None, :]), 6)
-            cell_col = np.argmax(SC, axis=1)
+            if from_index:
+                # stored assignment → centroid COLUMN position
+                cell_col = np.searchsorted(
+                    c_ids_v, batch["ivf_cell"].to_numpy()
+                )
+            else:
+                SC = np.round((B @ Ct) / (bn[:, None] * cn_v[None, :]), 6)
+                cell_col = np.argmax(SC, axis=1)
+            hit = M_v[cell_col, :]           # (rows × queries) probed mask
+            live = hit.any(axis=1)
+            if not live.any():
+                continue
+            ids, B, bn, hit = ids[live], B[live], bn[live], hit[live]
             S = np.round((B @ Qt) / (bn[:, None] * qn_v[None, :]), 6)
-            S[~M_v[cell_col, :]] = -np.inf       # not in a probed cell
+            S[~hit] = -np.inf                # not in a probed cell
             S[ids[:, None] == q_ids_v[None, :]] = -np.inf  # self-match
             if len(ids) > k:
                 kth = np.partition(S, -k, axis=0)[-k, :]
@@ -350,20 +343,63 @@ def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
         if merged is not None:
             yield merged
 
+    return probe_topk
+
+
+def _cand_schema(id_type):
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = IVF_CELLS, nprobe: int = IVF_NPROBE,
+             centroids=None) -> DataFrame:
+    """IVF-flat approximate top-k (the brief's named ANN scale path,
+    alongside the LSH-banded variant): assign every corpus vector to
+    its nearest centroid (one Arrow matmul per batch — map-only), then
+    each query scans ONLY its ``nprobe`` nearest cells: rows outside
+    every probed cell are dropped before the query matmul, so compute
+    ∝ the probed fraction (~nprobe/n_cells) plus one small assignment
+    matmul per batch. The corpus never shuffles; candidates
+    (≤ partitions × n_q × k rows) are the only exchange. Ranking ties
+    and centroid ties both break on id over 6-decimal-rounded cosines,
+    so the assignment and result are parallelism- and
+    engine-invariant.
+
+    ``centroids``: pass a precomputed ``ivf_centroids`` result to skip
+    the quantizer-selection job (a one-off per corpus — the bench
+    hoists it out of the timed probe).
+
+    At 10^12 vectors the assignment pass writes (vec_id, cell_id) once
+    (cells ~ sqrt(N)), the probed fraction bounds each query's work,
+    and cell-partitioned storage turns the probe into partition
+    pruning — the standard IVF-flat layout (``ivf_index_write`` /
+    ``ivf_topk_indexed`` below materialize exactly that)."""
+    import numpy as np
+
+    id_type = emb.schema["vec_id"].dataType
+    c_ids, C = centroids if centroids is not None else ivf_centroids(emb, n_cells)
+    qs = _collect_queries(queries)
+    if qs is None or C is None:
+        return _empty_topk(emb.sparkSession, id_type)
+    q_ids, Q, qn = qs
+    cn = np.sqrt((C * C).sum(axis=1))
+    M = _probe_sets(Q, qn, C, cn, nprobe)
+
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (C.T.copy(), cn, q_ids, Q.T.copy(), qn, M)
+    )
     cand = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    ).mapInPandas(probe_topk, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.col("rank").cast("int").alias("rank"), "cosine",
-        )
-    )
+    ).mapInPandas(_ivf_probe_kernel(bc, k, from_index=False), _cand_schema(id_type))
+    return _rank_topk(cand, k)
 
 
 def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS,
@@ -379,6 +415,8 @@ def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS,
     if centroids is None:
         centroids = ivf_centroids(emb, n_cells)
     c_ids, C = centroids
+    if C is None:
+        raise ValueError("ivf_assign: empty corpus has no centroids")
     cn = np.sqrt((C * C).sum(axis=1))
     bc = emb.sparkSession.sparkContext.broadcast((c_ids, C.T.copy(), cn))
     out_schema = T.StructType(
@@ -389,6 +427,8 @@ def ivf_assign(emb: DataFrame, n_cells: int = IVF_CELLS,
     def assign(batches):
         c_ids_v, Ct, cn_v = bc.value
         for batch in batches:
+            if not len(batch):
+                continue
             B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
             bn = np.sqrt((B * B).sum(axis=1))
             SC = np.round((B @ Ct) / (bn[:, None] * cn_v[None, :]), 6)
@@ -411,6 +451,8 @@ def ivf_index_write(emb: DataFrame, path: str,
     touches nprobe/n_cells of the data physically, not just logically."""
     spark = emb.sparkSession
     c_ids, C = ivf_centroids(emb, n_cells)
+    if C is None:
+        raise ValueError("ivf_index_write: empty corpus has no centroids")
     (
         ivf_assign(emb, centroids=(c_ids, C))
         # cluster the write: without this every input partition writes
@@ -456,6 +498,23 @@ def _load_centroids(spark, path: str):
     return c_ids, C
 
 
+def _index_probe_state(spark, path: str, queries: DataFrame, nprobe: int):
+    """Shared by ivf_probe_cells / ivf_topk_indexed: centroid sidecar +
+    collected queries → (c_ids, q_ids, Q, qn, M, probed cell ids), or
+    None when the query frame is empty."""
+    import numpy as np
+
+    c_ids, C = _load_centroids(spark, path)
+    qs = _collect_queries(queries)
+    if qs is None:
+        return None
+    q_ids, Q, qn = qs
+    cn = np.sqrt((C * C).sum(axis=1))
+    M = _probe_sets(Q, qn, C, cn, nprobe)
+    probed = sorted(int(c_ids[c]) for c in np.nonzero(M.any(axis=1))[0])
+    return c_ids, q_ids, Q, qn, M, probed
+
+
 def ivf_probe_cells(spark, path: str, queries: DataFrame,
                     nprobe: int = IVF_NPROBE) -> list[int]:
     """The union of cell ids the given queries probe against an
@@ -463,19 +522,8 @@ def ivf_probe_cells(spark, path: str, queries: DataFrame,
     Iceberg scan-file API) would prune to. Shared with
     ``ivf_topk_indexed`` so tests can assert the physically-scanned
     file set matches exactly this list."""
-    import numpy as np
-
-    c_ids, C = _load_centroids(spark, path)
-    cn = np.sqrt((C * C).sum(axis=1))
-    q_rows = queries.select(
-        "vec_id", F.col("embedding").cast("array<double>")
-    ).collect()
-    if not q_rows:
-        return []
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qn = np.sqrt((Q * Q).sum(axis=1))
-    M = _probe_sets(Q, qn, C, cn, nprobe)
-    return sorted(int(c_ids[c]) for c in np.nonzero(M.any(axis=1))[0])
+    state = _index_probe_state(spark, path, queries, nprobe)
+    return state[5] if state is not None else []
 
 
 def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
@@ -489,32 +537,13 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
     same rounded-cosine tie-breaks, and the stored assignment equals
     the inline one by construction."""
     import numpy as np
-    from pyspark.sql import types as T
-
-    c_ids, C = _load_centroids(spark, path)
-    cn = np.sqrt((C * C).sum(axis=1))
 
     id_type = queries.schema["vec_id"].dataType
-    q_rows = queries.select(
-        "vec_id", F.col("embedding").cast("array<double>")
-    ).collect()
-    out_schema = T.StructType(
-        [
-            T.StructField("query_id", id_type),
-            T.StructField("neighbor_id", id_type),
-            T.StructField("cosine", T.DoubleType()),
-        ]
-    )
-    if not q_rows:
-        return spark.createDataFrame(
-            [], out_schema.add("rank", T.IntegerType())
-        ).select("query_id", "neighbor_id", "rank", "cosine")
-    q_ids = np.array([r[0] for r in q_rows])
-    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
-    qn = np.sqrt((Q * Q).sum(axis=1))
-    M = _probe_sets(Q, qn, C, cn, nprobe)
+    state = _index_probe_state(spark, path, queries, nprobe)
+    if state is None:
+        return _empty_topk(spark, id_type)
+    c_ids, q_ids, Q, qn, M, probed = state
 
-    probed = sorted(int(c_ids[c]) for c in np.nonzero(M.any(axis=1))[0])
     idx = (
         spark.read.parquet(f"{path}/index")
         .filter(F.col("ivf_cell").isin(probed))
@@ -524,47 +553,10 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
             F.col("ivf_cell").cast("long").alias("ivf_cell"),
         )
     )
-
     bc = spark.sparkContext.broadcast(
         (c_ids.astype(np.int64), q_ids, Q.T.copy(), qn, M)
     )
-
-    def probe_topk(batches):
-        c_ids_v, q_ids_v, Qt, qn_v, M_v = bc.value
-        pool: list = []
-        for batch in batches:
-            ids = batch["vec_id"].to_numpy()
-            B = np.stack(batch["embedding"].to_numpy())
-            bn = np.sqrt((B * B).sum(axis=1))
-            # the stored assignment replaces the inline matmul: map the
-            # partition value back to its centroid COLUMN position
-            cell_col = np.searchsorted(c_ids_v, batch["ivf_cell"].to_numpy())
-            S = np.round((B @ Qt) / (bn[:, None] * qn_v[None, :]), 6)
-            S[~M_v[cell_col, :]] = -np.inf
-            S[ids[:, None] == q_ids_v[None, :]] = -np.inf
-            if len(ids) > k:
-                kth = np.partition(S, -k, axis=0)[-k, :]
-                keep = (S >= kth[None, :]) & (S > -np.inf)
-            else:
-                keep = S > -np.inf
-            rows, cols = np.nonzero(keep)
-            if len(rows):
-                pool.append((ids[rows], cols, S[rows, cols]))
-        if not pool:
-            return
-        merged = _local_topk(pool, q_ids_v, k)
-        if merged is not None:
-            yield merged
-
-    cand = idx.mapInPandas(probe_topk, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    cand = idx.mapInPandas(
+        _ivf_probe_kernel(bc, k, from_index=True), _cand_schema(id_type)
     )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id",
-            F.col("rank").cast("int").alias("rank"), "cosine",
-        )
-    )
+    return _rank_topk(cand, k)

@@ -267,6 +267,7 @@ def publish_netex_zip(spark, zip_path: str, workdir: str,
                       max_retries: int = 20,
                       poll_delay_s: float = 0.0,
                       reporter: Reporter | None = None,
+                      sleep: Callable[[float], None] = time.sleep,
                       ) -> PublishResult:
     """End-to-end analog of `direct:uploadTiamatToMapboxAsGeoJson`:
     NeTEx zip → docs rows → feature build → streamed single-file
@@ -298,4 +299,5 @@ def publish_netex_zip(spark, zip_path: str, workdir: str,
         raise ValueError(f"feature build produced 0 features from {zip_path!r}")
     return publish_tileset(out_path, transport, tileset=tileset,
                            max_retries=max_retries,
-                           poll_delay_s=poll_delay_s, reporter=reporter)
+                           poll_delay_s=poll_delay_s, reporter=reporter,
+                           sleep=sleep)

@@ -232,13 +232,16 @@ def main() -> None:
         warm=1,
     )
     # IVF-flat ANN (the coarse-quantized scale path): probe cost is the
-    # honest number to track — centroid selection is a one-off
-    from asag_spark.operators.similarity import ivf_topk
+    # honest number to track — centroid selection IS hoisted out of the
+    # timed region (a one-off per corpus, passed via the centroids arg)
+    from asag_spark.operators.similarity import ivf_centroids, ivf_topk
 
+    ivf_cent = ivf_centroids(embeddings)
     timed(
         "ivf_topk",
         lambda: materialize(ivf_topk(
-            embeddings, embeddings.filter(F.col("vec_id") < 16), k=10
+            embeddings, embeddings.filter(F.col("vec_id") < 16), k=10,
+            centroids=ivf_cent,
         )),
         warm=1,
     )

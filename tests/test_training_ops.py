@@ -467,3 +467,15 @@ def test_generate_embeddings_deterministic(spark):
     ka = {r.vec_id: list(r.embedding) for r in a}
     kb = {r.vec_id: list(r.embedding) for r in b}
     assert ka == kb and len(ka) == 200
+
+
+def test_ivf_empty_corpus_and_empty_queries(spark):
+    """Empty corpus or empty query set → empty ranked frame (the same
+    graceful contract as cosine_topk), not a driver crash."""
+    from asag_spark.operators.similarity import ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    none = e.filter(F.lit(False))
+    assert ivf_topk(none, e.limit(3)).count() == 0
+    assert ivf_topk(e, none).count() == 0
+    assert ivf_topk(none, none).count() == 0
