@@ -406,3 +406,77 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs — the last stage of
+    every dedup pipeline (pairs alone don't dedup anything: a keeper
+    must be chosen PER COMPONENT, or transitive dups A~B~C survive as
+    two independent pair decisions).
+
+    Input: undirected edges (doc_a, doc_b) from any pair producer
+    (minhash_dedup / simhash_near_dups / embedding_near_dups). Output:
+    (doc_id, cluster_id) for every doc in the pair graph, cluster_id =
+    the MINIMUM doc id reachable — so the keeper convention "keep the
+    smallest id" is the row cluster_id == doc_id.
+
+    Algorithm: min-label propagation. Each round every node takes the
+    min of its own label and its neighbors' labels (one join + one
+    groupBy = two shuffles per round), terminating when a round changes
+    nothing; converges in O(graph diameter) rounds. Near-dup graphs
+    are shallow (dup clusters are near-cliques — LSH links most pairs
+    directly), so the loop runs 2-4 rounds in practice; ``max_iter``
+    bounds adversarial chains and non-convergence raises rather than
+    returning silently-wrong labels. localCheckpoint() truncates plan
+    lineage each round (25 chained joins would bloat analysis and
+    recompute; ContextCleaner reclaims dropped round RDDs). At 10^12
+    docs with pathological diameters, swap the loop body for the
+    large-star/small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — O(log n) rounds, same
+    (label frame, edge frame) plumbing. Deterministic at any
+    parallelism: min() is order-invariant."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = (
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels, edges["dst"] == labels["doc_id"]
+        ).select(F.col("src").alias("doc_id"), F.col("cluster_id"))
+        new_labels = (
+            labels.union(prop)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters: not converged after {max_iter} rounds "
+            "(graph diameter exceeds max_iter — raise it, or switch to "
+            "the star-contraction rounds documented in SCALE.md)"
+        )
+    return labels

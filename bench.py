@@ -305,6 +305,16 @@ def main() -> None:
         lambda: materialize(simhash_near_dups(documents, max_hamming=3)),
         warm=1,
     )
+    # full dedup assignment: pairs → connected components → labels
+    # (iterative: 2 shuffles/round + an exact-termination count; wall
+    # includes the pair production so the number is the whole pipeline)
+    from asag_spark.operators.dedup import dedup_clusters, minhash_dedup
+
+    timed(
+        "dedup_clusters",
+        lambda: materialize(dedup_clusters(minhash_dedup(documents, threshold=0.2))),
+        warm=1,
+    )
 
     # 6. relational headliners
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")

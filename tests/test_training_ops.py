@@ -479,3 +479,25 @@ def test_ivf_empty_corpus_and_empty_queries(spark):
     assert ivf_topk(none, e.limit(3)).count() == 0
     assert ivf_topk(e, none).count() == 0
     assert ivf_topk(none, none).count() == 0
+
+
+def test_dedup_clusters_transitive(spark):
+    """Connected components: transitive closure (A~B~C one cluster even
+    when (A,C) was never a pair), min-id labels, diameter-4 chain needs
+    multiple propagation rounds, and non-convergence raises instead of
+    returning wrong labels."""
+    from asag_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "doc_a long, doc_b long",
+    )
+    out = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+    # partitioning invariance (min-label is order-free)
+    out7 = {r.doc_id: r.cluster_id
+            for r in dedup_clusters(pairs.repartition(7)).collect()}
+    assert out7 == out
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup_clusters(pairs, max_iter=1)
