@@ -651,6 +651,20 @@ def _t_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3
+    )
+
+
+def _t_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import corpus_stats
+
+    return corpus_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup assignment: verified near-dup pairs → connected
     components → every document labeled with its cluster's min doc_id
@@ -871,6 +885,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_exact_dedup": _t_exact_dedup,
         "t_jaccard_pairs": _t_jaccard,
         "t_dedup_clusters": _t_dedup_clusters,
+        "t_tfidf_top": _t_tfidf_top,
+        "t_corpus_stats": _t_corpus_stats,
         # tiling / raster / overlap (live SQL oracles)
         "q_xyz_tiles": _q_xyz_tiles,
         "q_mvt_coords": _q_mvt_coords,
@@ -883,8 +899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_agg": _q1_agg,
         "q3_topk": _q3_topk,
         "q5_multijoin": _q5_multijoin,
-        "q_window_topk": _q_window,
-        "q_explode_tokens": _q_explode_tokens,
         "q_asof_window": _q_asof_window,
         "q_sessionize": _q_sessionize,
         # streaming (live SQL oracles)
@@ -913,6 +927,14 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted round 2 for t_dedup_clusters: sorted string-agg stays
         # represented by adjacency_types (A3) and q_cube (grouping)
         "q_sorted_stragg": _q_sorted_stragg,
+        # demoted round 2 for t_tfidf_top / t_corpus_stats: the window
+        # family keeps q_asof_window + q_sessionize (+ tfidf's own
+        # rank window); exact percentiles stay exercised by
+        # t_corpus_stats itself
+        "q_window_topk": _q_window,
+        # demoted round 2: token explode is exercised end-to-end by
+        # t_tfidf_top / t_token_count / the shingle family
+        "q_explode_tokens": _q_explode_tokens,
         "q_anti_join": _q_anti,
         "q_rollup": _q_rollup,
         "q_union_distinct": _q_union_distinct,
@@ -1448,6 +1470,47 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.2
 """
 
+# TF-IDF mirror: same whitespace tokenizer as the Spark side
+# (split(trim(text), '\s+')), tf = in-doc term count, df over tf rows,
+# idf = ln(N/df), 6-dp round BEFORE ranking, ties on term ASC.
+_TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+),
+terms AS (SELECT doc_id, UNNEST(t) AS term FROM toks),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln(n.n / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 3
+"""
+
+_CORPUS_STATS_SQL = """
+WITH t AS (
+  SELECT source, text,
+         len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(*) - COUNT(DISTINCT text) AS n_exact_dups,
+       ROUND(AVG(n_tokens), 2) AS avg_tokens,
+       ROUND(quantile_cont(n_tokens, 0.5), 2) AS med_tokens,
+       ROUND(quantile_cont(n_tokens, 0.95), 2) AS p95_tokens,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM t GROUP BY 1
+"""
+
+
 # Connected components as a recursive CTE: reach(node, root) is the
 # transitive closure over the undirected verified-pair edges (fine at
 # oracle scale — components are tiny near-cliques), MIN(root) per node
@@ -1883,6 +1946,8 @@ def _all_oracle_sql() -> dict[str, str]:
         """,
         "t_jaccard_pairs": _JACCARD_SQL,
         "t_dedup_clusters": _dedup_clusters_sql(),
+        "t_tfidf_top": _TFIDF_SQL,
+        "t_corpus_stats": _CORPUS_STATS_SQL,
         "t_minhash_lsh": _minhash_sql(),
         "t_minhash_dedup": f"""
             SELECT j.doc_a, j.doc_b, j.jaccard

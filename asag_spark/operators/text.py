@@ -9,7 +9,7 @@ Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it")
@@ -126,4 +126,72 @@ def winnow_fingerprints(
             "doc_id",
             F.explode(F.array_distinct(window_mins)).alias("fp"),
         )
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """Top-k TF-IDF terms per document — the keyword/topicality signal
+    a training pipeline derives before quality filtering or topic
+    clustering. tf = in-document term count, idf = ln(N/df) (plain
+    formulation; df = documents containing the term); score rounded to
+    6 dp BEFORE ranking, ties break on term ascending, so ranks are
+    parallelism- and engine-invariant.
+
+    Plan at scale: explode → (doc, term) count with map-side combine
+    (shuffle ∝ distinct doc-term pairs, not tokens), df is a
+    vocabulary-sized agg joined back with a broadcast hint (vocab ≪
+    corpus — Heaps' law), N rides a 1-row broadcast cross join (kept
+    lazy; no driver count() action), and the final per-doc window
+    shuffles only the tf rows. Nothing touches the raw text twice."""
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def corpus_stats(docs: DataFrame, by: str = "source") -> DataFrame:
+    """Per-source corpus profile — the first report any 100 TB text
+    pipeline produces: volume, exact-duplicate share, and the
+    token/char length distribution per provenance bucket. One groupBy
+    (map-side combined counts + sort-based exact percentiles; Spark
+    `percentile` and DuckDB `quantile_cont` share linear
+    interpolation). Exact percentiles sort within each group — fine
+    while a source's rows fit a task's spill budget; at extreme group
+    sizes swap `percentile` for `percentile_approx` and accept the
+    documented approximation."""
+    t = docs.select(
+        F.col(by),
+        F.col("text"),
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_exact_dups"),
+        F.round(F.avg("n_tokens"), 2).alias("avg_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 2).alias("med_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 2).alias("p95_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )

@@ -316,6 +316,12 @@ def main() -> None:
         warm=1,
     )
 
+    # keyword extraction + corpus profile (one explode-agg pipeline each)
+    from asag_spark.operators.text import corpus_stats, tfidf_top_terms
+
+    timed("tfidf_top", lambda: materialize(tfidf_top_terms(documents, k=3)), warm=1)
+    timed("corpus_stats", lambda: materialize(corpus_stats(documents)), warm=1)
+
     # 6. relational headliners
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     timed(

@@ -501,3 +501,32 @@ def test_dedup_clusters_transitive(spark):
     assert out7 == out
     with pytest.raises(RuntimeError, match="not converged"):
         dedup_clusters(pairs, max_iter=1)
+
+
+def test_tfidf_and_corpus_stats(spark):
+    """TF-IDF on a constructed corpus: a term unique to one doc ranks
+    first there (max idf); a term in every doc scores 0 (ln(1)=0).
+    corpus_stats counts exact dups per source."""
+    from asag_spark.operators.text import corpus_stats, tfidf_top_terms
+
+    rows = [
+        (0, "apple banana banana common", "en", "a", 1),
+        (1, "cherry common", "en", "a", 1),
+        (2, "cherry common", "en", "b", 1),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    top = {(r.doc_id, r.rank): (r.term, r.tfidf)
+           for r in tfidf_top_terms(docs, k=2).collect()}
+    assert top[(0, 1)][0] == "banana"          # tf=2 × ln(3/1)
+    assert abs(top[(0, 1)][1] - round(2 * __import__("math").log(3), 6)) < 1e-9
+    # 'common' appears in all docs → tfidf 0, ranks below any unique term
+    assert top[(1, 1)][0] == "cherry"
+    assert top[(1, 2)] == ("common", 0.0)
+    st = {r.source: r for r in corpus_stats(docs).collect()}
+    assert st["a"].n_docs == 2 and st["a"].n_exact_dups == 0
+    assert st["b"].n_docs == 1 and st["b"].n_exact_dups == 0
+    dup_docs = docs.union(docs.filter(F.col("doc_id") == 2))
+    st2 = {r.source: r for r in corpus_stats(dup_docs).collect()}
+    assert st2["b"].n_docs == 2 and st2["b"].n_exact_dups == 1
