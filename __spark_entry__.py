@@ -847,9 +847,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oracle-bearing query precedes the two justified rows-only ones
     (round 1's driver checked the first 50 registered entries; the
     dedup/ANN/media family was registered past the cap and got no
-    CORRECTNESS rows — VERDICT r01 §next-round-1). Eleven redundant
-    relational demos moved to demoted_queries(), still oracle-checked
-    by tests/test_demoted_oracles.py and tools/check_oracles.py."""
+    CORRECTNESS rows — VERDICT r01 §next-round-1). Redundant
+    relational demos live in demoted_queries(), still oracle-checked
+    by tests/test_demoted_oracles.py and tools/check_oracles.py; each
+    demotion leaves its operator family represented in the live 50
+    (the partition test pins 50 + the two rows-only tails)."""
     return {
         # geospatial core (fixture-pinned golden oracles)
         "features_fixture": _q_features_fixture,
