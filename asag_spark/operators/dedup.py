@@ -452,27 +452,32 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     converged = False
-    for _ in range(max_iter):
-        prop = edges.join(
-            labels, edges["dst"] == labels["doc_id"]
-        ).select(F.col("src").alias("doc_id"), F.col("cluster_id"))
-        new_labels = (
-            labels.union(prop)
-            .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            converged = True
-            break
-    edges.unpersist()
+    try:
+        for _ in range(max_iter):
+            prop = edges.join(
+                labels, edges["dst"] == labels["doc_id"]
+            ).select(F.col("src").alias("doc_id"), F.col("cluster_id"))
+            new_labels = (
+                labels.union(prop)
+                .groupBy("doc_id")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+                .localCheckpoint()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
+    finally:
+        # unpersist even when a mid-round action throws — otherwise the
+        # symmetrized edge set stays pinned in block-manager memory for
+        # the session's lifetime, accumulating across retries
+        edges.unpersist()
     if not converged:
         raise RuntimeError(
             f"dedup_clusters: not converged after {max_iter} rounds "

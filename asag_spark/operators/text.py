@@ -1,9 +1,12 @@
 """Text-analysis operators for training-data pipelines (task brief:
 language-ID, quality scoring, token counting, document fingerprinting).
 
-All pure built-in column expressions — designed so an ANSI-SQL oracle
-(DuckDB) reproduces values bit-for-bit: md5 for fingerprints, explicit
-rounding where float math is involved, deterministic tie-breaks.
+All built-in JVM-side operations (no Python UDFs anywhere) — designed
+so an ANSI-SQL oracle (DuckDB) reproduces values bit-for-bit: md5 for
+fingerprints, explicit rounding where float math is involved,
+deterministic tie-breaks. The per-row scorers are pure column
+expressions; tfidf_top_terms / corpus_stats add groupBy/join/window
+stages (their plan shapes are documented in SCALE.md §8).
 Operates on the ``documents`` table (doc_id, text, lang, source, n_chars).
 """
 
