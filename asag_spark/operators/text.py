@@ -141,20 +141,23 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3,
     6 dp BEFORE ranking, ties break on term ascending, so ranks are
     parallelism- and engine-invariant.
 
-    Plan at scale: explode → (doc, term) count with map-side combine
-    (shuffle ∝ distinct doc-term pairs, not tokens), df is a
-    vocabulary-sized agg joined back with a broadcast hint (vocab ≪
-    corpus — Heaps' law), N rides a 1-row broadcast cross join (kept
-    lazy; no driver count() action), and the final per-doc window
-    shuffles only the tf rows. Nothing touches the raw text twice."""
+    Plan at scale: ONE pass over the raw text — explode → (doc, term)
+    count with map-side combine (shuffle ∝ distinct doc-term pairs,
+    not tokens), then df as a count window OVER THE COMPACT tf FRAME
+    keyed by term (a df-agg-and-join-back formulation re-scanned and
+    re-exploded the documents table a second time: measured 3 FileScans
+    / 5 exchanges vs 2 / 3 here; the window costs one term-keyed
+    exchange of tf rows instead), N rides a 1-row broadcast cross join
+    whose count(*) scan is parquet-statistics-only, and the final
+    per-doc rank window shuffles only tf rows."""
     toks = docs.select(
         F.col("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w_term = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
         .join(F.broadcast(n))
         .select(
             "doc_id",

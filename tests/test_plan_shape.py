@@ -166,3 +166,16 @@ def test_ivf_probe_corpus_never_shuffles(spark):
     probe_pos = plan.index("MapInPandas")
     exch_pos = plan.index("Exchange hash")
     assert exch_pos < probe_pos, plan
+
+
+def test_tfidf_single_text_pass(spark):
+    """tfidf_top_terms reads the raw text ONCE: the df-agg-and-join
+    formulation re-scanned + re-exploded documents for the vocabulary
+    side (3 FileScans / 5 exchanges); the window-over-tf shape pins 2
+    scans (the second is the parquet-statistics-only count for N)."""
+    from asag_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tfidf_top_terms(docs, 3))
+    assert plan.count("FileScan") == 2, plan
+    assert _shuffles(plan) <= 4, plan
