@@ -830,6 +830,29 @@ def _s_tile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM s_tile_stream_tbl")
 
 
+def _s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup (availableNow) over a DUPLICATED events
+    directory (the same parquet twice — an at-least-once replay); the
+    oracle is the plain batch table: every event exactly once."""
+    import os
+    import shutil
+    import tempfile
+
+    from asag_spark.streaming import (
+        dedup_stream, read_events_stream, run_available_now,
+    )
+
+    work = tempfile.mkdtemp(prefix="asag_stream_")
+    stream_dir = f"{work}/events"
+    os.makedirs(stream_dir)
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-1.parquet")
+    deduped = dedup_stream(read_events_stream(spark, stream_dir))
+    run_available_now(deduped, f"{work}/ckpt", "s_dedup_stream_tbl",
+                      output_mode="append")
+    return spark.sql("SELECT * FROM s_dedup_stream_tbl")
+
+
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.functions import assign_tiles
     from asag_spark.operators.enrich import build_features
@@ -948,6 +971,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ntile": _q_ntile,
         "q_xyz_raster": _q_xyz_raster,
         "q_xyz_vectorize": _q_xyz_vectorize,
+        # streaming dedup: replay-duplicated input -> exactly-once set
+        # (bounded state via dropDuplicatesWithinWatermark)
+        "s_dedup_stream": _s_dedup_stream,
     }
 
 
@@ -1889,6 +1915,7 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM documents
             ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
         """,
+        "s_dedup_stream": "SELECT * FROM events",
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value

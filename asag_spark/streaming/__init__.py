@@ -87,14 +87,16 @@ def tile_density_stream(
 
 
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str,
-                      table_name: str) -> None:
+                      table_name: str, output_mode: str = "complete") -> None:
     """Drain everything currently in the source into a memory sink —
     the test/bench harness entry; production would writeStream to the
-    lake with the same checkpoint contract."""
+    lake with the same checkpoint contract. ``output_mode``: complete
+    for the windowed aggregations, append for row-level stateful ops
+    (dedup) which complete mode rejects."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -209,4 +211,22 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact-dedup on event_id with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` evicts a key once the watermark
+    passes its event time + delay — the plain streaming
+    ``dropDuplicates`` holds every key forever, which is the 100 TB
+    streaming killer (state ∝ all history instead of ∝ the watermark
+    horizon). A duplicate either finds its key live in state (dropped
+    as dup) or arrives with ts older than the watermark (dropped as
+    late) — eviction requires watermark > ts + delay while non-late
+    requires watermark < ts, so no duplicate can slip through.
+    Deterministic on replayed input: duplicates are identical rows, so
+    whichever copy survives, the output SET equals the distinct
+    input."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
     )
