@@ -665,6 +665,15 @@ def _t_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.sketch import kmv_distinct
+
+    return kmv_distinct(
+        spark.read.parquet(f"{sf_dir}/events.parquet"),
+        "event_type", "user_id", k=64,
+    )
+
+
 def _t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full dedup assignment: verified near-dup pairs → connected
     components → every document labeled with its cluster's min doc_id
@@ -912,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_dedup_clusters": _t_dedup_clusters,
         "t_tfidf_top": _t_tfidf_top,
         "t_corpus_stats": _t_corpus_stats,
+        "t_kmv_distinct": _t_kmv_distinct,
         # tiling / raster / overlap (live SQL oracles)
         "q_xyz_tiles": _q_xyz_tiles,
         "q_mvt_coords": _q_mvt_coords,
@@ -922,7 +932,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational operator coverage (live SQL oracles)
         "q_cube": _q_cube,
         "q1_agg": _q1_agg,
-        "q3_topk": _q3_topk,
         "q5_multijoin": _q5_multijoin,
         "q_asof_window": _q_asof_window,
         "q_sessionize": _q_sessionize,
@@ -960,6 +969,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted round 2: token explode is exercised end-to-end by
         # t_tfidf_top / t_token_count / the shingle family
         "q_explode_tokens": _q_explode_tokens,
+        # demoted round 2 for t_kmv_distinct: join+agg+topk stays
+        # represented by q5_multijoin / t_tfidf_top's rank window
+        "q3_topk": _q3_topk,
         "q_anti_join": _q_anti,
         "q_rollup": _q_rollup,
         "q_union_distinct": _q_union_distinct,
@@ -1539,6 +1551,28 @@ FROM t GROUP BY 1
 """
 
 
+# KMV mirror: identical md5->unit-interval hash, identical estimator.
+_KMV_SQL = """
+WITH hashed AS (
+  SELECT DISTINCT event_type AS grp,
+         ((('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT + 1)
+          / 1152921504606846976.0) AS h
+  FROM events
+),
+ranked AS (
+  SELECT grp, h,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h ASC) AS r
+  FROM hashed QUALIFY r <= 64
+)
+SELECT grp AS event_type,
+       ROUND(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
+                  ELSE 63.0 / MAX(CASE WHEN r = 64 THEN h END)
+             END, 4) AS est_distinct,
+       CAST(COUNT(*) AS INTEGER) AS n_hashes
+FROM ranked GROUP BY grp
+"""
+
+
 # Connected components as a recursive CTE: reach(node, root) is the
 # transitive closure over the undirected verified-pair edges (fine at
 # oracle scale — components are tiny near-cliques), MIN(root) per node
@@ -1974,6 +2008,7 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1
         """,
         "t_jaccard_pairs": _JACCARD_SQL,
+        "t_kmv_distinct": _KMV_SQL,
         "t_dedup_clusters": _dedup_clusters_sql(),
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,

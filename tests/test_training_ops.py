@@ -530,3 +530,22 @@ def test_tfidf_and_corpus_stats(spark):
     dup_docs = docs.union(docs.filter(F.col("doc_id") == 2))
     st2 = {r.source: r for r in corpus_stats(dup_docs).collect()}
     assert st2["b"].n_docs == 2 and st2["b"].n_exact_dups == 1
+
+
+def test_kmv_distinct_sketch(spark):
+    """KMV estimator: exact below capacity (n_distinct < k), within the
+    1/sqrt(k) error envelope above it, deterministic at any
+    partitioning."""
+    from asag_spark.operators.sketch import kmv_distinct
+
+    rows = ([("small", f"v{i}") for i in range(20)] * 3
+            + [("big", f"u{i}") for i in range(2000)])
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r.grp: r for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    assert out["small"].est_distinct == 20.0   # lossless below capacity
+    assert out["small"].n_hashes == 20
+    err = abs(out["big"].est_distinct - 2000) / 2000
+    assert err < 3 / (64 ** 0.5), err          # 3 sigma of 1/sqrt(k)
+    out7 = {r.grp: r.est_distinct
+            for r in kmv_distinct(df.repartition(7), "grp", "val", k=64).collect()}
+    assert out7 == {g: r.est_distinct for g, r in out.items()}
