@@ -839,6 +839,12 @@ def _s_tile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM s_tile_stream_tbl")
 
 
+def _t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import split_assign
+
+    return split_assign(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup (availableNow) over a DUPLICATED events
     directory (the same parquet twice — an at-least-once replay); the
@@ -986,6 +992,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming dedup: replay-duplicated input -> exactly-once set
         # (bounded state via dropDuplicatesWithinWatermark)
         "s_dedup_stream": _s_dedup_stream,
+        # deterministic train/val/test split (hash-bucketed, stable
+        # under appends and across engines)
+        "t_split_assign": _t_split_assign,
     }
 
 
@@ -1950,6 +1959,18 @@ def _all_oracle_sql() -> dict[str, str]:
             ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
         """,
         "s_dedup_stream": "SELECT * FROM events",
+        "t_split_assign": """
+            SELECT doc_id,
+                   CASE WHEN u <= 0.9 THEN 'train'
+                        WHEN u <= 0.95 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ((('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                      / 1152921504606846976.0) AS u
+              FROM documents
+            )
+        """,
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value

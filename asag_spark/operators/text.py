@@ -201,3 +201,33 @@ def corpus_stats(docs: DataFrame, by: str = "source") -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.95)"), 2).alias("p95_tokens"),
         F.round(F.avg("n_chars"), 2).alias("avg_chars"),
     )
+
+
+def split_assign(docs: DataFrame, weights: dict[str, float] | None = None,
+                 id_col: str = "doc_id", seed: str = "split-v1") -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs to be STABLE across reruns and engines:
+    bucket = md5(seed:doc_id) mapped to (0,1], assigned by cumulative
+    weight. Pure expressions (no sampling state, no RNG), so adding
+    documents never reshuffles existing assignments and any engine
+    reproduces the split bit-for-bit."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + ":"),
+                               F.col(id_col).cast("string"))), 1, 15
+            ),
+            16, 10,
+        ).cast("long") + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = u <= F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = (expr.otherwise(names[-1]) if expr is not None
+             else F.lit(names[-1]))
+    return docs.select(F.col(id_col), split.alias("split"))

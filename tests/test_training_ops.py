@@ -549,3 +549,24 @@ def test_kmv_distinct_sketch(spark):
     out7 = {r.grp: r.est_distinct
             for r in kmv_distinct(df.repartition(7), "grp", "val", k=64).collect()}
     assert out7 == {g: r.est_distinct for g, r in out.items()}
+
+
+def test_split_assign_stable_under_append(spark):
+    """The split is a pure function of doc_id: appending new docs never
+    moves existing assignments, weights land near their targets."""
+    from asag_spark.operators.text import split_assign
+
+    base = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(2000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a = {r.doc_id: r.split for r in split_assign(base).collect()}
+    more = base.union(spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(2000, 4000)], base.schema))
+    b = {r.doc_id: r.split for r in split_assign(more).collect()}
+    assert all(b[d] == s for d, s in a.items())      # append-stable
+    from collections import Counter
+    frac = Counter(b.values())
+    assert abs(frac["train"] / 4000 - 0.9) < 0.03
+    assert abs(frac["val"] / 4000 - 0.05) < 0.02
+    assert abs(frac["test"] / 4000 - 0.05) < 0.02
