@@ -570,3 +570,49 @@ def test_split_assign_stable_under_append(spark):
     assert abs(frac["train"] / 4000 - 0.9) < 0.03
     assert abs(frac["val"] / 4000 - 0.05) < 0.02
     assert abs(frac["test"] / 4000 - 0.05) < 0.02
+
+
+def test_star_contraction_parity(spark):
+    """dedup_clusters_star == dedup_clusters == brute union-find on
+    seeded random graphs (chains, cliques, sparse forests), plus the
+    deep-chain case where star contraction's O(log n) rounds matter."""
+    import random
+
+    from asag_spark.operators.dedup import dedup_clusters, dedup_clusters_star
+
+    def brute(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(99)
+    cases = []
+    for trial in range(4):
+        n = rng.randrange(20, 70)
+        m = rng.randrange(n // 2, 2 * n)
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    cases.append([(i, i + 1) for i in range(60)])        # depth-60 chain
+    cases.append([(0, i) for i in range(1, 40)])         # star
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        nodes = {x for e in edges for x in e}
+        want = brute(edges, nodes)
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got_star = {r.doc_id: r.cluster_id
+                    for r in dedup_clusters_star(pairs).collect()}
+        got_min = {r.doc_id: r.cluster_id
+                   for r in dedup_clusters(pairs, max_iter=70).collect()}
+        assert got_star == want, (sorted(got_star.items())[:8], sorted(want.items())[:8])
+        assert got_min == want
