@@ -142,8 +142,10 @@ MINHASH_PARAMS = [
 
 
 def _shingle_hash60(shingle):
-    """First 15 hex chars of md5 → bigint (same on DuckDB)."""
-    return F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long")
+    """md5 60-bit prefix (same on DuckDB) — shared idiom."""
+    from .text import md5_long60
+
+    return md5_long60(shingle)
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
@@ -214,10 +216,9 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     matching classic SimHash): bit j votes +1 if bit j of the hash is
     set else -1; signature bit j = (votes_j > 0)."""
     toks = tokens(F.lower(F.col(text_col)))
-    h32 = F.pmod(
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long"),
-        F.lit(1 << 32),
-    )
+    from .text import md5_long60
+
+    h32 = F.pmod(md5_long60(F.col("tok")), F.lit(1 << 32))
     exploded = docs.select(
         "doc_id", F.explode_outer(toks).alias("tok")
     ).select("doc_id", "tok", h32.alias("h32"))
@@ -541,6 +542,11 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             )  # v > u ≥ m ⇒ already (larger, smaller)
             .filter(F.col("a") != F.col("b"))
             .distinct()
+            # materialize: ls feeds BOTH smins and the relink join —
+            # unmaterialized, the whole sym-join/distinct subtree plans
+            # twice per round and reuse depends on ReusedExchange
+            # canonicalization
+            .localCheckpoint()
         )
         # small-star: edges keyed to the larger endpoint (ls rows
         # already are (larger, smaller)); relink each node's
@@ -577,4 +583,14 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .join(labels.select("doc_id"), "doc_id", "left_anti")
         .withColumn("cluster_id", F.col("doc_id"))
     )
-    return labels.union(roots)
+    labeled = labels.union(roots)
+    # parity with dedup_clusters on degenerate input: a node whose only
+    # pair is a self-pair (x, x) has no surviving edge but IS in the
+    # pair graph — label it to itself rather than dropping the row
+    isolated = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+        .join(labeled.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labeled.union(isolated)

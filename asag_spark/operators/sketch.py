@@ -26,12 +26,13 @@ _KMV_SCALE = float(1 << 60)
 
 
 def _unit_hash(col) -> F.Column:
-    """First 15 hex chars of md5 → bigint → (0,1] (same in DuckDB:
-    ('0x' || substr(md5(x),1,15))::BIGINT / 2^60, +1 so 0 is excluded)."""
-    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    return (h + F.lit(1)).cast("double") / F.lit(_KMV_SCALE)
+    """md5 60-bit prefix → (0,1] (+1 so 0 is excluded); hash idiom
+    shared via text.md5_long60."""
+    from .text import md5_long60
+
+    return (md5_long60(col.cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(_KMV_SCALE)
 
 
 def kmv_distinct(df: DataFrame, group_col: str, value_col: str,

@@ -31,6 +31,15 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
+def md5_long60(col: Column) -> Column:
+    """First 15 hex chars of md5(string col) → bigint — THE shared
+    engine-portable hash idiom: DuckDB mirrors it as
+    ('0x' || substr(md5(x),1,15))::BIGINT. Every oracle-matched
+    operator (minhash, simhash tokens, KMV, split) must use this one
+    helper so the substring length / base can never drift per copy."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count (BPE-ish subword estimate = ceil(chars/4)
     alongside, the common LLM heuristic)."""
@@ -210,22 +219,26 @@ def split_assign(docs: DataFrame, weights: dict[str, float] | None = None,
     bucket = md5(seed:doc_id) mapped to (0,1], assigned by cumulative
     weight. Pure expressions (no sampling state, no RNG), so adding
     documents never reshuffles existing assignments and any engine
-    reproduces the split bit-for-bit."""
+    reproduces the split bit-for-bit. Weights must sum to 1 (a short
+    sum would silently inflate the last split — the otherwise-branch
+    absorbs whatever the declared weights leave uncovered).
+    Cumulative boundaries are rounded to 12 dp so 0.9 + 0.05 compiles
+    to the literal 0.95 an SQL oracle writes, not
+    0.9500000000000001."""
     weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(seed + ":"),
-                               F.col(id_col).cast("string"))), 1, 15
-            ),
-            16, 10,
-        ).cast("long") + F.lit(1)
+        md5_long60(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ) + F.lit(1)
     ).cast("double") / F.lit(float(1 << 60))
     expr = None
     acc = 0.0
     names = list(weights)
     for name in names[:-1]:
-        acc += weights[name]
+        acc = round(acc + weights[name], 12)
         cond = u <= F.lit(acc)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     split = (expr.otherwise(names[-1]) if expr is not None

@@ -596,23 +596,31 @@ def test_star_contraction_parity(spark):
         return {n: find(n) for n in nodes}
 
     rng = random.Random(99)
-    cases = []
+    cases = []  # (edges, check_min_label_too)
     for trial in range(4):
         n = rng.randrange(20, 70)
         m = rng.randrange(n // 2, 2 * n)
-        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
-    cases.append([(i, i + 1) for i in range(60)])        # depth-60 chain
-    cases.append([(0, i) for i in range(1, 40)])         # star
-    for edges in cases:
-        edges = [(a, b) for a, b in edges if a != b]
-        if not edges:
-            continue
+        cases.append(
+            ([(rng.randrange(n), rng.randrange(n)) for _ in range(m)], True)
+        )
+    # deep chain: star's O(log n) arm only — min-label would burn ~60
+    # sequential Spark rounds here for no extra coverage (its
+    # O(diameter) behavior is already pinned by the depth-15 chain)
+    cases.append(([(i, i + 1) for i in range(60)], False))
+    cases.append(([(i, i + 1) for i in range(15)], True))
+    cases.append(([(0, i) for i in range(1, 40)], True))   # star
+    cases.append(([(7, 7), (1, 2), (2, 3)], True))          # self-pair node
+    for edges, check_min in cases:
         nodes = {x for e in edges for x in e}
-        want = brute(edges, nodes)
+        real = [(a, b) for a, b in edges if a != b]
+        if not real:
+            continue
+        want = brute(real, nodes)
         pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
         got_star = {r.doc_id: r.cluster_id
                     for r in dedup_clusters_star(pairs).collect()}
-        got_min = {r.doc_id: r.cluster_id
-                   for r in dedup_clusters(pairs, max_iter=70).collect()}
         assert got_star == want, (sorted(got_star.items())[:8], sorted(want.items())[:8])
-        assert got_min == want
+        if check_min:
+            got_min = {r.doc_id: r.cluster_id
+                       for r in dedup_clusters(pairs, max_iter=30).collect()}
+            assert got_min == want
