@@ -123,6 +123,51 @@ def write_bucketed(
     )
 
 
+def write_zordered(df: DataFrame, path: str, cols: tuple[str, ...],
+                   bits: int = 16, partitions: int | None = None) -> None:
+    """Multi-column Z-order clustered parquet — the OPTIMIZE ZORDER
+    analog for any numeric column pair(s), generalizing
+    ``write_clustered``'s quadkey (which IS the z-curve of lon/lat):
+    each column is min/max-quantized to ``bits`` levels, the bit
+    levels are interleaved into one z-value (pure codegen shift/or
+    expressions — no UDF), and the table is range-partitioned + sorted
+    on it. Result: every FILE covers a small hyper-rectangle in ALL
+    ``cols`` simultaneously, so parquet footer min/max stats prune
+    predicates on ANY clustered column — a single-column sort leaves
+    every file spanning the full range of the other columns, so a
+    second-column predicate scans 100% of files. That second-column
+    pruning is pinned by test over the actual footer metadata.
+
+    Quantization bounds come from one min/max agg over the input (two
+    passes total: stats + write — what table-maintenance jobs do)."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    z = F.lit(0).cast("long")
+    for ci, c in enumerate(cols):
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        q = F.least(
+            F.lit(levels),
+            F.floor((F.col(c).cast("double") - F.lit(mn))
+                    / F.lit(span) * F.lit(levels + 1)).cast("long"),
+        )
+        for b in range(bits):
+            z = z + ((F.shiftright(q, b) % 2)
+                     * F.lit(1 << (b * len(cols) + ci)))
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(n, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id,text,lang,source,n_chars) → docs(doc_id, spans).
 

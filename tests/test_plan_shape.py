@@ -179,3 +179,53 @@ def test_tfidf_single_text_pass(spark):
     plan = _plan(tfidf_top_terms(docs, 3))
     assert plan.count("FileScan") == 2, plan
     assert _shuffles(plan) <= 4, plan
+
+
+
+def test_zorder_layout_prunes_second_column(spark, tmp_path):
+    """Z-order layout contract, measured on the actual parquet footers:
+    a predicate on the SECOND clustering column alone must prune most
+    files (each z-ordered file covers a compact box in BOTH columns),
+    while a lon-only sort leaves every file spanning the full lat range
+    — footer min/max pruning on lat then touches 16/16 files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from asag_spark.sources import write_zordered
+
+    pts = spark.range(20000).select(
+        F.col("id"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)) / 1e4 * 25 + 5
+         ).alias("lon"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10_000)) / 1e4 * 13 + 58
+         ).alias("lat"),
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(pts, zpath, ("lon", "lat"), partitions=16)
+    (pts.repartitionByRange(16, F.col("lon")).sortWithinPartitions("lon")
+        .write.mode("overwrite").parquet(spath))
+
+    def files_hit(path, lat_lo, lat_hi):
+        hit, total = 0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo, hi = float("inf"), float("-inf")
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for ci in range(row.num_columns):
+                    col = row.column(ci)
+                    if col.path_in_schema == "lat" and col.statistics:
+                        lo = min(lo, col.statistics.min)
+                        hi = max(hi, col.statistics.max)
+            if hi >= lat_lo and lo <= lat_hi:
+                hit += 1
+        return hit, total
+
+    z_hit, z_total = files_hit(zpath, 60.0, 60.5)
+    s_hit, s_total = files_hit(spath, 60.0, 60.5)
+    assert s_hit == s_total, "lon-sort leaves lat stats full-width"
+    assert z_hit <= z_total // 2, (z_hit, z_total)
