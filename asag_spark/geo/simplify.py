@@ -48,9 +48,14 @@ def dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
         if seg2 == 0.0:
             d = np.hypot(px - ax, py - ay)
         else:
-            # perpendicular distance to the INFINITE line through a,b —
-            # classic DP uses the line, not the clamped segment
-            d = np.abs(dy * px - dx * py + bx * ay - by * ax) / np.sqrt(seg2)
+            # distance to the CLAMPED segment, not the infinite line: a
+            # spike that extends past the chord's endpoints is nearly
+            # colinear with the infinite line (tiny perpendicular
+            # distance) yet arbitrarily far from the chain — line-based
+            # DP silently amputates such peninsulas, breaking the
+            # within-tolerance guarantee (regression-tested)
+            t = np.clip(((px - ax) * dx + (py - ay) * dy) / seg2, 0.0, 1.0)
+            d = np.hypot(px - (ax + t * dx), py - (ay + t * dy))
         k = int(np.argmax(d))
         if d[k] > tol:
             keep[i + 1 + k] = True
@@ -109,6 +114,14 @@ def simplify_polygons(zones: DataFrame, tolerance: float,
                 continue
             ids, wkts, nb, na = [], [], [], []
             for rid, wkt in zip(pdf[id_col], pdf[geom_col]):
+                if wkt is None or "((" not in wkt:
+                    # null / non-polygon geometry (POINT etc.):
+                    # simplification is the identity — pass through
+                    ids.append(rid)
+                    wkts.append(wkt)
+                    nb.append(0)
+                    na.append(0)
+                    continue
                 ring = parse_polygon(wkt)
                 # parse_polygon keeps the WKT closing duplicate; the
                 # DP kernel wants the unclosed ring

@@ -140,10 +140,21 @@ def write_zordered(df: DataFrame, path: str, cols: tuple[str, ...],
 
     Quantization bounds come from one min/max agg over the input (two
     passes total: stats + write — what table-maintenance jobs do)."""
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"z-value needs bits*len(cols) <= 63 (bit 63 is the long "
+            f"sign bit and would invert the sort); got {bits}*{len(cols)}"
+        )
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"mx_{c}") for c in cols],
     ).collect()[0]
+    if any(stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None
+           for c in cols):
+        # empty input or an all-null column: no quantization bounds —
+        # a maintenance no-op, not a job failure
+        df.write.mode("overwrite").parquet(path)
+        return
     levels = (1 << bits) - 1
     z = F.lit(0).cast("long")
     for ci, c in enumerate(cols):

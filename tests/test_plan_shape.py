@@ -229,3 +229,21 @@ def test_zorder_layout_prunes_second_column(spark, tmp_path):
     s_hit, s_total = files_hit(spath, 60.0, 60.5)
     assert s_hit == s_total, "lon-sort leaves lat stats full-width"
     assert z_hit <= z_total // 2, (z_hit, z_total)
+
+
+def test_zorder_guards(spark, tmp_path):
+    """write_zordered edge guards: bit-width over the long sign bit is
+    a loud ValueError, empty input degrades to a plain write."""
+    import pytest as pt
+
+    from asag_spark.sources import write_zordered
+
+    pts = spark.range(10).select(
+        F.col("id"), (F.col("id") * 1.0).alias("a"),
+        (F.col("id") * 2.0).alias("b"), (F.col("id") * 3.0).alias("c"),
+        (F.col("id") * 4.0).alias("d"),
+    )
+    with pt.raises(ValueError, match="bits"):
+        write_zordered(pts, str(tmp_path / "x"), ("a", "b", "c", "d"))
+    write_zordered(pts.filter(F.lit(False)), str(tmp_path / "e"), ("a", "b"))
+    assert spark.read.parquet(str(tmp_path / "e")).count() == 0
