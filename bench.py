@@ -220,6 +220,43 @@ def main() -> None:
     timed("zone_overlap", lambda: materialize(overlap), warm=1)
     extras["overlap_pairs"] = overlap.count()
 
+    # 4c. zoom-dependent polygon thinning: 5k deterministic 64-vertex
+    # noisy rings through the DP Arrow kernel (tol approximates one
+    # z11 pixel); vertex reduction recorded so the wall is attributable
+    from asag_spark.geo.simplify import simplify_polygons
+
+    ring_idx = F.sequence(F.lit(0), F.lit(63))
+    two_pi = 6.283185307179586
+    dense_rings = (
+        spark.range(5000).select(
+            F.concat(F.lit("R"), F.col("id")).alias("zone_id"),
+            F.concat(
+                F.lit("POLYGON(("),
+                F.array_join(
+                    F.transform(
+                        ring_idx,
+                        lambda i: F.concat(
+                            F.round(10.0 + (0.3 + F.pmod(F.xxhash64("id", i), 1000) / 50000.0)
+                                    * F.cos(i * F.lit(two_pi / 64)), 7).cast("string"),
+                            F.lit(" "),
+                            F.round(60.0 + (0.3 + F.pmod(F.xxhash64("id", i, F.lit(1)), 1000) / 50000.0)
+                                    * F.sin(i * F.lit(two_pi / 64)), 7).cast("string"),
+                        ),
+                    ),
+                    ", ",
+                ),
+                F.lit(", "),
+                F.round(10.0 + (0.3 + F.pmod(F.xxhash64("id", F.lit(0)), 1000) / 50000.0), 7).cast("string"),
+                F.lit(" 60.0))"),
+            ).alias("geom_wkt"),
+        )
+    )
+    simp = simplify_polygons(dense_rings, tolerance=0.01)
+    timed("polygon_simplify", lambda: materialize(simp), warm=1)
+    red = simp.agg(F.sum("n_before"), F.sum("n_after")).collect()[0]
+    extras["simplify_vertices_before"] = int(red[0])
+    extras["simplify_vertices_after"] = int(red[1])
+
     # 5. training-data ops on the provided tables
     documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     embeddings = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
