@@ -1266,14 +1266,21 @@ WHERE x.doc_id < y.doc_id
 
 def _simhash_sql(max_hamming: int = 3) -> str:
     """Mirror of operators/dedup.simhash + simhash_near_dups: per-token
-    md5-derived 32-bit hash, 32 vote sums, bit-band join, popcount."""
+    md5-derived 64-bit hash (60-bit prefix + 16th hex digit), 64 vote
+    sums, two's-complement assembly (bit 63 = -2^63; DuckDB BIGINT >>
+    is arithmetic and bit_count is 64-bit, same as Java long), 16-bit
+    band join, popcount."""
     votes = ", ".join(
-        f"SUM(CASE WHEN (h32 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(32)
+        f"SUM(CASE WHEN (h60 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60)
+    ) + ", " + ", ".join(
+        f"SUM(CASE WHEN (h4 >> {j - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(60, 64)
     )
     assemble = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
-    )
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)::BIGINT"
+        for j in range(63)
+    ) + " + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT"
     return f"""
 WITH toks AS (
   SELECT doc_id,
@@ -1282,14 +1289,16 @@ WITH toks AS (
 ),
 h AS (
   SELECT doc_id,
-         ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4294967296 AS h32
+         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h60,
+         ('0x' || substr(md5(tok), 16, 1))::BIGINT AS h4
   FROM toks
 ),
 sig AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id),
 sh AS (SELECT doc_id, ({assemble})::BIGINT AS simhash FROM sig),
 banded AS (
   SELECT doc_id, simhash,
-         'b' || b::VARCHAR || ':' || ((simhash >> (8 * b)) & 255)::VARCHAR AS bkey
+         'b' || b::VARCHAR || ':'
+             || ((simhash >> (16 * b)) & 65535)::VARCHAR AS bkey
   FROM sh, UNNEST([0, 1, 2, 3]) AS u(b)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

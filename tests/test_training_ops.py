@@ -55,6 +55,22 @@ def test_jaccard_and_minhash(corpus):
     assert (0, 1) in verified and (0, 3) not in verified
 
 
+def test_jaccard_pairs_leaves_no_cache(corpus):
+    """VERDICT r02 §wrong-2: round 2 cached the shingle frame and never
+    unpersisted it — every jaccard_pairs call pinned a block-manager
+    entry for the session's lifetime. The operator is lazy, so the fix
+    is NO internal cache at all: no new persistent RDD may survive the
+    call."""
+    sc = corpus.sparkSession.sparkContext
+
+    def persistent_ids():
+        return {int(k) for k in sc._jsc.getPersistentRDDs().keySet().toArray()}
+
+    before = persistent_ids()
+    jaccard_pairs(corpus, threshold=0.5).collect()
+    assert persistent_ids() - before == set()
+
+
 def test_simhash(corpus):
     nd = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
           simhash_near_dups(corpus, max_hamming=10).collect()}
@@ -194,18 +210,25 @@ def edit_corpus(spark):
 
 
 def test_simhash_banding_recall_exact(edit_corpus):
-    """4x8 banding has GUARANTEED recall at h<=3 (bands >= h+1): the
+    """4x16 banding has GUARANTEED recall at h<=3 (bands >= h+1): the
     operator output must equal brute-force all-pairs Hamming exactly —
-    no pair missed (recall), none added (the op verifies Hamming)."""
+    no pair missed (recall), none added (the op verifies Hamming).
+    Signatures are signed 64-bit longs (bit 63 = sign), so the brute
+    force masks the XOR to the 64-bit two's-complement pattern."""
     from itertools import combinations
 
     from asag_spark.operators.dedup import simhash
 
+    m64 = (1 << 64) - 1
+
+    def ham(x, y):
+        return bin((x ^ y) & m64).count("1")
+
     sig = {r["doc_id"]: r["simhash"] for r in simhash(edit_corpus).collect()}
     brute = {
-        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        (a, b, ham(sig[a], sig[b]))
         for a, b in combinations(sorted(sig), 2)
-        if bin(sig[a] ^ sig[b]).count("1") <= 3
+        if ham(sig[a], sig[b]) <= 3
     }
     got = {
         (r["doc_a"], r["doc_b"], r["hamming"])
@@ -272,11 +295,28 @@ def test_lsh_band_key_cardinality(planted_vectors):
 
 
 def test_simhash_band_key_cardinality(edit_corpus):
-    from asag_spark.operators.dedup import SIMHASH_BANDS
+    """Scale guard (VERDICT r02 'what's wrong' #1): 16-bit bands give a
+    2^16 per-band keyspace — the former 32-bit/8-bit-band signature had
+    only 256 buckets per band, a quadratic band self-join at 10^9 docs.
+    Also pins that bands x band_bits covers the full 64-bit signature
+    and that real data actually spreads across the widened keyspace."""
+    from asag_spark.operators.dedup import (
+        SIMHASH_BAND_BITS, SIMHASH_BANDS, simhash,
+    )
 
-    assert SIMHASH_BANDS >= 4  # bands >= max_hamming + 1
-    # keyspace = 4 bands x 256 chunk values
-    assert SIMHASH_BANDS * 256 >= 1024
+    assert SIMHASH_BANDS >= 4  # bands >= max_hamming + 1 (pigeonhole)
+    assert SIMHASH_BAND_BITS == 16
+    assert SIMHASH_BANDS * SIMHASH_BAND_BITS == 64  # full signature
+    assert (1 << SIMHASH_BAND_BITS) == 65536  # per-band keyspace
+
+    # the signature must actually populate the high bits (bit 63 rides
+    # the sign): with 17 docs the 4 band values per doc should not
+    # collapse into a handful of buckets
+    sigs = [r["simhash"] for r in simhash(edit_corpus).collect()]
+    assert any(s < 0 for s in sigs) or any(s >> 48 for s in sigs)
+    m16 = (1 << 16) - 1
+    keys = {(b, (s >> (16 * b)) & m16) for s in sigs for b in range(4)}
+    assert len(keys) > 16
 
 
 def test_decode_media_honest_flag(spark):
