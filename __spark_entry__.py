@@ -586,32 +586,50 @@ def _t_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_events_stream(sf_dir: str, prefix: str = "asag_stream_",
+                         copies: int = 1) -> tuple[str, str]:
+    """Stage the events parquet into a throwaway stream-source dir
+    (``copies`` > 1 simulates at-least-once replay). Callers drain the
+    stream into a MEMORY sink, so the staged source and checkpoint are
+    dead the moment awaitTermination returns — every site cleans the
+    work dir in a finally (round 3; round 2 leaked one mkdtemp per
+    call, ADVICE r02)."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix=prefix)
+    stream_dir = f"{work}/events"
+    os.makedirs(stream_dir)
+    for i in range(copies):
+        shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-{i}.parquet")
+    return work, stream_dir
+
+
 def _s_sessionize_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState sessionization, drained in ONE
     availableNow batch so the snapshot-per-batch contract reduces to
     exactly one row per session — the oracle is the same batch gap-
     sessionization SQL as q_sessionize."""
-    import os
     import shutil
-    import tempfile
 
     from asag_spark.streaming import EVENTS_SCHEMA, sessionize_stateful
 
-    work = tempfile.mkdtemp(prefix="asag_stateful_")
-    stream_dir = f"{work}/events"
-    os.makedirs(stream_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-0.parquet")
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
-    sess = sessionize_stateful(stream)
-    q = (
-        sess.writeStream.format("memory")
-        .queryName("s_sessionize_stateful_tbl")
-        .outputMode("append")
-        .option("checkpointLocation", f"{work}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    work, stream_dir = _stage_events_stream(sf_dir, prefix="asag_stateful_")
+    try:
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(stream_dir)
+        sess = sessionize_stateful(stream)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("s_sessionize_stateful_tbl")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.sql(
         "SELECT user_id, session_seq, CAST(session_start AS TIMESTAMP_NTZ)"
         " AS session_start, CAST(session_end AS TIMESTAMP_NTZ) AS"
@@ -788,20 +806,17 @@ def _s_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming (availableNow) over the events table; the
     oracle is the BATCH hourly SQL — streaming must match batch."""
     import shutil
-    import tempfile
 
     from asag_spark.streaming import (
         hourly_counts, read_events_stream, run_available_now,
     )
 
-    work = tempfile.mkdtemp(prefix="asag_stream_")
-    stream_dir = f"{work}/events"
-    import os
-
-    os.makedirs(stream_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-0.parquet")
-    agg = hourly_counts(read_events_stream(spark, stream_dir))
-    run_available_now(agg, f"{work}/ckpt", "s_hourly_stream_tbl")
+    work, stream_dir = _stage_events_stream(sf_dir)
+    try:
+        agg = hourly_counts(read_events_stream(spark, stream_dir))
+        run_available_now(agg, f"{work}/ckpt", "s_hourly_stream_tbl")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.sql("SELECT * FROM s_hourly_stream_tbl")
 
 
@@ -818,24 +833,22 @@ def _s_tile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tile density (availableNow) — hourly per-tile counts
     with the deterministic synthetic coords; oracle is the batch SQL
     (streaming must match batch)."""
-    import os
     import shutil
-    import tempfile
 
     from asag_spark.streaming import (
         read_events_stream, run_available_now, tile_density_stream,
     )
 
-    work = tempfile.mkdtemp(prefix="asag_stream_")
-    stream_dir = f"{work}/events"
-    os.makedirs(stream_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-0.parquet")
-    ev = read_events_stream(spark, stream_dir)
-    lon, lat = _xyz_coords(ev)
-    agg = tile_density_stream(
-        ev.withColumn("lon", lon).withColumn("lat", lat), zoom=6
-    )
-    run_available_now(agg, f"{work}/ckpt", "s_tile_stream_tbl")
+    work, stream_dir = _stage_events_stream(sf_dir)
+    try:
+        ev = read_events_stream(spark, stream_dir)
+        lon, lat = _xyz_coords(ev)
+        agg = tile_density_stream(
+            ev.withColumn("lon", lon).withColumn("lat", lat), zoom=6
+        )
+        run_available_now(agg, f"{work}/ckpt", "s_tile_stream_tbl")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.sql("SELECT * FROM s_tile_stream_tbl")
 
 
@@ -848,23 +861,25 @@ def _t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _s_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact-dedup (availableNow) over a DUPLICATED events
     directory (the same parquet twice — an at-least-once replay); the
-    oracle is the plain batch table: every event exactly once."""
-    import os
+    oracle is the DISTINCT batch table: every distinct event exactly
+    once. DISTINCT (not SELECT *) so the oracle does not silently
+    depend on event_id being unique in the fixture (ADVICE r02); the
+    residual assumption — duplicate event_ids, if ever present, carry
+    identical payloads, which is what makes streaming first-wins
+    deterministic — is asserted in tests/test_streaming_checkpoint."""
     import shutil
-    import tempfile
 
     from asag_spark.streaming import (
         dedup_stream, read_events_stream, run_available_now,
     )
 
-    work = tempfile.mkdtemp(prefix="asag_stream_")
-    stream_dir = f"{work}/events"
-    os.makedirs(stream_dir)
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-0.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{stream_dir}/part-1.parquet")
-    deduped = dedup_stream(read_events_stream(spark, stream_dir))
-    run_available_now(deduped, f"{work}/ckpt", "s_dedup_stream_tbl",
-                      output_mode="append")
+    work, stream_dir = _stage_events_stream(sf_dir, copies=2)
+    try:
+        deduped = dedup_stream(read_events_stream(spark, stream_dir))
+        run_available_now(deduped, f"{work}/ckpt", "s_dedup_stream_tbl",
+                          output_mode="append")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.sql("SELECT * FROM s_dedup_stream_tbl")
 
 
@@ -1573,18 +1588,18 @@ FROM t GROUP BY 1
 _KMV_SQL = """
 WITH hashed AS (
   SELECT DISTINCT event_type AS grp,
-         ((('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT + 1)
-          / 1152921504606846976.0) AS h
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT + 1) AS hl
   FROM events
 ),
 ranked AS (
-  SELECT grp, h,
-         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h ASC) AS r
+  SELECT grp, hl,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY hl ASC) AS r
   FROM hashed QUALIFY r <= 64
 )
 SELECT grp AS event_type,
        ROUND(CASE WHEN COUNT(*) < 64 THEN COUNT(*)::DOUBLE
-                  ELSE 63.0 / MAX(CASE WHEN r = 64 THEN h END)
+                  ELSE 63.0 / (MAX(CASE WHEN r = 64 THEN hl END)::DOUBLE
+                               / 1152921504606846976.0)
              END, 4) AS est_distinct,
        CAST(COUNT(*) AS INTEGER) AS n_hashes
 FROM ranked GROUP BY grp
@@ -1967,7 +1982,9 @@ def _all_oracle_sql() -> dict[str, str]:
               FROM documents
             ) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
         """,
-        "s_dedup_stream": "SELECT * FROM events",
+        # DISTINCT, not SELECT * — independent of event_id uniqueness
+        # in the fixture (identical replayed rows collapse either way)
+        "s_dedup_stream": "SELECT DISTINCT * FROM events",
         "t_split_assign": """
             SELECT doc_id,
                    CASE WHEN u <= 0.9 THEN 'train'

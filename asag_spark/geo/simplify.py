@@ -114,9 +114,14 @@ def simplify_polygons(zones: DataFrame, tolerance: float,
                 continue
             ids, wkts, nb, na = [], [], [], []
             for rid, wkt in zip(pdf[id_col], pdf[geom_col]):
-                if wkt is None or "((" not in wkt:
-                    # null / non-polygon geometry (POINT etc.):
-                    # simplification is the identity — pass through
+                if wkt is None or not wkt.startswith("POLYGON"):
+                    # null / non-POLYGON geometry (POINT, MULTIPOLYGON,
+                    # ...): simplification is the identity — pass
+                    # through UNCHANGED. Gating on the type tag, not on
+                    # "((" (ADVICE r02): parse_polygon reads only the
+                    # first ring, so a MULTIPOLYGON matched by "((" was
+                    # silently rewritten as a single-ring POLYGON —
+                    # a topology change, not a simplification.
                     ids.append(rid)
                     wkts.append(wkt)
                     nb.append(0)

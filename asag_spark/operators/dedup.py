@@ -600,10 +600,20 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
             .localCheckpoint()
         )
         new_sig = _edge_checksum(ss)
+        prev = edges
         edges = ss
         if new_sig == sig:
-            converged = True
-            break
+            # checksum equality is necessary but (at 2^-64) not
+            # sufficient — a colliding different edge set would stop
+            # contraction early and return silently-wrong labels
+            # (ADVICE r02). Confirm exactly once at the candidate
+            # fixpoint: both sets are distinct and counts match (the
+            # checksum carries the count), so one-sided exceptAll
+            # emptiness ⟺ set equality. Cost: one extra join-sized
+            # pass at convergence only, never per round.
+            if ss.exceptAll(prev).isEmpty():
+                converged = True
+                break
         sig = new_sig
     if not converged:
         raise RuntimeError(

@@ -75,12 +75,23 @@ def own_stop_type(props: Column) -> Column:
     )
 
 
+# Coordinate atom shared with the polygon path (geojson.py): accepts
+# scientific notation (1e-05 is legal WKT and producible by float
+# formatting) — round 2 rejected it here only, so such POINTs silently
+# dropped out of PIP/kNN/tiles instead of parsing (ADVICE r02).
+_WKT_NUM = r"[-\d.eE+]+"
+
+
 def point_lon(wkt: Column) -> Column:
-    return F.regexp_extract(wkt, r"POINT\(([-\d.]+) ([-\d.]+)\)", 1).try_cast("double")
+    return F.regexp_extract(
+        wkt, rf"POINT\(({_WKT_NUM}) ({_WKT_NUM})\)", 1
+    ).try_cast("double")
 
 
 def point_lat(wkt: Column) -> Column:
-    return F.regexp_extract(wkt, r"POINT\(([-\d.]+) ([-\d.]+)\)", 2).try_cast("double")
+    return F.regexp_extract(
+        wkt, rf"POINT\(({_WKT_NUM}) ({_WKT_NUM})\)", 2
+    ).try_cast("double")
 
 
 def _props_struct(present: dict) -> Column:

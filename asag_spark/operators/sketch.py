@@ -25,14 +25,17 @@ from pyspark.sql import functions as F
 _KMV_SCALE = float(1 << 60)
 
 
-def _unit_hash(col) -> F.Column:
-    """md5 60-bit prefix → (0,1] (+1 so 0 is excluded); hash idiom
-    shared via text.md5_long60."""
+def _long_hash(col) -> F.Column:
+    """md5 60-bit prefix + 1 → integer in [1, 2^60] — the dedupe and
+    ranking key. INTEGER on purpose (round 3, ADVICE r02): casting to
+    double before the (group, hash) distinct squeezed 60 bits through
+    a 53-bit mantissa, silently colliding hashes that differ only in
+    the low ~7 bits and undercounting below capacity. The unit-interval
+    conversion now happens only in the final estimator expression.
+    Hash idiom shared via text.md5_long60."""
     from .text import md5_long60
 
-    return (md5_long60(col.cast("string")) + F.lit(1)).cast(
-        "double"
-    ) / F.lit(_KMV_SCALE)
+    return md5_long60(col.cast("string")) + F.lit(1)
 
 
 def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
@@ -40,16 +43,18 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
     """(group, est_distinct, n_hashes): KMV distinct-count estimate of
     ``value_col`` per group. Groups holding fewer than k distinct
     values report their EXACT distinct count (the sketch is lossless
-    below its capacity). Deterministic: md5 is seedless, ties are
-    impossible after the (group, hash) dedupe."""
+    below its capacity — exact on the full 60-bit hash, not a rounded
+    double of it). Deterministic: md5 is seedless, ties are impossible
+    after the (group, hash) dedupe, and the long→double conversion is
+    a single exact-input division both engines perform identically."""
     hashed = (
         df.select(F.col(group_col).alias("grp"),
-                  _unit_hash(F.col(value_col)).alias("h"))
-        .groupBy("grp", "h")
+                  _long_hash(F.col(value_col)).alias("hl"))
+        .groupBy("grp", "hl")
         .agg(F.lit(1))  # map-combined distinct on narrow rows
-        .select("grp", "h")
+        .select("grp", "hl")
     )
-    w = Window.partitionBy("grp").orderBy(F.col("h").asc())
+    w = Window.partitionBy("grp").orderBy(F.col("hl").asc())
     ranked = hashed.withColumn("r", F.row_number().over(w)).filter(
         F.col("r") <= k
     )
@@ -57,13 +62,16 @@ def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
         ranked.groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n_hashes"),
-            F.max(F.when(F.col("r") == k, F.col("h"))).alias("hk"),
+            F.max(F.when(F.col("r") == k, F.col("hl"))).alias("hk"),
         )
         .select(
             F.col("grp").alias(group_col),
             F.round(
                 F.when(F.col("n_hashes") < k, F.col("n_hashes").cast("double"))
-                .otherwise(F.lit(float(k - 1)) / F.col("hk")),
+                .otherwise(
+                    F.lit(float(k - 1))
+                    / (F.col("hk").cast("double") / F.lit(_KMV_SCALE))
+                ),
                 4,
             ).alias("est_distinct"),
             F.col("n_hashes").cast("int").alias("n_hashes"),

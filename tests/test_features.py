@@ -137,6 +137,38 @@ def test_adjacency_strategy_parity(spark):
         assert b.exceptAll(a).count() == 0
 
 
+def test_point_scientific_notation_round_trips(spark):
+    """ADVICE/VERDICT r02 #5: POINT coordinates in scientific notation
+    (legal WKT, producible by float formatting — e.g. 1e-05) must parse
+    to the same lon/lat (and therefore the same tile cells) as their
+    plain-decimal spelling, not silently null out of PIP/kNN/tiles."""
+    from asag_spark.datagen import DOCS, _doc
+    from asag_spark.functions import assign_tiles
+
+    base = {"name": "SciNot", "nameLang": "nor",
+            "stopPlaceType": "onstreetBus",
+            "validFrom": "2017-06-19T19:12:31"}
+    rows = [
+        _doc("NSR:StopPlace:901", "StopPlace", props=base,
+             geom_wkt="POINT(1e-05 5.9911868e+01)"),
+        _doc("NSR:StopPlace:902", "StopPlace", props=base,
+             geom_wkt="POINT(0.00001 59.911868)"),
+        _doc("NSR:StopPlace:903", "StopPlace", props=base,
+             geom_wkt="POINT(-1.075E+01 59.911868)"),
+        _doc("NSR:StopPlace:904", "StopPlace", props=base,
+             geom_wkt="POINT(-10.75 59.911868)"),
+    ]
+    docs = spark.createDataFrame(rows, schema=DOCS)
+    feats = assign_tiles(build_features(docs, as_of=AS_OF))
+    got = {r["feature_id"]: r for r in feats.collect()}
+    assert got["NSR:StopPlace:901"]["lon"] == pytest.approx(1e-05)
+    assert got["NSR:StopPlace:901"]["lat"] == pytest.approx(59.911868)
+    for a, b in (("901", "902"), ("903", "904")):
+        ra, rb = got[f"NSR:StopPlace:{a}"], got[f"NSR:StopPlace:{b}"]
+        assert ra["lon"] == rb["lon"] and ra["lat"] == rb["lat"]
+        assert ra["h3_r7"] == rb["h3_r7"] and ra["s2_cell"] == rb["s2_cell"]
+
+
 def test_streamed_feature_collection_sink(spark, tmp_path):
     """write_feature_collection streams 100k+ features through
     toLocalIterator (no driver-side list of the whole collection) and

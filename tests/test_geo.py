@@ -213,3 +213,19 @@ def test_simplify_polygons(spark):
     assert got["P"]["geom_wkt"] == "POINT(10 59)" and got["P"]["n_after"] == 0
     assert got["N"]["geom_wkt"] is None
     assert got["Z"]["n_after"] == 4
+
+    # MULTIPOLYGON (and any non-POLYGON tag) passes through UNCHANGED:
+    # round 2 gated on "((" and silently rewrote a MULTIPOLYGON as a
+    # single-ring POLYGON, dropping its second shell (ADVICE r02)
+    mp = ("MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)), "
+          "((5 5, 6 5, 6 6, 5 5)))")
+    holed = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    mixed2 = spark.createDataFrame(
+        [("M", mp), ("H", holed)], "zone_id string, geom_wkt string")
+    got2 = {r["zone_id"]: r for r in
+            simplify_polygons(mixed2, 0.001).collect()}
+    assert got2["M"]["geom_wkt"] == mp and got2["M"]["n_after"] == 0
+    # POLYGON with interior rings: exterior-ring-only is the repo-wide
+    # compat rule (SURVEY P5) — the simplified output keeps only the
+    # exterior shell, explicitly (not silently)
+    assert got2["H"]["geom_wkt"].startswith("POLYGON((0.0000000 0.0000000")

@@ -38,6 +38,24 @@ def test_streaming_matches_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_events_fixture_dedup_assumptions(spark, sf_dir):
+    """s_dedup_stream's oracle is SELECT DISTINCT * — correct as long
+    as any repeated event_id carries an IDENTICAL payload (streaming
+    first-wins is then deterministic). Pin that property of the
+    fixture loudly so a future events.parquet with conflicting
+    duplicate ids fails HERE with a message, not as an unexplained
+    oracle hash mismatch (ADVICE r02)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_ids = ev.select("event_id").distinct().count()
+    n_rows_distinct = ev.distinct().count()
+    assert n_ids == n_rows_distinct, (
+        "events fixture has duplicate event_ids with DIFFERENT "
+        "payloads — s_dedup_stream's first-wins output is then "
+        "order-dependent and its DISTINCT oracle cannot match; "
+        "key the oracle explicitly before changing the fixture"
+    )
+
+
 def test_sessionize(spark):
     rows = [
         (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
