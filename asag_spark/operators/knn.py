@@ -16,9 +16,9 @@ Plan shape (scale notes; see SCALE.md §5):
   conservative lower bound on the distance to anything outside the
   cell (hex apothem minus the point's offset along the three edge
   normals, deflated by the projection shear — ``_cell_bound``).
-  Only the remaining "open" probes explode to the 6 ring cells for
-  phase 2; the final top-k re-ranks (phase-1 top-k ∪ ring candidates)
-  in one window. The phase-1 top-k — O(k·n) narrow rows — is
+  Only the remaining "open" probes explode to the grid_disk(rings)
+  ring cells for phase 2; the final top-k re-ranks (phase-1 top-k ∪
+  ring candidates) in one window. The phase-1 top-k — O(k·n) narrow rows — is
   persisted, since three consumers would otherwise each re-run the
   quadratic own-cell join.
   On the Zipf-skewed bench distribution 72% of probes terminate in
@@ -45,26 +45,38 @@ from pyspark.sql import types as T
 from ..geo import hexgrid
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def _ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    """The 6 ring-1 neighbor cells of the point's own cell at KNN_RES
-    (own cell EXCLUDED — phase 1 already covered it) — Arrow-batched."""
-    import numpy as np
+def _ring_cells_udf(rings: int):
+    """Arrow-batched UDF: the grid_disk(rings) neighbor cells of the
+    point's own cell at KNN_RES, own cell EXCLUDED (phase 1 already
+    covered it). A factory, not a fixed udf (round 3, VERDICT r02 #6):
+    the offset list is derived from hexgrid.grid_disk — the same
+    function the brute-force parity reference uses — so KNN_RINGS (or
+    a per-call ``rings``) is genuinely tunable instead of a hardcoded
+    ring-1 list guarded by an assert."""
+    offsets = [
+        (dq, dr) for dq, dr in hexgrid.grid_disk(0, 0, rings)
+        if (dq, dr) != (0, 0)
+    ]
 
-    lo = lon.to_numpy(dtype="float64", na_value=np.nan)
-    la = lat.to_numpy(dtype="float64", na_value=np.nan)
-    q, r = hexgrid.cell_qr(np.nan_to_num(lo), np.nan_to_num(la), KNN_RES)
-    out = []
-    for i in range(len(lo)):
-        if np.isnan(lo[i]) or np.isnan(la[i]):
-            out.append(None)
-        else:
-            qq, rr = int(q[i]), int(r[i])
-            out.append(
-                [f"h{KNN_RES}_{qq + dq}_{rr + dr}" for dq, dr in
-                 ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))]
-            )
-    return pd.Series(out, dtype=object)
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def ring_cells(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        import numpy as np
+
+        lo = lon.to_numpy(dtype="float64", na_value=np.nan)
+        la = lat.to_numpy(dtype="float64", na_value=np.nan)
+        q, r = hexgrid.cell_qr(np.nan_to_num(lo), np.nan_to_num(la), KNN_RES)
+        out = []
+        for i in range(len(lo)):
+            if np.isnan(lo[i]) or np.isnan(la[i]):
+                out.append(None)
+            else:
+                qq, rr = int(q[i]), int(r[i])
+                out.append(
+                    [f"h{KNN_RES}_{qq + dq}_{rr + dr}" for dq, dr in offsets]
+                )
+        return pd.Series(out, dtype=object)
+
+    return ring_cells
 
 
 @F.pandas_udf(T.StringType())
@@ -117,11 +129,7 @@ def _cell_bound(lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 
 KNN_RES = 6
-KNN_RINGS = 1
-# _ring_cells hardcodes the 6 ring-1 axial offsets; the brute-force
-# parity reference uses grid_disk(..., KNN_RINGS). Raising KNN_RINGS
-# without widening the offset list would silently change the contract:
-assert KNN_RINGS == 1, "_ring_cells offsets are ring-1 only"
+KNN_RINGS = 1  # default search disk; knn_join(rings=...) overrides per call
 
 
 def haversine_expr(lon1, lat1, lon2, lat2):
@@ -138,11 +146,16 @@ def haversine_expr(lon1, lat1, lon2, lat2):
 
 def knn_join(points: DataFrame, k: int = 3,
              id_col: str = "feature_id",
-             lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+             lon_col: str = "lon", lat_col: str = "lat",
+             rings: int = KNN_RINGS) -> DataFrame:
     """Self-kNN: (id, neighbor_id, rank, dist_m) — matching knn_golden.
 
     rank is 1-based by ascending distance; ties broken by neighbor id
-    for determinism across parallelism levels.
+    for determinism across parallelism levels. ``rings`` widens the
+    bounded search disk (grid_disk(rings) around the probe's cell);
+    the phase-1 own-cell termination bound is valid for every rings ≥
+    1 — a probe it closes has its kth candidate strictly inside the
+    cell, and anything outside the cell (any ring) is farther.
     """
     pts = points.select(
         F.col(id_col).alias("id"),
@@ -209,7 +222,8 @@ def knn_join(points: DataFrame, k: int = 3,
     )
     ring = (
         open_probes.select(
-            "id", "lon", "lat", F.explode(_ring_cells("lon", "lat")).alias("cell")
+            "id", "lon", "lat",
+            F.explode(_ring_cells_udf(rings)("lon", "lat")).alias("cell"),
         )
         .join(targets, "cell")
         .filter(F.col("id") != F.col("neighbor_id"))

@@ -139,13 +139,14 @@ def test_knn_golden(spark, features):
     assert ranks == [1, 2, 3]
 
 
-def _knn_brute_force(lon, lat, ids, k=3):
+def _knn_brute_force(lon, lat, ids, k=3, rings=1):
     """Reference evaluation of the disk contract: candidates = targets
-    whose own cell is in grid_disk(probe cell, 1); top-k (haversine, id)."""
+    whose own cell is in grid_disk(probe cell, rings); top-k
+    (haversine, id)."""
     import numpy as np
 
     from asag_spark.geo import hexgrid
-    from asag_spark.operators.knn import KNN_RES, KNN_RINGS
+    from asag_spark.operators.knn import KNN_RES
 
     q, r_ = hexgrid.cell_qr(lon, lat, KNN_RES)
     own = list(zip(q.tolist(), r_.tolist()))
@@ -159,7 +160,7 @@ def _knn_brute_force(lon, lat, ids, k=3):
 
     expected = {}
     for j in range(len(ids)):
-        disk = set(hexgrid.grid_disk(own[j][0], own[j][1], KNN_RINGS))
+        disk = set(hexgrid.grid_disk(own[j][0], own[j][1], rings))
         cand = np.array([i for i in range(len(ids)) if i != j and own[i] in disk])
         if len(cand) == 0:
             continue
@@ -171,23 +172,27 @@ def _knn_brute_force(lon, lat, ids, k=3):
 
 
 @pytest.mark.parametrize(
-    "lon0,lat0,seed,k",
+    "lon0,lat0,seed,k,rings",
     [
-        (30.0, 70.0, 7, 3),     # Norway-bbox worst-case projection shear
-        (30.0, 70.0, 7, 5),     # same cloud, larger k (termination rarer)
-        (0.1, 0.1, 11, 3),      # equator/prime meridian (zero shear)
-        (-170.0, 80.0, 13, 3),  # high-latitude antimeridian-adjacent, max shear
-        (179.0, -60.0, 17, 3),  # southern hemisphere, large |lon|
+        (30.0, 70.0, 7, 3, 1),     # Norway-bbox worst-case projection shear
+        (30.0, 70.0, 7, 5, 1),     # same cloud, larger k (termination rarer)
+        (0.1, 0.1, 11, 3, 1),      # equator/prime meridian (zero shear)
+        (-170.0, 80.0, 13, 3, 1),  # high-latitude antimeridian-adjacent, max shear
+        (179.0, -60.0, 17, 3, 1),  # southern hemisphere, large |lon|
+        (30.0, 70.0, 7, 3, 2),     # rings=2: wider disk, same exactness
+        (0.1, 0.1, 19, 5, 2),      # rings=2 at zero shear, larger k
     ],
 )
-def test_knn_brute_force_parity(spark, lon0, lat0, seed, k):
+def test_knn_brute_force_parity(spark, lon0, lat0, seed, k, rings):
     """Two-phase pruning (own-cell terminate + ring pass) must equal a
     brute-force evaluation of the disk contract exactly, wherever the
     cloud sits: the termination bound's shear deflation is derived from
     the point's own (lon, lat), so parity must hold at zero shear and
     at shear far beyond the Norway bbox — dense enough that many probes
     terminate in phase 1 AND many sit in the boundary sliver where
-    skipping would be wrong."""
+    skipping would be wrong. rings is now a real dial (VERDICT r02 #6):
+    the ring-cell UDF derives its offsets from the SAME grid_disk the
+    brute force uses, parity-swept at rings=1 and rings=2."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -201,9 +206,9 @@ def test_knn_brute_force_parity(spark, lon0, lat0, seed, k):
     )
     got = {
         (r["feature_id"], r["rank"]): r["neighbor_id"]
-        for r in knn_join(df, k=k).collect()
+        for r in knn_join(df, k=k, rings=rings).collect()
     }
-    assert got == _knn_brute_force(lon, lat, ids, k=k)
+    assert got == _knn_brute_force(lon, lat, ids, k=k, rings=rings)
 
 
 def test_tile_feature_collections(tiled):
