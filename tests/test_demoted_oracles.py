@@ -50,15 +50,17 @@ def duck(sf_dir):
 
 
 def test_registry_partition():
-    """Live registry is exactly 50 entries, every oracle-bearing entry
-    precedes the rows-only tail, and the two registries don't overlap."""
+    """Live registry is exactly 50 entries, EVERY entry carries an
+    oracle (round 3 closed the last two rows-only tails: media features
+    via pinned-order float64 math, flagship via golden rows), and the
+    two registries don't overlap."""
     live = list(entry_mod.queries())
     demoted = set(entry_mod.demoted_queries())
     assert len(live) == 50
     assert not demoted & set(live)
     oracles = entry_mod.oracle_sql()
     rows_only = [q for q in live if q not in oracles]
-    assert rows_only == ["t_media_features", "flagship_tiles"]
+    assert rows_only == []
     assert set(entry_mod.demoted_oracle_sql()) == demoted
 
 
