@@ -184,17 +184,80 @@ def _parking_props(el) -> dict[str, str]:
     return props
 
 
-def parse_publication_delivery(source) -> list[tuple[str, list]]:
+class NetexValidationError(ValueError):
+    """A well-formed XML document that is not a structurally valid
+    NeTEx PublicationDelivery (wrong root, missing dataObjects, an
+    entity without an id, a half-specified centroid, an odd or
+    too-short posList)."""
+
+
+_ENTITY_TAGS = ("StopPlace", "Quay", "Parking", "TariffZone")
+
+
+def validate_delivery(root) -> None:
+    """Structural lint, mirroring the reference's validate-then-parse
+    discipline (DeliveryPublicationStreamToGeoJsonTest.java:60-72
+    validates the fixture against the NeTEx XSD before transforming).
+    The full XSD is not vendorable here, so this checks the structural
+    invariants the transform depends on and fails LOUDLY instead of
+    silently emitting half-parsed docs:
+
+    * root element is NeTEx ``PublicationDelivery``;
+    * a ``dataObjects`` child exists;
+    * every StopPlace/Quay/Parking/TariffZone carries an ``id``;
+    * a Centroid/Location, when present, has BOTH Longitude and
+      Latitude (a half-specified point is data corruption, not a
+      missing geometry);
+    * every gml posList has an even token count ≥ 6 (lat lon pairs,
+      ≥ 3 vertices).
+    """
+    errs: list[str] = []
+    if root.tag != NS + "PublicationDelivery":
+        errs.append(f"root element is {root.tag!r}, expected "
+                    f"{NS + 'PublicationDelivery'!r}")
+    elif _child(root, "dataObjects") is None:
+        errs.append("missing <dataObjects>")
+    for tag in _ENTITY_TAGS:
+        for el in root.iter(NS + tag):
+            if not el.get("id"):
+                errs.append(f"<{tag}> without id attribute")
+            loc = _child(el, "Centroid", "Location")
+            if loc is not None:
+                lon, lat = _text(loc, "Longitude"), _text(loc, "Latitude")
+                if bool(lon) != bool(lat):
+                    errs.append(
+                        f"<{tag} id={el.get('id')!r}> Centroid/Location "
+                        "has only one of Longitude/Latitude"
+                    )
+    for pos in root.iter(f"{GML}posList"):
+        toks = (pos.text or "").split()
+        if len(toks) < 6 or len(toks) % 2 != 0:
+            errs.append(
+                f"gml:posList with {len(toks)} tokens "
+                "(needs an even count >= 6)"
+            )
+    if errs:
+        raise NetexValidationError(
+            "invalid NeTEx delivery: " + "; ".join(errs[:10])
+            + (f" (+{len(errs) - 10} more)" if len(errs) > 10 else "")
+        )
+
+
+def parse_publication_delivery(source, validate: bool = True) -> list[tuple[str, list]]:
     """Parse a NeTEx PublicationDelivery (path / file-like / bytes) into
     docs rows [(doc_id, [(kind, text, media_ref, offset), ...])] in
     document order: per SiteFrame, stop places (each followed by its
-    quays), parkings, tariff zones."""
+    quays), parkings, tariff zones. Validates structure first (see
+    ``validate_delivery``); pass validate=False only for deliberately
+    lenient exploration."""
     from .datagen import _doc
 
     if isinstance(source, (bytes, bytearray)):
         root = ET.fromstring(source)
     else:
         root = ET.parse(source).getroot()
+    if validate:
+        validate_delivery(root)
 
     rows: list[tuple[str, list]] = []
     # SiteFrames both directly under dataObjects and nested in

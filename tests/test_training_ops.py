@@ -238,6 +238,45 @@ def test_simhash_banding_recall_exact(edit_corpus):
     assert got == brute
 
 
+def test_decode_pixels_plumbing(spark):
+    """decode_pixels: identical schema/batch shape whichever branch
+    runs. Without PIL (this sandbox) every row is the deterministic
+    md5-keystream fake with is_stub=True; with PIL, real PNG bytes
+    decode with is_stub=False — the assertion adapts to whichever
+    environment executes it, so the test is honest in both."""
+    from asag_spark.operators.media import _PIL_Image, decode_pixels
+
+    rows = [("d1", "img://a.jpg", None), ("d2", "img://b.jpg", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, content binary"
+    )
+    out = {r["media_ref"]: r for r in
+           decode_pixels(df, bytes_col="content", target=8).collect()}
+    assert set(out) == {"img://a.jpg", "img://b.jpg"}
+    for r in out.values():
+        assert r["px_width"] == 8 and r["px_height"] == 8
+        assert len(r["pixels"]) == 64
+        assert all(0 <= v <= 255 for v in r["pixels"])
+        assert r["is_stub"] is True  # bytes are null → fake either way
+    # the fake is deterministic (stable across runs/parallelism)
+    again = {r["media_ref"]: r["pixels"] for r in
+             decode_pixels(df.repartition(3), bytes_col="content",
+                           target=8).collect()}
+    assert again == {k: v["pixels"] for k, v in out.items()}
+
+    if _PIL_Image is not None:  # real branch where Pillow exists
+        import io as _io
+
+        buf = _io.BytesIO()
+        _PIL_Image.new("RGB", (32, 32), (200, 10, 10)).save(buf, "PNG")
+        df2 = spark.createDataFrame(
+            [("d3", "img://c.png", bytearray(buf.getvalue()))],
+            "doc_id string, media_ref string, content binary",
+        )
+        r = decode_pixels(df2, bytes_col="content", target=8).collect()[0]
+        assert r["is_stub"] is False and len(r["pixels"]) == 64
+
+
 @pytest.fixture(scope="module")
 def planted_vectors(spark):
     """50 random unit vectors + 20 noisy clones (cosine >= ~0.99)."""
