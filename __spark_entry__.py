@@ -1295,17 +1295,17 @@ def _simhash_sql(max_hamming: int = 3) -> str:
     sums, two's-complement assembly (bit 63 = -2^63; DuckDB BIGINT >>
     is arithmetic and bit_count is 64-bit, same as Java long), 16-bit
     band join, popcount."""
+    # votes arithmetically: bit j set ⟺ 2·Σbit_j > n (see dedup.simhash)
     votes = ", ".join(
-        f"SUM(CASE WHEN (h60 >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(60)
+        f"SUM((h60 >> {j}) & 1) AS s{j}" for j in range(60)
     ) + ", " + ", ".join(
-        f"SUM(CASE WHEN (h4 >> {j - 60}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
-        for j in range(60, 64)
-    )
+        f"SUM((h4 >> {j - 60}) & 1) AS s{j}" for j in range(60, 64)
+    ) + ", COUNT(h60) AS n"
     assemble = " + ".join(
-        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)::BIGINT"
+        f"(CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END)::BIGINT"
         for j in range(63)
-    ) + " + (CASE WHEN v63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT"
+    ) + (" + (CASE WHEN 2 * s63 > n THEN (-9223372036854775807 - 1) "
+         "ELSE 0 END)::BIGINT")
     return f"""
 WITH toks AS (
   SELECT doc_id,

@@ -242,31 +242,36 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     h4 = F.conv(F.substring(F.md5(F.col("tok")), 16, 1), 16, 10).cast("long")
     exploded = docs.select(
         "doc_id", F.explode_outer(toks).alias("tok")
-    ).select("doc_id", "tok", h60.alias("h60"), h4.alias("h4"))
+    ).select("doc_id", h60.alias("h60"), h4.alias("h4"))
 
     def _bit(j):
         if j < 60:
             return F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1))
         return F.shiftright(F.col("h4"), j - 60).bitwiseAND(F.lit(1))
 
-    aggs = [
-        F.sum(
-            F.when(F.col("tok").isNull(), 0)
-            .when(_bit(j) == 1, 1)
-            .otherwise(-1)
-        ).alias(f"v{j}")
-        for j in range(64)
-    ]
-    sig = exploded.groupBy("doc_id").agg(*aggs)
-    # two's-complement assembly: bit 63 is the sign bit (-2^63); bits
-    # 0..62 are positive powers — the sum stays in long range for every
-    # bit pattern
+    # votes rewritten arithmetically (round-3 perf: the widened 64-agg
+    # pass measured ~1.7x the 32-bit version with per-bit 3-way CASEs):
+    # s_j = Σ bit_j over token occurrences and n = token count give
+    # votes_j = s_j − (n − s_j) = 2·s_j − n, so each aggregate is a
+    # bare shift-and SUM and the CASE logic collapses into one shared
+    # COUNT. Null-token rows (explode_outer on an empty array) hash to
+    # null → skipped by SUM and COUNT alike = the old vote-0 behavior.
+    aggs = [F.sum(_bit(j)).alias(f"s{j}") for j in range(64)]
+    sig = exploded.groupBy("doc_id").agg(
+        *aggs, F.count("h60").alias("n")
+    )
+    # bit j set ⟺ votes_j > 0 ⟺ 2·s_j > n. Two's-complement assembly:
+    # bit 63 is the sign bit (-2^63); bits 0..62 are positive powers —
+    # the sum stays in long range for every bit pattern
+    def _set(j):
+        return 2 * F.col(f"s{j}") > F.col("n")
+
     bits = [
-        F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        F.when(_set(j), F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         for j in range(63)
     ]
     bits.append(
-        F.when(F.col("v63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0).cast("long"))
+        F.when(_set(63), F.lit(-(1 << 63))).otherwise(F.lit(0).cast("long"))
     )
     acc = bits[0]
     for b in bits[1:]:

@@ -328,8 +328,9 @@ def main() -> None:
     )
     extras["ivf_corpus_rows"] = n_vecs
 
-    # round-2 rebuilds (banded hyperplane LSH / 4x8 SimHash): benched so
-    # regressions in the scale-path dedup family are attributable
+    # scale-path dedup family (banded hyperplane LSH / 64-bit SimHash
+    # in 4x16 bands since round 3): benched so regressions are
+    # attributable
     from asag_spark.operators.dedup import embedding_near_dups, simhash_near_dups
 
     timed(
