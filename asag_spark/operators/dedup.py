@@ -173,11 +173,14 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
     return sh.select("doc_id", h).groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
-                        text_col: str = "text") -> DataFrame:
-    """MinHash-LSH candidates: docs sharing any band bucket.
-    Output (doc_a, doc_b) distinct, doc_a < doc_b. Banding is a single
-    posexplode over the signature row (one scan, one shuffle)."""
+def minhash_band_buckets(docs: DataFrame, num_hashes: int = 16,
+                         bands: int = 4,
+                         text_col: str = "text") -> DataFrame:
+    """(doc_id, band, bkey) — the LSH band-bucket table. Banding is a
+    single posexplode over the signature row (one scan, one shuffle).
+    This IS the persistent dedup index at scale: write it bucketed on
+    bkey once, and every future batch probes it instead of re-hashing
+    the corpus (see ``lsh_candidate_pairs_incremental``)."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, text_col)
     band_keys = F.array(*[
@@ -187,19 +190,72 @@ def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
         ])
         for b in range(bands)
     ])
-    buckets = sig.select(
+    return sig.select(
         "doc_id", F.posexplode(band_keys).alias("band", "bkey")
     )
-    x = buckets.alias("x")
-    y = buckets.alias("y")
+
+
+def _bucket_pairs(x_buckets: DataFrame, y_buckets: DataFrame) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing any (band, bkey)."""
+    x = x_buckets.alias("x")
+    y = y_buckets.alias("y")
     return (
-        x.join(y, (F.col("x.band") == F.col("y.band")) & (F.col("x.bkey") == F.col("y.bkey")))
+        x.join(y, (F.col("x.band") == F.col("y.band"))
+               & (F.col("x.bkey") == F.col("y.bkey")))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
     )
+
+
+def lsh_candidate_pairs(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                        text_col: str = "text") -> DataFrame:
+    """MinHash-LSH candidates: docs sharing any band bucket.
+    Output (doc_a, doc_b) distinct, doc_a < doc_b."""
+    buckets = minhash_band_buckets(docs, num_hashes, bands, text_col)
+    return _bucket_pairs(buckets, buckets)
+
+
+def lsh_candidate_pairs_incremental(corpus_buckets: DataFrame,
+                                    new_docs: DataFrame,
+                                    num_hashes: int = 16, bands: int = 4,
+                                    text_col: str = "text") -> DataFrame:
+    """Incremental MinHash-LSH: candidate pairs INVOLVING AT LEAST ONE
+    NEW DOC, probing a persisted band-bucket table instead of
+    re-hashing the corpus — the growing-corpus maintenance path (a
+    daily 10^9-doc batch against a 10^12-doc corpus must not re-minhash
+    the corpus per batch; only the batch is hashed, one map pass).
+
+    ``corpus_buckets``: the existing (doc_id, band, bkey) table from
+    ``minhash_band_buckets`` (at scale: stored bucketed on bkey so this
+    probe join co-locates without shuffling the corpus side).
+
+    Exactness contract (parity-tested): with B = buckets(new),
+    C = corpus_buckets,
+
+        lsh_candidate_pairs(old ∪ new)
+          == lsh_candidate_pairs(old)  ∪  incremental(C, new)
+
+    because every candidate pair shares a bucket, and a pair with ≥1
+    new member is found by joining B against (C ∪ B); pairs wholly
+    inside the old corpus are exactly lsh_candidate_pairs(old), which
+    the caller already materialized in previous batches. MinHash
+    signatures are per-doc functions (md5 + affine — no corpus-level
+    state), so signatures computed in different batches are identical
+    to a from-scratch run; the same property makes the banding append-
+    stable. The caller appends B to the bucket table afterwards."""
+    new_buckets = minhash_band_buckets(new_docs, num_hashes, bands, text_col)
+    all_buckets = corpus_buckets.select("doc_id", "band", "bkey").unionByName(
+        new_buckets
+    )
+    # join new against (corpus ∪ new): catches new-old AND new-new
+    # pairs; the x<y dedup in _bucket_pairs needs both orientations, so
+    # probe from both sides of the new set
+    left = _bucket_pairs(new_buckets, all_buckets)
+    right = _bucket_pairs(all_buckets, new_buckets)
+    return left.unionByName(right).distinct()
 
 
 def minhash_dedup(docs: DataFrame, threshold: float = 0.8,

@@ -476,6 +476,29 @@ def ivf_index_write(emb: DataFrame, path: str,
     )
 
 
+def ivf_index_append(new_emb: DataFrame, path: str) -> None:
+    """Append a batch of new vectors to an existing ``ivf_index_write``
+    layout — the growing-corpus maintenance path. The quantizer stays
+    FROZEN: new vectors are assigned against the stored centroid
+    sidecar (one map-only Arrow matmul), clustered on the cell key, and
+    appended into the cell-partitioned directory — no shuffle or
+    rewrite of existing data, which is what makes daily 10^9-vector
+    appends to a 10^12-vector index affordable. Probes over the
+    appended index are row-identical to a probe over a single-shot
+    index of the union built with the same centroids (parity-tested);
+    re-train + ``ivf_index_write`` periodically when quantizer drift
+    (new data far from every centroid) degrades the probed-cell recall.
+    """
+    c_ids, C = _load_centroids(new_emb.sparkSession, path)
+    (
+        ivf_assign(new_emb, centroids=(c_ids, C))
+        .repartition(F.col("ivf_cell"))
+        .write.mode("append")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/index")
+    )
+
+
 def _load_centroids(spark, path: str):
     """Centroid sidecar → (c_ids asc, matrix). Read driver-side with
     pyarrow when possible — it is a few KB and a Spark job just to

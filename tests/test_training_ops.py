@@ -537,6 +537,80 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     assert 0 < n_pruned < n_full, (n_pruned, n_full)
 
 
+def test_ivf_index_append_parity(spark, tmp_path):
+    """Index maintenance (round 3): appending a batch against the
+    FROZEN stored quantizer must yield probes row-identical to a
+    single-shot index of the union built with the same centroids —
+    the append is cheap (map-only assignment + partitioned append,
+    no rewrite) precisely because the quantizer does not move."""
+    from asag_spark.operators.similarity import (
+        ivf_centroids, ivf_index_append, ivf_index_write, ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    new = e.filter(F.col("vec_id") % 5 == 0)
+    q = e.filter(F.col("vec_id") < 10)
+
+    ivf_index_write(old, str(tmp_path))
+    ivf_index_append(new, str(tmp_path))
+
+    appended = sorted(map(tuple, ivf_topk_indexed(spark, str(tmp_path), q, k=5).collect()))
+    # reference: inline probe over the union with the OLD corpus's
+    # centroids (the frozen quantizer the append contract promises)
+    cents = ivf_centroids(old)
+    union_inline = sorted(map(tuple, ivf_topk(e, q, k=5, centroids=cents).collect()))
+    assert appended == union_inline
+    # the appended rows really landed in cell partitions
+    idx = spark.read.parquet(f"{tmp_path}/index")
+    assert idx.count() == e.count()
+
+
+def test_lsh_incremental_parity(spark):
+    """Incremental LSH (round 3): candidates(old ∪ new) must equal
+    candidates(old) ∪ incremental(buckets(old), new) — the persisted
+    band-bucket probe finds every pair with ≥1 new member, and pairs
+    wholly inside the old corpus are the caller's previous batches."""
+    from asag_spark.operators.dedup import (
+        lsh_candidate_pairs, lsh_candidate_pairs_incremental,
+        minhash_band_buckets,
+    )
+
+    import random
+
+    rng = random.Random(99)
+    words = [f"w{rng.randrange(500)}" for _ in range(200)]
+    rows = []
+    for i in range(40):
+        base = [rng.choice(words) for _ in range(30)]
+        rows.append((2 * i, " ".join(base)))          # original
+        v = list(base)
+        if i % 2 == 0:
+            v[3] = "editX"                            # near-dup partner
+        rows.append((2 * i + 1, " ".join(v)))
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # split so dup pairs straddle the boundary: evens old, odds new
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    old_pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(old).collect()}
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs_incremental(
+            minhash_band_buckets(old), new
+        ).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert all(a in new_ids or b in new_ids for a, b in inc)
+    assert old_pairs | inc == full
+    assert len(inc) >= 10, "split must exercise cross-boundary dups"
+
+
 def test_generate_embeddings_deterministic(spark):
     """Counter-based generator: identical rows at any partitioning."""
     from asag_spark.datagen import generate_embeddings
