@@ -230,3 +230,68 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+DOCS_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def lsh_dedup_stream(docs_stream: DataFrame, bucket_table: str,
+                     pairs_out: str, checkpoint_dir: str) -> None:
+    """Streaming NEAR-dup detection: each microbatch is minhashed ONCE
+    and probed against the persisted band-bucket table (the
+    `minhash_band_buckets` index), emitting candidate pairs that
+    involve at least one batch doc, then appending the batch's buckets
+    to the index — the streaming composition of
+    `dedup.lsh_candidate_pairs_incremental`.
+
+    Why foreachBatch and not a stateful operator: the dedup index is
+    corpus-sized (10^12 band-bucket rows) — it belongs in table
+    storage with bucketed layout, not in stream state (watermark-bound
+    state stores cannot hold unbounded history; the exact-dedup
+    `dedup_stream` above is the bounded-state tool for key dedup,
+    near-dup needs the table). Each batch does: one map-side minhash
+    of the BATCH only, one probe join against the index, one append.
+
+    Exactness: the final pair set over N batches equals the batch
+    `lsh_candidate_pairs` over the full corpus (parity-tested) —
+    signatures are per-doc functions, so batch boundaries do not
+    change them, and every pair is found in the batch that completes
+    it. Replay caveat (documented, standard foreachBatch contract):
+    the appends are idempotent only per-batch-id; production sinks
+    key the append on batch_id (e.g. Iceberg overwrite-by-filter) —
+    at-least-once is acceptable here because pairs are a SET
+    (downstream distinct) and bucket rows are re-probed identically.
+    """
+    from ..operators.dedup import (
+        lsh_candidate_pairs_incremental, minhash_band_buckets,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            corpus = spark.read.parquet(bucket_table)
+        except Exception:  # noqa: BLE001 — first batch: no index yet
+            corpus = spark.createDataFrame(
+                [], "doc_id long, band int, bkey string"
+            )
+        inc = lsh_candidate_pairs_incremental(corpus, batch_df)
+        inc.write.mode("append").parquet(pairs_out)
+        minhash_band_buckets(batch_df).write.mode("append").parquet(
+            bucket_table
+        )
+
+    (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

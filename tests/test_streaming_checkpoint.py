@@ -56,6 +56,57 @@ def test_events_fixture_dedup_assumptions(spark, sf_dir):
     )
 
 
+def test_lsh_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming near-dup (foreachBatch + persisted bucket index): the
+    pair set accumulated across microbatches must equal the batch
+    lsh_candidate_pairs over the full corpus — each batch is hashed
+    once and probed against the index built by earlier batches."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from asag_spark.operators.dedup import lsh_candidate_pairs
+    from asag_spark.streaming import DOCS_TABLE_SCHEMA, lsh_dedup_stream
+
+    rng = random.Random(5)
+    words = [f"w{rng.randrange(400)}" for _ in range(150)]
+    rows = []
+    for i in range(30):
+        base = [rng.choice(words) for _ in range(25)]
+        rows.append((2 * i, " ".join(base), "en", "s", 99))
+        v = list(base)
+        if i % 3:
+            v[2] = "editY"
+        rows.append((2 * i + 1, " ".join(v), "en", "s", 99))
+    docs = spark.createDataFrame(rows, DOCS_TABLE_SCHEMA)
+
+    # stage as TWO files so availableNow+maxFilesPerTrigger=1 processes
+    # two microbatches, with dup pairs straddling the batch boundary
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "batch0"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "batch1"))
+    stream = (
+        spark.readStream.schema(DOCS_TABLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*/")
+    )
+    buckets = str(tmp_path / "buckets")
+    pairs_out = str(tmp_path / "pairs")
+    lsh_dedup_stream(stream, buckets, pairs_out, str(tmp_path / "ckpt"))
+
+    streamed = {(r["doc_a"], r["doc_b"])
+                for r in spark.read.parquet(pairs_out).collect()}
+    batch = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(docs).collect()}
+    assert streamed == batch
+    assert len(batch) >= 10, "corpus must exercise cross-batch dups"
+    # the bucket index now covers the whole corpus (ready for batch 3)
+    assert spark.read.parquet(buckets).select("doc_id").distinct().count() == 60
+
+
 def test_sessionize(spark):
     rows = [
         (1, "2024-01-01 10:00:00", 7, "click", 1.0, "{}"),
