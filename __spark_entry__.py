@@ -561,6 +561,30 @@ def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import seq_pack
+
+    return seq_pack(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import stratified_sample
+
+    return stratified_sample(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.text import contamination_check
+
+    return contamination_check(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from asag_spark.operators.events import range_join_counts
+
+    return range_join_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import quality_score
 
@@ -950,6 +974,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_tfidf_top": _t_tfidf_top,
         "t_corpus_stats": _t_corpus_stats,
         "t_kmv_distinct": _t_kmv_distinct,
+        # round-3 training-data additions (live SQL oracles): sequence
+        # packing (two-phase global prefix sum), deterministic
+        # stratified sampling, train/test decontamination — promoted
+        # into the 50 in place of three redundant relational demos
+        # (q_cube / q1_agg / q5_multijoin, now in demoted_queries()
+        # with the same oracles; grouping/agg/join families stay
+        # represented live by zone_cover_stats, t_corpus_stats and the
+        # pip/knn/adjacency joins)
+        "t_seq_pack": _t_seq_pack,
+        "t_stratified_sample": _t_stratified,
+        "t_contamination": _t_contamination,
         # tiling / raster / overlap (live SQL oracles)
         "q_xyz_tiles": _q_xyz_tiles,
         "q_mvt_coords": _q_mvt_coords,
@@ -958,9 +993,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_measures_fixture": _q_zone_measures,
         "zone_overlap_fixture": _q_zone_overlap,
         # relational operator coverage (live SQL oracles)
-        "q_cube": _q_cube,
-        "q1_agg": _q1_agg,
-        "q5_multijoin": _q5_multijoin,
         "q_asof_window": _q_asof_window,
         "q_sessionize": _q_sessionize,
         # streaming (live SQL oracles)
@@ -1020,6 +1052,18 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deterministic train/val/test split (hash-bucketed, stable
         # under appends and across engines)
         "t_split_assign": _t_split_assign,
+        # demoted round 3 for t_seq_pack / t_stratified_sample /
+        # t_contamination: TPC-H-style demos whose operator families
+        # (grouping sets, hash agg, multiway join) stay represented
+        # live (zone_cover_stats, t_corpus_stats, pip/knn/adjacency)
+        "q_cube": _q_cube,
+        "q1_agg": _q1_agg,
+        "q5_multijoin": _q5_multijoin,
+        # round-3 addition: bounded-interval range join (time-bucketed
+        # equi-join, not a nested-loop) — as-of stays live via
+        # q_asof_window, so the range variant rides here, same oracle
+        # discipline
+        "q_range_join": _q_range_join,
     }
 
 
@@ -2125,4 +2169,84 @@ def _all_oracle_sql() -> dict[str, str]:
         "t_frame_sample": _FRAME_SAMPLE_SQL,
         "t_media_features": _media_features_sql(),
         "flagship_tiles": _flagship_tiles_sql(),
+        # round-3 training-data additions. seq_pack: the oracle is the
+        # NAIVE single-order window spelling (fine at oracle scale);
+        # the engine computes the identical values via the two-phase
+        # bucketed prefix sum (text.seq_pack docstring). GREATEST(n,1)
+        # = every doc owns >= 1 stream slot. DuckDB SUM(INTEGER) is
+        # HUGEINT -> cast the exposed columns back to BIGINT.
+        "t_seq_pack": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER)
+                       AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(GREATEST(n_tokens, 1)) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS start_tok
+              FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(start_tok AS BIGINT) AS start_tok,
+                   CAST(start_tok // 256 AS BIGINT) AS pack_id,
+                   CAST((start_tok + GREATEST(n_tokens, 1) - 1) // 256
+                        - start_tok // 256 AS INTEGER) AS n_splits
+            FROM c
+        """,
+        # stratified_sample: same md5-unit idiom as t_split_assign,
+        # seed 'strata-v1'; strata not in the rate map keep rate 0
+        "t_stratified_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     ((('0x' || substr(md5('strata-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                      / 1152921504606846976.0) AS u
+              FROM documents
+            )
+            WHERE u <= CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0
+                                 WHEN 'fr' THEN 1.0 WHEN 'es' THEN 0.5
+                                 WHEN 'zh' THEN 0.25 ELSE 0.0 END
+        """,
+        # contamination: winnowed-fp overlap between the split_assign
+        # test and train splits, fingerprints capped at df <= 100
+        # before the join (boilerplate/skew guard, mirrored exactly)
+        "t_contamination": f"""
+            WITH wfp AS ({_WINNOW_SQL}),
+            lab AS (
+              SELECT w.doc_id, w.fp,
+                     CASE WHEN u <= 0.9 THEN 'train'
+                          WHEN u <= 0.95 THEN 'val'
+                          ELSE 'test' END AS split
+              FROM wfp w, LATERAL (
+                SELECT ((('0x' || substr(md5('split-v1:' || w.doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                        / 1152921504606846976.0) AS u
+              ) s
+            ),
+            ok AS (
+              SELECT fp FROM lab GROUP BY fp
+              HAVING COUNT(DISTINCT doc_id) <= 100
+            ),
+            capped AS (SELECT l.* FROM lab l JOIN ok USING (fp))
+            SELECT p.doc_id,
+                   CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_train_matches
+            FROM capped p JOIN capped a ON p.fp = a.fp
+            WHERE p.split = 'test' AND a.split = 'train'
+            GROUP BY p.doc_id
+        """,
+        # bounded-interval range join: clicks in (ts - 300 s, ts] per
+        # purchase; the oracle states the inequality join directly —
+        # the engine's time-bucket replication must produce the same
+        # counts (events.range_join_counts docstring)
+        "q_range_join": """
+            SELECT p.event_id, p.user_id, p.ts,
+                   COUNT(c.ts) AS n_clicks
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts > p.ts - INTERVAL 300 SECOND
+             AND c.ts <= p.ts
+            GROUP BY p.event_id, p.user_id, p.ts
+        """,
     }

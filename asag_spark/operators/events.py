@@ -85,6 +85,61 @@ def asof_join_pandas(events: DataFrame, probe_type: str = "purchase",
     )
 
 
+def range_join_counts(events: DataFrame, window_s: int = 300,
+                      probe_type: str = "purchase",
+                      build_type: str = "click") -> DataFrame:
+    """Bounded-interval range join: for each probe event, how many of
+    the same user's build events fall in (ts − window_s, ts]? This is
+    the range-join row of SURVEY §2.3 '(absent) as-of/range/theta
+    joins' — the "clicks in the 5 minutes before each purchase"
+    attribution query.
+
+    Naive spellings either run the inequality as a
+    BroadcastNestedLoopJoin (all pairs per user — quadratic for active
+    users) or sort both sides globally. The scalable shape is TIME
+    BUCKETING: bin both sides to floor(epoch/window_s); a build event
+    inside the window can only land in the probe's bin or the one
+    before it, so replicating each build row to (bin, bin+1) and
+    equi-joining on (user_id, bin) bounds the candidate set to two
+    buckets per probe — a plain shuffled hash/sort-merge join whose
+    fan-out is the per-(user, window) event density, independent of
+    total history length. The exact (ts−w, ts] predicate rides in the
+    join condition; each build row matches at most once because its
+    two replicas carry distinct bins. LEFT join keeps zero-click
+    probes (n_clicks = 0).
+
+    Output: (event_id, user_id, ts, n_clicks)."""
+    if window_s < 1:
+        raise ValueError(f"window_s must be >= 1, got {window_s}")
+    step = window_s * 1_000_000
+    # parquet ts is TIMESTAMP_NTZ; the session tz is pinned to UTC
+    # (session.py), so cast-to-TIMESTAMP is a fixed monotone shift —
+    # and binning only needs the SAME mapping on both sides anyway
+    bin_expr = f"unix_micros(cast(ts as timestamp)) div {step}"
+    probe = events.filter(F.col("event_type") == probe_type).select(
+        "event_id", "user_id", "ts",
+        F.expr(bin_expr).alias("_bin"),
+    )
+    build = events.filter(F.col("event_type") == build_type).select(
+        F.col("user_id").alias("_b_user"),
+        F.col("ts").alias("_b_ts"),
+        F.explode(
+            F.array(F.expr(bin_expr), F.expr(f"{bin_expr} + 1"))
+        ).alias("_bin"),
+    )
+    cond = (
+        (probe["user_id"] == build["_b_user"])
+        & (probe["_bin"] == build["_bin"])
+        & (build["_b_ts"] > probe["ts"] - F.expr(f"INTERVAL {window_s} SECOND"))
+        & (build["_b_ts"] <= probe["ts"])
+    )
+    return (
+        probe.join(build, cond, "left")
+        .groupBy("event_id", probe["user_id"], probe["ts"])
+        .agg(F.count("_b_ts").alias("n_clicks"))
+    )
+
+
 def topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     """Top-k events by value per user (window row_number — O4/top-k)."""
     w = Window.partitionBy("user_id").orderBy(

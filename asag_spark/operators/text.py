@@ -212,6 +212,20 @@ def corpus_stats(docs: DataFrame, by: str = "source") -> DataFrame:
     )
 
 
+def hash_unit(id_col: str, seed: str) -> Column:
+    """Deterministic U(0,1] per id: md5(seed:id) 60-bit prefix mapped
+    to the unit interval. The +1 keeps 0 out of the range so a rate of
+    exactly 0 never admits a row; division by 2^60 is exact binary
+    scaling, so any engine computing the same md5 lands on the same
+    double. Shared by split_assign and stratified_sample — one idiom,
+    one oracle translation."""
+    return (
+        md5_long60(
+            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+        ) + F.lit(1)
+    ).cast("double") / F.lit(float(1 << 60))
+
+
 def split_assign(docs: DataFrame, weights: dict[str, float] | None = None,
                  id_col: str = "doc_id", seed: str = "split-v1") -> DataFrame:
     """Deterministic train/val/test assignment — the split every
@@ -229,11 +243,7 @@ def split_assign(docs: DataFrame, weights: dict[str, float] | None = None,
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    u = (
-        md5_long60(
-            F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
-        ) + F.lit(1)
-    ).cast("double") / F.lit(float(1 << 60))
+    u = hash_unit(id_col, seed)
     expr = None
     acc = 0.0
     names = list(weights)
@@ -244,3 +254,176 @@ def split_assign(docs: DataFrame, weights: dict[str, float] | None = None,
     split = (expr.otherwise(names[-1]) if expr is not None
              else F.lit(names[-1]))
     return docs.select(F.col(id_col), split.alias("split"))
+
+
+def _split_expr(id_col: str, weights: dict[str, float], seed: str) -> Column:
+    """The split_assign CASE as a bare Column, for operators that need
+    the split label WITHOUT a join back to the assignment table (it is
+    a pure function of the id, so recomputing it inline is free and
+    join-free — contamination_check uses this to stay shuffle-free
+    until its fingerprint join)."""
+    u = hash_unit(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc = round(acc + weights[name], 12)
+        cond = u <= F.lit(acc)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(names[-1]) if expr is not None else F.lit(names[-1])
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, float] | None = None,
+                      strata_col: str = "lang", id_col: str = "doc_id",
+                      seed: str = "strata-v1") -> DataFrame:
+    """Deterministic per-stratum downsampling — the language/source
+    rebalancing step every corpus-mixing pipeline runs (e.g. cap English
+    at 30%, keep low-resource languages whole). keep iff
+    hash_unit(id) <= rate[stratum]; strata absent from ``rates`` get
+    rate 0 (dropped), which makes the declared mix explicit rather
+    than silently passing unknown strata through.
+
+    Pure per-row expressions: no sampling state, no RNG, no shuffle —
+    appending documents never changes existing keep/drop decisions,
+    and identical rates reproduce the identical sample on any engine
+    (the property DataFrame.sample() explicitly does NOT give you:
+    its Bernoulli draw depends on partitioning). At 100 TB this is a
+    filter fused into the scan."""
+    rates = rates if rates is not None else {
+        "en": 0.3, "de": 1.0, "fr": 1.0, "es": 0.5, "zh": 0.25,
+    }
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0,1], got {r}")
+    u = hash_unit(id_col, seed)
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(strata_col) == name
+        rate = (F.when(cond, F.lit(float(r))) if rate is None
+                else rate.when(cond, F.lit(float(r))))
+    rate = rate.otherwise(F.lit(0.0)) if rate is not None else F.lit(0.0)
+    return docs.filter(u <= rate).select(F.col(id_col), F.col(strata_col))
+
+
+def seq_pack(docs: DataFrame, budget: int = 256, text_col: str = "text",
+             id_col: str = "doc_id", n_buckets: int = 32) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay the corpus out as one
+    token stream in ``id_col`` order and cut it into fixed ``budget``
+    packs — the standard LLM pretraining batch layout (every doc gets
+    its stream offset; a doc whose span crosses pack boundaries is
+    split ``n_splits`` times). Output:
+    (doc_id, n_tokens, start_tok, pack_id, n_splits).
+
+    The core is a GLOBAL running sum, and the naive spelling — a
+    window over ``ORDER BY doc_id`` with no partition — collapses to a
+    single task holding the whole corpus, the textbook anti-pattern.
+    The scalable shape used here is the two-phase prefix sum:
+
+      1. bucket rows by id range (width_bucket over min/max — order-
+         preserving, deterministic, no sampled range boundaries whose
+         re-execution could disagree between passes);
+      2. one map-side-combined groupBy(bucket) for per-bucket token
+         totals → driver computes the tiny exclusive prefix (n_buckets
+         rows) and broadcasts it as a literal map;
+      3. one shuffle on bucket for the within-bucket running sum;
+         global offset = prefix[bucket] + within-bucket sum.
+
+    Each task then holds 1/n_buckets of the data; at 100 TB you raise
+    n_buckets to taste (the driver-side prefix stays trivially small).
+    start_tok is a pure function of the global id order, so the result
+    is identical at any parallelism. Empty docs occupy max(1, n) slots
+    so every doc owns at least one position (keeps pack_id total)."""
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    toks = docs.select(
+        F.col(id_col),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    lo, hi = toks.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return toks.select(
+            id_col, "n_tokens",
+            F.lit(0).cast("long").alias("start_tok"),
+            F.lit(0).cast("long").alias("pack_id"),
+            F.lit(0).cast("int").alias("n_splits"),
+        ).limit(0)
+    span = int(hi) - int(lo) + 1
+    nb = max(1, min(n_buckets, span))
+    width = -(-span // nb)  # ceil — last bucket may be short, never empty
+    slots = F.greatest(F.col("n_tokens"), F.lit(1)).cast("long")
+    # integer `div`, not double `/`: exact for ids/offsets past 2^53
+    b = toks.withColumn(
+        "_bkt", F.expr(f"(cast({id_col} as bigint) - {int(lo)}) div {width}")
+    ).withColumn("_slots", slots)
+    per_bucket = {
+        int(r["_bkt"]): int(r["s"])
+        for r in b.groupBy("_bkt").agg(F.sum("_slots").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for k in range(nb):
+        prefix[k] = acc
+        acc += per_bucket.get(k, 0)
+    offset = F.element_at(
+        F.create_map(*[F.lit(x) for kv in prefix.items() for x in kv]),
+        F.col("_bkt"),
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (offset + F.coalesce(F.sum("_slots").over(w), F.lit(0))).cast("long")
+    out = b.withColumn("start_tok", start)
+    pack = F.expr(f"start_tok div {budget}")
+    last_pack = F.expr(f"(start_tok + _slots - 1) div {budget}")
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("start_tok"),
+        pack.alias("pack_id"),
+        (last_pack - pack).cast("int").alias("n_splits"),
+    )
+
+
+def contamination_check(docs: DataFrame, weights: dict[str, float] | None = None,
+                        seed: str = "split-v1", k: int = 5, w: int = 4,
+                        max_df: int = 100, probe_split: str = "test",
+                        against_split: str = "train") -> DataFrame:
+    """Benchmark decontamination: which held-out docs share a winnowed
+    fingerprint with any training doc? The step every eval-hygiene
+    pipeline runs before publishing a split — n-gram overlap detection
+    between train and test (the GPT-3/C4 papers' 13-gram check is this
+    exact shape with different k).
+
+    Composition, not new machinery: split labels are recomputed inline
+    (pure function of doc_id — no join against an assignment table),
+    fingerprints come from winnow_fingerprints, and the only shuffles
+    are (a) the fp document-frequency cap and (b) the probe⋈against
+    fingerprint equi-join, both keyed on fp. ``max_df`` drops
+    fingerprints appearing in more than that many docs BEFORE the
+    join — boilerplate shingles (headers, licenses) are both a skew
+    bomb (hot fp key ⇒ one reducer gets the cross product) and noise
+    (matching boilerplate is not contamination). Output:
+    (doc_id, n_train_matches) for probe-split docs with ≥1 capped-fp
+    match, n_train_matches = distinct matched against-split docs."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    fps = winnow_fingerprints(docs, k=k, w=w).withColumn(
+        "split", _split_expr("doc_id", weights, seed)
+    )
+    df_ok = (
+        fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    capped = fps.join(df_ok, "fp")
+    probe = capped.filter(F.col("split") == probe_split).select(
+        "fp", F.col("doc_id")
+    )
+    against = capped.filter(F.col("split") == against_split).select(
+        "fp", F.col("doc_id").alias("_train_id")
+    )
+    return (
+        probe.join(against, "fp")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("_train_id").alias("n_train_matches"))
+    )

@@ -360,6 +360,20 @@ def main() -> None:
     timed("tfidf_top", lambda: materialize(tfidf_top_terms(documents, k=3)), warm=1)
     timed("corpus_stats", lambda: materialize(corpus_stats(documents)), warm=1)
 
+    # round-3 training-data additions: global prefix-sum packing,
+    # winnow-fp decontamination join, time-bucketed range join
+    from asag_spark.operators.events import range_join_counts
+    from asag_spark.operators.text import contamination_check, seq_pack
+
+    timed("seq_pack", lambda: materialize(seq_pack(documents)), warm=1)
+    timed(
+        "contamination",
+        lambda: materialize(contamination_check(documents)),
+        warm=1,
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    timed("range_join", lambda: materialize(range_join_counts(ev)), warm=1)
+
     # 6. relational headliners
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     timed(

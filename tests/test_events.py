@@ -56,3 +56,85 @@ def test_topk_per_user(spark):
     out = topk_per_user(_events(spark), k=2).collect()
     u7 = sorted([r for r in out if r["user_id"] == 7], key=lambda r: r["rk"])
     assert [r["event_id"] for r in u7] == [5, 3]  # values 7.0, 6.0
+
+
+# --- bounded-interval range join -------------------------------------
+
+RANGE_ROWS = [
+    # user 7: purchase at 10:00; clicks at 09:54:59 (301 s before —
+    # out), 09:55:00 (exactly 300 s — out, interval is half-open),
+    # 09:55:01 (in), 10:00:00 (exactly at ts — in), 10:00:01 (after —
+    # out). Bucket boundary: 09:55:01 and 10:00 land in DIFFERENT
+    # 300-s bins, so the bin+1 replica is what finds it.
+    (1, "2024-01-01 10:00:00", 7, "purchase", 5.0, "{}"),
+    (2, "2024-01-01 09:54:59", 7, "click", 0.0, "{}"),
+    (3, "2024-01-01 09:55:00", 7, "click", 0.0, "{}"),
+    (4, "2024-01-01 09:55:01", 7, "click", 0.0, "{}"),
+    (5, "2024-01-01 10:00:00", 7, "click", 0.0, "{}"),
+    (6, "2024-01-01 10:00:01", 7, "click", 0.0, "{}"),
+    # user 8: purchase with zero clicks anywhere — LEFT join keeps it
+    (7, "2024-01-01 12:00:00", 8, "purchase", 8.0, "{}"),
+    # user 9's click must not leak into user 7's window
+    (8, "2024-01-01 09:59:00", 9, "click", 0.0, "{}"),
+]
+
+
+def _range_events(spark):
+    return spark.createDataFrame(
+        RANGE_ROWS,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+def test_range_join_boundaries(spark):
+    from asag_spark.operators.events import range_join_counts
+
+    out = {r["event_id"]: r["n_clicks"]
+           for r in range_join_counts(_range_events(spark)).collect()}
+    assert out == {1: 2, 7: 0}
+
+
+def test_range_join_matches_naive_inequality(spark):
+    """Parity vs the naive inequality join on a pseudo-random corpus —
+    every (user, ts) collision and bin boundary the generator happens
+    to produce must agree."""
+    from asag_spark.operators.events import range_join_counts
+
+    base = spark.range(400).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(
+            F.lit(1704067200) + (F.xxhash64("id", F.lit(1)) % 7200 + 7200) % 7200
+        ).alias("ts"),
+        (F.xxhash64("id", F.lit(2)) % 5 + 5) % 5,
+        F.when(F.xxhash64("id", F.lit(3)) % 3 == 0, "purchase")
+         .otherwise("click").alias("event_type"),
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"),
+    ).withColumnRenamed("((xxhash64(id, 2) % 5) + 5) % 5", "user_id")
+    base = base.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    base.createOrReplaceTempView("_rj_events")
+    naive = {
+        (r["event_id"]): r["n_clicks"]
+        for r in spark.sql("""
+            SELECT p.event_id, COUNT(c.ts) AS n_clicks
+            FROM (SELECT * FROM _rj_events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM _rj_events WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts > p.ts - INTERVAL 300 SECOND AND c.ts <= p.ts
+            GROUP BY p.event_id
+        """).collect()
+    }
+    fast = {r["event_id"]: r["n_clicks"]
+            for r in range_join_counts(base).collect()}
+    assert fast == naive and len(fast) > 20
+
+
+def test_range_join_plan_has_no_nested_loop(spark):
+    """The whole point of the time-bucket rewrite: the physical plan
+    must be an equi-join (hash/sort-merge), never the
+    BroadcastNestedLoopJoin Spark picks for a bare inequality join."""
+    from asag_spark.operators.events import range_join_counts
+
+    plan = range_join_counts(_range_events(spark))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -777,3 +777,104 @@ def test_star_contraction_parity(spark):
             got_min = {r.doc_id: r.cluster_id
                        for r in dedup_clusters(pairs, max_iter=30).collect()}
             assert got_min == want
+
+
+# --- round-3 training-data additions ----------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_seq_pack_contiguous_and_parallelism_independent(spark):
+    """start_tok must be the exact exclusive prefix sum of
+    max(n_tokens, 1) in doc_id order — and identical whether computed
+    in 1 bucket or 8 (the two-phase prefix sum is a pure function of
+    the global order, never of the partitioning)."""
+    from asag_spark.operators.text import seq_pack
+
+    rows = [(i, " ".join(["w"] * ((i * 7) % 13)), "en", "s", 1)
+            for i in range(0, 40, 3)]  # gappy ids, one empty doc (i=0)
+    docs = _docs(spark, rows)
+    for nb in (1, 8):
+        out = sorted(
+            seq_pack(docs, budget=10, n_buckets=nb).collect(),
+            key=lambda r: r["doc_id"],
+        )
+        acc = 0
+        for r in out:
+            assert r["start_tok"] == acc
+            slots = max(r["n_tokens"], 1)
+            assert r["pack_id"] == acc // 10
+            assert r["n_splits"] == (acc + slots - 1) // 10 - acc // 10
+            acc += slots
+        if nb == 1:
+            baseline = [(r["doc_id"], r["start_tok"], r["pack_id"],
+                         r["n_splits"]) for r in out]
+        else:
+            assert baseline == [(r["doc_id"], r["start_tok"], r["pack_id"],
+                                 r["n_splits"]) for r in out]
+
+
+def test_seq_pack_empty_input(spark):
+    from asag_spark.operators.text import seq_pack
+
+    out = seq_pack(_docs(spark, []), budget=16)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "n_tokens", "start_tok", "pack_id", "n_splits"]
+
+
+def test_stratified_sample_rates_and_append_stability(spark):
+    from asag_spark.operators.text import stratified_sample
+
+    rows = [(i, "x", ["en", "de", "xx"][i % 3], "s", 1) for i in range(90)]
+    docs = _docs(spark, rows)
+    rates = {"en": 1.0, "de": 0.4}
+    kept = stratified_sample(docs, rates=rates).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_lang.get("en", set())) == 30        # rate 1.0 → all
+    assert "xx" not in by_lang                        # absent stratum → dropped
+    assert 0 < len(by_lang.get("de", set())) < 30     # rate 0.4 → strict subset
+    # append stability: adding rows never flips an existing decision
+    more = _docs(spark, rows + [(i, "x", "de", "s", 1) for i in range(90, 120)])
+    kept2 = {(r["doc_id"], r["lang"])
+             for r in stratified_sample(more, rates=rates).collect()}
+    assert {(r["doc_id"], r["lang"]) for r in kept} <= kept2
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    from asag_spark.operators.text import stratified_sample
+
+    with pytest.raises(ValueError):
+        stratified_sample(_docs(spark, []), rates={"en": 1.5})
+
+
+def test_contamination_finds_planted_overlap(spark):
+    """Plant one test-split doc sharing its text with one train-split
+    doc; everyone else unique. The check must flag exactly the planted
+    doc with exactly one match."""
+    from asag_spark.operators.text import contamination_check, split_assign
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ids = list(range(200))
+    base = _docs(spark, [(i, f"unique text number {i} " * 3, "en", "s", 1)
+                         for i in ids])
+    weights = {"train": 0.5, "test": 0.5}
+    split = {r["doc_id"]: r["split"]
+             for r in split_assign(base, weights=weights).collect()}
+    train_id = next(i for i in ids if split[i] == "train")
+    test_id = next(i for i in ids if split[i] == "test")
+    rows = [(i, shared if i in (train_id, test_id)
+             else f"unique text number {i} " * 3, "en", "s", 1) for i in ids]
+    out = contamination_check(
+        _docs(spark, rows), weights=weights, probe_split="test",
+        against_split="train").collect()
+    assert {(r["doc_id"], r["n_train_matches"]) for r in out} == {(test_id, 1)}
+    # max_df=0 drops every fingerprint before the join → empty
+    assert contamination_check(
+        _docs(spark, rows), weights=weights, max_df=0).count() == 0
