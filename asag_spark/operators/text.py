@@ -107,16 +107,25 @@ def winnow_fingerprints(
     min; docs shorter than k tokens fall back to the whole-text hash.
     Everything is built-in column expressions (whole-stage codegen) —
     no shuffle until the consumer groups by fingerprint.
+
+    The normalize+split is MATERIALIZED as a column before the
+    higher-order transform: expressions referenced inside a lambda are
+    NOT common-subexpression-eliminated across the lambda boundary, so
+    inlining `split(regexp_replace(...))` into the shingle lambda
+    re-runs the regex once per shingle POSITION — O(tokens²) regex
+    work per doc, measured 4x slower on the benchmark corpus.
     """
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    toks = F.split(norm, " ")
-    n_sh = F.size(toks) - k + 1
+    staged = docs.withColumn("_norm", norm).withColumn(
+        "_toks", F.split(F.col("_norm"), " ")
+    )
+    n_sh = F.size(F.col("_toks")) - k + 1
     shingles = F.when(
         n_sh >= 1,
         F.transform(
             F.sequence(F.lit(1), F.greatest(n_sh, F.lit(1))),
             lambda i: F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 16
+                F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))), 1, 16
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
@@ -130,10 +139,10 @@ def winnow_fingerprints(
             ),
         )
         .when(n >= 1, F.array(F.array_min(F.col("_sh"))))
-        .otherwise(F.array(F.substring(F.md5(norm), 1, 16)))
+        .otherwise(F.array(F.substring(F.md5(F.col("_norm")), 1, 16)))
     )
     return (
-        docs.withColumn("_sh", shingles)
+        staged.withColumn("_sh", shingles)
         .select(
             "doc_id",
             F.explode(F.array_distinct(window_mins)).alias("fp"),
