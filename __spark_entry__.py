@@ -585,6 +585,30 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return range_join_counts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _g_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed eps-connectivity clustering over a deterministic
+    point cloud derived from doc_ids: 40 blobs (8x5 grid of centers
+    0.05 deg apart) with md5-unit jitter of ±0.002 deg, eps = 0.002.
+    Every coordinate is pure +,-,* over md5-unit doubles, so the
+    DuckDB oracle reproduces the pair set bit-for-bit and closes it
+    with the same recursive CTE the dedup_clusters oracle uses."""
+    from asag_spark.operators.cluster import spatial_clusters
+    from asag_spark.operators.text import hash_unit
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u1 = hash_unit("doc_id", "geo-x")
+    u2 = hash_unit("doc_id", "geo-y")
+    pts = d.select(
+        F.col("doc_id").alias("point_id"),
+        (F.lit(10.0) + (F.col("doc_id") % 8).cast("double") * F.lit(0.05)
+         + (u1 - F.lit(0.5)) * F.lit(0.004)).alias("lon"),
+        (F.lit(59.0)
+         + (F.expr("doc_id div 8") % 5).cast("double") * F.lit(0.05)
+         + (u2 - F.lit(0.5)) * F.lit(0.004)).alias("lat"),
+    )
+    return spatial_clusters(pts, eps=0.002)
+
+
 def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import quality_score
 
@@ -956,7 +980,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_lsh": _t_minhash_lsh,
         "t_minhash_dedup": _t_minhash_dedup,
         "t_cosine_topk": _t_cosine_topk,
-        "t_cosine_topk_lsh": _t_cosine_topk_lsh,
         "t_ivf_topk": _t_ivf_topk,
         "t_emb_near_dups": _t_emb_near_dups,
         "t_simhash_near_dups": _t_simhash,
@@ -992,6 +1015,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_raster_fixture": _q_polygon_raster,
         "zone_measures_fixture": _q_zone_measures,
         "zone_overlap_fixture": _q_zone_overlap,
+        # round-3: eps-connectivity spatial clustering (grid-bucketed
+        # pairs + connected components; brute-force + recursive-CTE
+        # oracle). Takes the live slot of t_cosine_topk_lsh, demoted
+        # below — ANN stays live via t_cosine_topk/t_ivf_topk and the
+        # band-LSH machinery stays live via t_emb_near_dups
+        "g_spatial_clusters": _g_spatial_clusters,
         # relational operator coverage (live SQL oracles)
         "q_asof_window": _q_asof_window,
         "q_sessionize": _q_sessionize,
@@ -1064,6 +1093,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_asof_window, so the range variant rides here, same oracle
         # discipline
         "q_range_join": _q_range_join,
+        # demoted round 3 for g_spatial_clusters: ANN top-k stays live
+        # twice over (t_cosine_topk brute, t_ivf_topk indexed) and the
+        # banded-hyperplane LSH path stays live via t_emb_near_dups —
+        # the LSH-probed top-k variant rides here with the same oracle
+        "t_cosine_topk_lsh": _t_cosine_topk_lsh,
     }
 
 
@@ -2248,5 +2282,48 @@ def _all_oracle_sql() -> dict[str, str]:
              AND c.ts > p.ts - INTERVAL 300 SECOND
              AND c.ts <= p.ts
             GROUP BY p.event_id, p.user_id, p.ts
+        """,
+        # spatial clustering: the ORACLE is brute force (all-pairs
+        # planar predicate — stronger than mirroring the engine's
+        # grid) + the same recursive-CTE closure the dedup_clusters
+        # oracle uses. Coordinates are pure +,-,* over md5-unit
+        # doubles in the engine's exact evaluation order, so both
+        # engines compute identical IEEE values
+        "g_spatial_clusters": """
+            WITH RECURSIVE pts AS (
+              SELECT doc_id AS point_id,
+                     10.0 + (doc_id % 8) * 0.05
+                          + (((('0x' || substr(md5('geo-x:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                              / 1152921504606846976.0) - 0.5) * 0.004 AS lon,
+                     59.0 + ((doc_id // 8) % 5) * 0.05
+                          + (((('0x' || substr(md5('geo-y:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                              / 1152921504606846976.0) - 0.5) * 0.004 AS lat
+              FROM documents
+            ),
+            pairs AS (
+              SELECT a.point_id AS pa, b.point_id AS pb
+              FROM pts a JOIN pts b ON a.point_id < b.point_id
+               AND (a.lon - b.lon) * (a.lon - b.lon)
+                 + (a.lat - b.lat) * (a.lat - b.lat) <= 0.002 * 0.002
+            ),
+            edges AS (
+              SELECT pa AS a, pb AS b FROM pairs
+              UNION SELECT pb, pa FROM pairs
+            ),
+            reach(node, root) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node
+            ),
+            lab0 AS (SELECT node AS point_id, MIN(root) AS cluster_id
+                     FROM reach GROUP BY node),
+            lab AS (
+              SELECT p.point_id,
+                     COALESCE(l.cluster_id, p.point_id) AS cluster_id
+              FROM pts p LEFT JOIN lab0 l USING (point_id)
+            )
+            SELECT point_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM lab
         """,
     }

@@ -374,6 +374,15 @@ def main() -> None:
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed("range_join", lambda: materialize(range_join_counts(ev)), warm=1)
 
+    # eps-connectivity spatial clustering (grid pairs + iterative CC)
+    import __spark_entry__ as entry_mod
+
+    timed(
+        "spatial_clusters",
+        lambda: materialize(entry_mod._g_spatial_clusters(spark, SF_DIR)),
+        warm=1,
+    )
+
     # 6. relational headliners
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     timed(

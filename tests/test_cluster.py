@@ -1,0 +1,92 @@
+"""Spatial eps-connectivity clustering: constructed-case semantics,
+brute-force parity, and the plan-shape guarantee (grid equi-join, not
+a nested-loop)."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from asag_spark.operators.cluster import eps_pairs, spatial_clusters
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "point_id long, lon double, lat double")
+
+
+def test_eps_pairs_boundaries_and_cells(spark):
+    """Pairs across a cell boundary are found (the 3x3 replication),
+    distance exactly eps is INCLUDED, just-over is not."""
+    rows = [
+        (1, 0.0009, 0.0),   # cell 0; 2 is in cell 1 at distance 0.0002
+        (2, 0.0011, 0.0),
+        (3, 0.0011, 0.001),  # exactly 0.001 above 2 → included at eps=0.001
+        (4, 0.0011, 0.00201),  # just over eps from 3
+        (5, 5.0, 5.0),      # far singleton
+    ]
+    got = {(r["id_a"], r["id_b"])
+           for r in eps_pairs(_pts(spark, rows), eps=0.001).collect()}
+    assert got == {(1, 2), (2, 3)}
+
+
+def test_eps_pairs_rejects_bad_eps(spark):
+    with pytest.raises(ValueError):
+        eps_pairs(_pts(spark, []), eps=0.0)
+
+
+def _brute_clusters(rows, eps):
+    parent = {i: i for i, _, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, xi, yi in rows:
+        for j, xj, yj in rows:
+            if i < j and (xi - xj) ** 2 + (yi - yj) ** 2 <= eps * eps:
+                ra, rb = find(i), find(j)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    # min-id root per member, then sizes
+    lab = {i: find(i) for i, _, _ in rows}
+    sizes = {}
+    for r in lab.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    return {(i, lab[i], sizes[lab[i]]) for i in lab}
+
+
+def test_spatial_clusters_matches_brute_force(spark):
+    """Pseudo-random points (md5-derived, deterministic) vs a driver-side
+    union-find over the all-pairs predicate."""
+    rows = []
+    for i in range(120):
+        hx = int(hashlib.md5(f"x{i}".encode()).hexdigest()[:8], 16) / 16**8
+        hy = int(hashlib.md5(f"y{i}".encode()).hexdigest()[:8], 16) / 16**8
+        rows.append((i, hx * 0.02, hy * 0.02))
+    eps = 0.0015
+    got = {(r["point_id"], r["cluster_id"], r["cluster_size"])
+           for r in spatial_clusters(_pts(spark, rows), eps=eps).collect()}
+    assert got == _brute_clusters(rows, eps)
+    # sanity: the instance is non-trivial (some multi-point cluster AND
+    # some singleton), so the parity above actually exercised both paths
+    sizes = {s for _, _, s in got}
+    assert 1 in sizes and max(sizes) >= 2
+
+
+def test_spatial_clusters_singletons_label_themselves(spark):
+    rows = [(10, 0.0, 0.0), (20, 1.0, 1.0), (30, 1.0005, 1.0)]
+    got = {r["point_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in spatial_clusters(_pts(spark, rows), eps=0.001).collect()}
+    assert got == {10: (10, 1), 20: (20, 2), 30: (20, 2)}
+
+
+def test_eps_pairs_plan_is_equi_join(spark):
+    """The grid rewrite must compile to a shuffled equi-join on the
+    cell key — a nested-loop/cartesian means the bucketing failed."""
+    rows = [(i, float(i) * 0.01, 0.0) for i in range(50)]
+    plan = eps_pairs(_pts(spark, rows), eps=0.005)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -247,3 +247,34 @@ def test_zorder_guards(spark, tmp_path):
         write_zordered(pts, str(tmp_path / "x"), ("a", "b", "c", "d"))
     write_zordered(pts.filter(F.lit(False)), str(tmp_path / "e"), ("a", "b"))
     assert spark.read.parquet(str(tmp_path / "e")).count() == 0
+
+
+def test_seq_pack_window_is_bucket_partitioned(spark):
+    """seq_pack's scale story (SCALE.md §8): the global running sum
+    must NEVER compile to a single-partition window — the prefix sum
+    is two-phase, so the only window is partitioned by bucket and the
+    only exchanges are bucket-hash ones."""
+    from asag_spark.operators.text import seq_pack
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    plan = _plan(seq_pack(docs, n_buckets=8))
+    assert "Exchange SinglePartition" not in plan
+    assert "windowspecdefinition(_bkt" in plan  # bucket-keyed window
+
+
+def test_contamination_filters_before_fp_join(spark):
+    """contamination_check recomputes split labels inline (pure
+    function of doc_id), so the plan must contain no join other than
+    the fp-keyed ones — in particular no join against a split
+    assignment table and no nested-loop anywhere."""
+    from asag_spark.operators.text import contamination_check
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z u v " * 4) for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = _plan(contamination_check(docs))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
