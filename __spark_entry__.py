@@ -609,6 +609,30 @@ def _g_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_clusters(pts, eps=0.002)
 
 
+def _g_spatial_clusters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME clustering through the two-level web-scale plan
+    (per-block Arrow union-find + boundary-label merge) — identical
+    output by construction, so it shares _g_spatial_clusters' oracle
+    verbatim, the same dual-strategy discipline as
+    pip_fixture/pip_partitioned_fixture. block_cells=4 at this density
+    forces real cross-block merges through the label graph."""
+    from asag_spark.operators.cluster import spatial_clusters_partitioned
+    from asag_spark.operators.text import hash_unit
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    u1 = hash_unit("doc_id", "geo-x")
+    u2 = hash_unit("doc_id", "geo-y")
+    pts = d.select(
+        F.col("doc_id").alias("point_id"),
+        (F.lit(10.0) + (F.col("doc_id") % 8).cast("double") * F.lit(0.05)
+         + (u1 - F.lit(0.5)) * F.lit(0.004)).alias("lon"),
+        (F.lit(59.0)
+         + (F.expr("doc_id div 8") % 5).cast("double") * F.lit(0.05)
+         + (u2 - F.lit(0.5)) * F.lit(0.004)).alias("lat"),
+    )
+    return spatial_clusters_partitioned(pts, eps=0.002, block_cells=4)
+
+
 def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import quality_score
 
@@ -1021,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # below — ANN stays live via t_cosine_topk/t_ivf_topk and the
         # band-LSH machinery stays live via t_emb_near_dups
         "g_spatial_clusters": _g_spatial_clusters,
+        "g_spatial_clusters_part": _g_spatial_clusters_part,
         # relational operator coverage (live SQL oracles)
         "q_asof_window": _q_asof_window,
         "q_sessionize": _q_sessionize,
@@ -2289,7 +2314,15 @@ def _all_oracle_sql() -> dict[str, str]:
         # oracle uses. Coordinates are pure +,-,* over md5-unit
         # doubles in the engine's exact evaluation order, so both
         # engines compute identical IEEE values
-        "g_spatial_clusters": """
+        "g_spatial_clusters": _SPATIAL_CLUSTERS_SQL,
+        # identical output through the two-level partitioned plan —
+        # same oracle text on purpose (the pip/pip_partitioned
+        # precedent: one truth, two physical strategies)
+        "g_spatial_clusters_part": _SPATIAL_CLUSTERS_SQL,
+    }
+
+
+_SPATIAL_CLUSTERS_SQL = """
             WITH RECURSIVE pts AS (
               SELECT doc_id AS point_id,
                      10.0 + (doc_id % 8) * 0.05
@@ -2325,5 +2358,4 @@ def _all_oracle_sql() -> dict[str, str]:
             SELECT point_id, cluster_id,
                    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM lab
-        """,
-    }
+        """

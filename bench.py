@@ -374,14 +374,49 @@ def main() -> None:
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     timed("range_join", lambda: materialize(range_join_counts(ev)), warm=1)
 
-    # eps-connectivity spatial clustering (grid pairs + iterative CC)
+    # eps-connectivity spatial clustering. Two rows, two plans:
+    #   spatial_clusters      — the live-query parity row (global
+    #                           iterative CC over the SF documents-
+    #                           derived cloud; CC round fixed costs
+    #                           dominate at this size)
+    #   spatial_clusters_1m   — the web-scale plan at bench scale:
+    #                           N_DOCS points in ~N/12.5 isolated
+    #                           md5-jittered blobs (the fixture's
+    #                           density, scaled; pair volume linear in
+    #                           points), two-level local-union-find +
+    #                           boundary-label merge
+    import math
+
     import __spark_entry__ as entry_mod
+    from asag_spark.operators.cluster import spatial_clusters_partitioned
+    from asag_spark.operators.text import hash_unit
 
     timed(
         "spatial_clusters",
         lambda: materialize(entry_mod._g_spatial_clusters(spark, SF_DIR)),
         warm=1,
     )
+
+    k_grid = int(math.ceil(math.sqrt(N_DOCS / 12.5)))
+    pid = F.col("id")
+    pts = spark.range(N_DOCS).select(
+        pid.alias("point_id"),
+        ((pid % k_grid).cast("double") * F.lit(0.05)
+         + (hash_unit("id", "bench-x") - F.lit(0.5)) * F.lit(0.002)).alias("lon"),
+        ((F.expr(f"id div {k_grid}") % k_grid).cast("double") * F.lit(0.05)
+         + (hash_unit("id", "bench-y") - F.lit(0.5)) * F.lit(0.002)).alias("lat"),
+    )
+    n_clusters = {}
+
+    def _run_spatial_1m():
+        out = spatial_clusters_partitioned(pts, eps=0.002)
+        n_clusters["v"] = out.agg(
+            F.countDistinct("cluster_id").alias("c")
+        ).collect()[0]["c"]
+
+    timed("spatial_clusters_1m", _run_spatial_1m, warm=1)
+    extras["spatial_points"] = float(N_DOCS)
+    extras["spatial_n_clusters"] = float(n_clusters.get("v", 0))
 
     # 6. relational headliners
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")

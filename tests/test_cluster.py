@@ -90,3 +90,56 @@ def test_eps_pairs_plan_is_equi_join(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_matches_iterative_and_brute(spark):
+    """spatial_clusters_partitioned is the two-level exact plan — same
+    output as the global-CC version and the driver union-find, on a
+    cloud dense enough that clusters straddle block boundaries."""
+    from asag_spark.operators.cluster import spatial_clusters_partitioned
+
+    rows = []
+    for i in range(300):
+        hx = int(hashlib.md5(f"px{i}".encode()).hexdigest()[:8], 16) / 16**8
+        hy = int(hashlib.md5(f"py{i}".encode()).hexdigest()[:8], 16) / 16**8
+        rows.append((i, hx * 0.05, hy * 0.05))
+    eps = 0.0015
+    want = _brute_clusters(rows, eps)
+    # block_cells=4 at this density forces many cross-block clusters
+    for bc in (4, 16):
+        got = {(r["point_id"], r["cluster_id"], r["cluster_size"])
+               for r in spatial_clusters_partitioned(
+                   _pts(spark, rows), eps=eps, block_cells=bc).collect()}
+        assert got == want, f"block_cells={bc}"
+    it = {(r["point_id"], r["cluster_id"], r["cluster_size"])
+          for r in spatial_clusters(_pts(spark, rows), eps=eps).collect()}
+    assert it == want
+
+
+def test_partitioned_chain_across_four_blocks(spark):
+    """A chain of points spaced 0.9*eps apart crossing a block corner:
+    every link crosses a boundary, so the merge graph (not the local
+    union-find) must glue the component; plus an isolated singleton."""
+    from asag_spark.operators.cluster import spatial_clusters_partitioned
+
+    eps = 0.001
+    # block pitch = 2*eps = 0.002; corner at (0.002, 0.002); the chain
+    # walks diagonally through it
+    step = eps * 0.9 / (2 ** 0.5)
+    rows = [(i, 0.0015 + i * step, 0.0015 + i * step) for i in range(8)]
+    rows.append((99, 5.0, 5.0))
+    got = {r["point_id"]: (r["cluster_id"], r["cluster_size"])
+           for r in spatial_clusters_partitioned(
+               _pts(spark, rows), eps=eps, block_cells=2).collect()}
+    want = {i: (0, 8) for i in range(8)}
+    want[99] = (99, 1)
+    assert got == want
+
+
+def test_partitioned_rejects_bad_args(spark):
+    from asag_spark.operators.cluster import spatial_clusters_partitioned
+
+    with pytest.raises(ValueError):
+        spatial_clusters_partitioned(_pts(spark, []), eps=0.0)
+    with pytest.raises(ValueError):
+        spatial_clusters_partitioned(_pts(spark, []), eps=0.1, block_cells=1)
