@@ -126,49 +126,110 @@ def _with_sizes(labeled: DataFrame) -> DataFrame:
     )
 
 
+# Forward half of the 5x5 sub-cell neighborhood: every unordered cell
+# pair within eps reach is visited exactly once (an eps-pair's cell
+# indices differ by <= 2 per axis at pitch 0.7071*eps).
+_FWD_OFFSETS = tuple(
+    (dx, dy)
+    for dx in (0, 1, 2) for dy in (-2, -1, 0, 1, 2)
+    if dx > 0 or dy > 0
+)
+
+
+def _cc_min_labels(n: int, ii, jj):
+    """Vectorized connected components over edge arrays (ii, jj) on n
+    nodes: hook-and-jump min propagation (Shiloach-Vishkin shape —
+    minimum.at over edges, then pointer jumping until trees collapse).
+    comp is monotone nonincreasing and integer-bounded so termination
+    is guaranteed; at the fixpoint edge endpoints hold equal values
+    and values never leave their component, hence per-component
+    constants, distinct across components."""
+    import numpy as np
+
+    comp = np.arange(n)
+    if len(ii):
+        while True:
+            before = comp.copy()
+            np.minimum.at(comp, ii, comp[jj])
+            np.minimum.at(comp, jj, comp[ii])
+            while True:
+                nxt = comp[comp]
+                if np.array_equal(nxt, comp):
+                    break
+                comp = nxt
+            if np.array_equal(comp, before):
+                break
+    return comp
+
+
 def _local_union_find(pdf, eps: float):
-    """Driver/executor-side exact single-linkage over one block's
-    points (home + halo): eps-cell binning for candidate pairs (the
-    same 3x3 pattern as eps_pairs, in numpy), union-find with path
-    compression, label = min point id in the local component."""
+    """Executor-side exact single-linkage over one block's points
+    (home + halo), numpy-vectorized AND density-proof, so a HOT block
+    (a metro inside one block) stays a fast Arrow task instead of a
+    quadratic straggler. The quotient-graph trick: bin at pitch
+    0.7071*eps, so a sub-cell's diagonal is < eps and every sub-cell
+    is a CLIQUE — its points need no pairwise checks at all. Two
+    sub-cells then merge iff their MINIMUM cross distance is <= eps
+    (exact for single linkage: any one witness pair connects two
+    cliques), so each adjacent cell pair costs one vectorized
+    min-distance scan — chunked with early exit, which in dense
+    regions hits a witness in the first chunk — and contributes at
+    most ONE edge. Connected components run on the tiny cell graph
+    (nodes = occupied sub-cells), never on a per-point pair list:
+    total work is O(points + adjacent-cell scans), quadratic in
+    nothing. Label = min point id in the component (order-invariant)."""
     import numpy as np
     import pandas as pd
 
     ids = pdf["point_id"].to_numpy()
-    xs = pdf["lon"].to_numpy()
-    ys = pdf["lat"].to_numpy()
+    xs = pdf["lon"].to_numpy(dtype=np.float64)
+    ys = pdf["lat"].to_numpy(dtype=np.float64)
     n = len(ids)
-    parent = np.arange(n)
-
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:
-            parent[i], i = root, parent[i]
-        return root
-
-    cells: dict = {}
-    cxs = np.floor(xs / eps).astype(np.int64)
-    cys = np.floor(ys / eps).astype(np.int64)
-    for i in range(n):
-        cells.setdefault((cxs[i], cys[i]), []).append(i)
+    if n == 0:
+        return pd.DataFrame({"point_id": ids, "label": ids})
+    p = eps * 0.7071  # strictly under eps/sqrt(2): diagonal < eps
     eps2 = eps * eps
-    for (cx, cy), members in cells.items():
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                other = cells.get((cx + dx, cy + dy))
-                if other is None:
-                    continue
-                for i in members:
-                    for j in other:
-                        if i < j and (xs[i] - xs[j]) ** 2 + (ys[i] - ys[j]) ** 2 <= eps2:
-                            ri, rj = find(i), find(j)
-                            if ri != rj:
-                                parent[max(ri, rj)] = min(ri, rj)
-    roots = np.array([find(i) for i in range(n)])
-    # label = min point id per component (order-invariant)
-    lab = pd.Series(ids).groupby(roots).transform("min").to_numpy()
+    cxs = np.floor(xs / p).astype(np.int64)
+    cys = np.floor(ys / p).astype(np.int64)
+    order = np.lexsort((cys, cxs))
+    sx, sy = cxs[order], cys[order]
+    new_cell = np.empty(n, dtype=bool)
+    new_cell[0] = True
+    new_cell[1:] = (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1])
+    starts = np.flatnonzero(new_cell)
+    ends = np.concatenate([starts[1:], [n]])
+    n_cells = len(starts)
+    cell_at = {(int(sx[s]), int(sy[s])): k for k, s in enumerate(starts)}
+
+    def connected(s, e, s2, e2) -> bool:
+        a = order[s:e]
+        b = order[s2:e2]
+        xb, yb = xs[b], ys[b]
+        chunk = max(1, 4_000_000 // len(b))
+        for c0 in range(0, len(a), chunk):
+            ac = a[c0:c0 + chunk]
+            d2 = (xs[ac, None] - xb[None, :]) ** 2 \
+                + (ys[ac, None] - yb[None, :]) ** 2
+            if d2.min() <= eps2:
+                return True
+        return False
+
+    eu, ev = [], []
+    for k, (s, e) in enumerate(zip(starts, ends)):
+        cx0, cy0 = int(sx[s]), int(sy[s])
+        for dx, dy in _FWD_OFFSETS:
+            v = cell_at.get((cx0 + dx, cy0 + dy))
+            if v is not None and connected(s, e, starts[v], ends[v]):
+                eu.append(k)
+                ev.append(v)
+    comp_cell = _cc_min_labels(
+        n_cells, np.asarray(eu, dtype=np.int64), np.asarray(ev, dtype=np.int64)
+    )
+    # component index per point (via each point's sorted position)
+    cell_of_sorted = np.cumsum(new_cell) - 1
+    comp_pt = np.empty(n, dtype=np.int64)
+    comp_pt[order] = comp_cell[cell_of_sorted]
+    lab = pd.Series(ids).groupby(comp_pt).transform("min").to_numpy()
     return pd.DataFrame({"point_id": ids, "label": lab})
 
 

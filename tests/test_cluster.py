@@ -143,3 +143,38 @@ def test_partitioned_rejects_bad_args(spark):
         spatial_clusters_partitioned(_pts(spark, []), eps=0.0)
     with pytest.raises(ValueError):
         spatial_clusters_partitioned(_pts(spark, []), eps=0.1, block_cells=1)
+
+
+def test_kernel_exact_eps_witness_across_subcells():
+    """The quotient-graph kernel merges two sub-cell cliques iff the
+    MIN cross distance <= eps — exactly-eps must merge, just-over must
+    not, and a dense metro (one giant blob) collapses to one cluster
+    without quadratic pair work."""
+    import numpy as np
+    import pandas as pd
+
+    from asag_spark.operators.cluster import _local_union_find
+
+    eps = 0.001
+    pdf = pd.DataFrame({
+        "point_id": [1, 2, 3],
+        "lon": [0.0, eps, 2 * eps + 1e-9],      # 1-2 at exactly eps
+        "lat": [0.0, 0.0, 0.0],
+    })
+    lab = dict(zip(*_local_union_find(pdf, eps)[["point_id", "label"]]
+                   .to_numpy().T))
+    assert lab == {1: 1, 2: 1, 3: 3}
+
+    # dense metro: 30k points inside a single 25x25-eps extent; the
+    # clique shortcut must label them as ONE cluster (and in bounded
+    # time — the pre-quotient kernel needed ~300M pair checks here)
+    import hashlib
+    n = 30_000
+    xs = np.array([int(hashlib.md5(f"mx{i}".encode()).hexdigest()[:8], 16)
+                   / 16**8 * 0.05 for i in range(n)])
+    ys = np.array([int(hashlib.md5(f"my{i}".encode()).hexdigest()[:8], 16)
+                   / 16**8 * 0.05 for i in range(n)])
+    pdf = pd.DataFrame({"point_id": np.arange(n), "lon": xs, "lat": ys})
+    out = _local_union_find(pdf, 0.002)
+    assert out["label"].nunique() == 1
+    assert (out["label"] == 0).all()
