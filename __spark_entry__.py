@@ -639,6 +639,16 @@ def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics, all map-side (array HOF run
+    folds over sorted tokens/bigrams — zero exchanges); the oracle
+    computes the same integers RELATIONALLY (unnest + GROUP BY), a
+    deliberately different plan."""
+    from asag_spark.operators.text import repetition_stats
+
+    return repetition_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import lang_id
 
@@ -1012,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_frame_sample": _t_frame_sample,
         "t_token_count": _t_token_count,
         "t_quality": _t_quality,
+        "t_repetition": _t_repetition,
         "t_langid": _t_langid,
         "t_fingerprint": _t_fingerprint,
         "t_winnow_fp": _t_winnow,
@@ -2181,6 +2192,54 @@ def _all_oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "t_quality": _QUALITY_SQL,
+        # repetition metrics: the engine computes these with ZERO
+        # exchanges (sorted-array run folds per row); the oracle is
+        # the relational formulation on purpose — unnest + GROUP BY —
+        # so agreement checks the semantics, not the plan
+        "t_repetition": """
+            WITH tl AS (
+              SELECT doc_id, string_split(text, ' ') AS l FROM documents
+            ),
+            toks AS (SELECT doc_id, unnest(l) AS tok FROM tl),
+            tc AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM toks GROUP BY doc_id, tok
+            ),
+            uni AS (
+              SELECT doc_id,
+                     MAX(c) AS top_token_cnt,
+                     COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0)
+                       AS dup_token_cnt,
+                     COUNT(*) AS n_distinct,
+                     SUM(c) AS n_tokens
+              FROM tc GROUP BY doc_id
+            ),
+            bgl AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(l)),
+                            i -> l[i] || ' ' || l[i + 1])) AS bg
+              FROM tl
+            ),
+            bc AS (
+              SELECT doc_id, MAX(c) AS top_bigram_cnt
+              FROM (SELECT doc_id, bg, COUNT(*) AS c
+                    FROM bgl GROUP BY doc_id, bg)
+              GROUP BY doc_id
+            )
+            SELECT u.doc_id,
+                   CAST(u.n_tokens AS INTEGER) AS n_tokens,
+                   CAST(u.n_distinct AS INTEGER) AS n_distinct,
+                   CAST(u.top_token_cnt AS INTEGER) AS top_token_cnt,
+                   CAST(u.dup_token_cnt AS INTEGER) AS dup_token_cnt,
+                   CAST(COALESCE(b.top_bigram_cnt, 0) AS INTEGER)
+                     AS top_bigram_cnt,
+                   CAST(CASE WHEN (COALESCE(b.top_bigram_cnt, 0) * 5
+                                     >= u.n_tokens - 1
+                                   AND u.n_tokens - 1 > 0)
+                              OR u.dup_token_cnt * 2 >= u.n_tokens
+                             THEN 1 ELSE 0 END AS INTEGER) AS rep_flag
+            FROM uni u LEFT JOIN bc b USING (doc_id)
+        """,
         "s_sessionize_stateful": _SESSIONIZE_SQL,
         "t_fingerprint": r"""
             SELECT doc_id,

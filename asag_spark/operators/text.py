@@ -436,3 +436,90 @@ def contamination_check(docs: DataFrame, weights: dict[str, float] | None = None
         .groupBy("doc_id")
         .agg(F.count_distinct("_train_id").alias("n_train_matches"))
     )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition metrics (the Gopher/Dolma "repetitious
+    text" filter family: Rae et al. 2021 §A1.1 compute fraction of
+    characters in the most frequent n-gram and in duplicated n-grams,
+    then drop docs over thresholds).
+
+    ENTIRELY map-side: token and bigram multiplicities come from
+    array_sort + a single aggregate() fold over adjacent-equal runs
+    (no explode, no groupBy — per-doc metrics need no cross-row data,
+    so the plan contains ZERO exchanges and rides whole-stage codegen
+    end to end; at 100 TB this is a pure scan-speed pass, pytest pins
+    the no-Exchange plan shape). All outputs are integers (counts, not
+    fractions) so the DuckDB oracle — which computes the same numbers
+    RELATIONALLY via unnest + GROUP BY, a deliberately different plan
+    — hash-matches bit-for-bit with no float formatting concerns.
+
+    Output: (doc_id, n_tokens, n_distinct, top_token_cnt,
+    dup_token_cnt, top_bigram_cnt, rep_flag) where dup_token_cnt
+    counts WITH multiplicity every token whose count >= 2, and
+    rep_flag = 1 iff top_bigram_cnt*5 >= n_bigrams (>=20% mass in one
+    bigram) or dup_token_cnt*2 >= n_tokens (>=50% repeated mass) —
+    integer arithmetic only.
+
+    The two fold structs are MATERIALIZED as columns before the final
+    projection (the winnowing lesson, `winnow_fingerprints` docstring:
+    explicit staging guarantees single evaluation instead of trusting
+    codegen CSE to dedupe the re-embedded fold trees — measured ~11%
+    on the sf0.1 corpus, same output)."""
+    toks = F.split(F.col(text_col), " ")
+
+    def run_fold(sorted_arr: Column) -> Column:
+        # one pass over the sorted array: longest equal run (= max
+        # multiplicity) and total mass of runs with length >= 2.
+        # acc.run counts the current run; when it closes at length 1
+        # it contributed nothing to dup
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dup"),
+        )
+
+        def step(acc: Column, x: Column) -> Column:
+            same = acc["prev"].isNotNull() & (x == acc["prev"])
+            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+            dup = acc["dup"] + F.when(
+                same, F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1))
+            ).otherwise(F.lit(0))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.greatest(acc["best"], run).alias("best"),
+                dup.alias("dup"),
+            )
+
+        return F.aggregate(sorted_arr, init, step)
+
+    t = F.col("_toks")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    staged = (
+        docs.withColumn("_toks", toks)
+        .withColumn("_uni", run_fold(F.array_sort(t)))
+        .withColumn("_big", run_fold(F.array_sort(bigrams)))
+    )
+    uni = F.col("_uni")
+    big = F.col("_big")
+    n_tokens = F.size(t)
+    n_bigrams = F.greatest(F.size(t) - 1, F.lit(0))
+    return staged.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_distinct"),
+        uni["best"].alias("top_token_cnt"),
+        uni["dup"].alias("dup_token_cnt"),
+        big["best"].alias("top_bigram_cnt"),
+        F.when(
+            ((big["best"] * 5 >= n_bigrams) & (n_bigrams > 0))
+            | (uni["dup"] * 2 >= n_tokens),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("rep_flag"),
+    )

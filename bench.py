@@ -360,6 +360,11 @@ def main() -> None:
     timed("tfidf_top", lambda: materialize(tfidf_top_terms(documents, k=3)), warm=1)
     timed("corpus_stats", lambda: materialize(corpus_stats(documents)), warm=1)
 
+    # Gopher repetition metrics: zero-exchange array-fold pass
+    from asag_spark.operators.text import repetition_stats
+
+    timed("repetition", lambda: materialize(repetition_stats(documents)), warm=1)
+
     # round-3 training-data additions: global prefix-sum packing,
     # winnow-fp decontamination join, time-bucketed range join
     from asag_spark.operators.events import range_join_counts

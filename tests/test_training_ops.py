@@ -878,3 +878,50 @@ def test_contamination_finds_planted_overlap(spark):
     # max_df=0 drops every fingerprint before the join → empty
     assert contamination_check(
         _docs(spark, rows), weights=weights, max_df=0).count() == 0
+
+
+def test_repetition_stats_constructed_cases(spark):
+    """Gopher-style repetition metrics vs a Counter-based reference:
+    dominant bigram, all-unique, single-token clique, 1-token doc
+    (0 bigrams), multiplicity >= 2 counted WITH multiplicity."""
+    from collections import Counter
+
+    from asag_spark.operators.text import repetition_stats
+
+    texts = {
+        1: "a b a b a b a b",
+        2: "x y z w v u t s",
+        3: "q q q q",
+        4: "m",
+        5: "p r p s p",
+    }
+
+    def brute(t):
+        tk = t.split(" ")
+        c = Counter(tk)
+        bg = Counter(" ".join(p) for p in zip(tk, tk[1:]))
+        n, nb = len(tk), max(len(tk) - 1, 0)
+        dup = sum(v for v in c.values() if v >= 2)
+        topb = max(bg.values()) if bg else 0
+        flag = 1 if ((topb * 5 >= nb and nb > 0) or dup * 2 >= n) else 0
+        return (n, len(c), max(c.values()), dup, topb, flag)
+
+    out = repetition_stats(_docs(
+        spark, [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    )).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["n_distinct"], r["top_token_cnt"],
+                         r["dup_token_cnt"], r["top_bigram_cnt"],
+                         r["rep_flag"]) for r in out}
+    assert got == {i: brute(t) for i, t in texts.items()}
+
+
+def test_repetition_stats_plan_has_zero_exchanges(spark):
+    """The whole point of the run-fold formulation: per-doc metrics
+    are pure column expressions, so the plan must contain NO Exchange
+    (a groupBy/explode formulation would shuffle token rows)."""
+    from asag_spark.operators.text import repetition_stats
+
+    docs = _docs(spark, [(1, "a b a", "en", "s", 5)])
+    plan = repetition_stats(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
