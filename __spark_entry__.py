@@ -579,6 +579,15 @@ def _t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph (fixed 8-token chunk) dedup — first
+    occurrence wins, docs reassembled from surviving chunks
+    (operators/dedup.paragraph_dedup; Lee et al. 2021 shape)."""
+    from asag_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.events import range_join_counts
 
@@ -1029,6 +1038,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_exact_dedup": _t_exact_dedup,
         "t_jaccard_pairs": _t_jaccard,
         "t_dedup_clusters": _t_dedup_clusters,
+        # round-3: corpus-level paragraph dedup (first occurrence wins,
+        # docs reassembled) — the Lee-et-al exact-substring family
+        # member the dedup suite lacked
+        "t_paragraph_dedup": _t_paragraph_dedup,
         "t_tfidf_top": _t_tfidf_top,
         "t_corpus_stats": _t_corpus_stats,
         "t_kmv_distinct": _t_kmv_distinct,
@@ -2266,6 +2279,35 @@ def _all_oracle_sql() -> dict[str, str]:
         "t_jaccard_pairs": _JACCARD_SQL,
         "t_kmv_distinct": _KMV_SQL,
         "t_dedup_clusters": _dedup_clusters_sql(),
+        # paragraph dedup: the oracle ranks occurrences relationally
+        # (row_number over chunk) — a deliberately different plan from
+        # the engine's min-struct groupBy + skew-splittable equi-join
+        "t_paragraph_dedup": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ),
+            ch AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                     array_to_string(toks[i*8+1 : i*8+8], ' ') AS chunk
+              FROM base,
+                   UNNEST(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS t(i)
+            ),
+            ranked AS (
+              SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_idx) AS rn
+              FROM ch
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_chunks,
+                   CAST(coalesce(sum(CASE WHEN rn = 1 THEN 1 END), 0)
+                        AS INTEGER) AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                       ORDER BY chunk_idx), '') AS text_dedup
+            FROM ranked GROUP BY doc_id
+        """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,
         "t_minhash_lsh": _minhash_sql(),

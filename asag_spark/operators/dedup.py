@@ -702,3 +702,74 @@ def dedup_clusters_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
         .withColumn("cluster_id", F.col("doc_id"))
     )
     return labeled.union(isolated)
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-level exact paragraph dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"; the
+    CCNet line-level pass is the same shape): keep only the FIRST
+    occurrence of every distinct paragraph across the whole corpus and
+    reassemble each document from its surviving paragraphs. The
+    synthetic corpus has no newline structure, so "paragraph" here is
+    a fixed ``chunk_tokens``-token window — the boundary rule changes,
+    the dedup machinery does not.
+
+    Output: (doc_id, n_chunks, n_kept, text_dedup) for EVERY input doc
+    (a fully-duplicated doc survives with n_kept=0 and empty text, so
+    downstream filters see it explicitly instead of losing the row).
+
+    Scale shape — three shuffles, all linear in the corpus:
+      1. winners: groupBy(chunk).agg(min(struct(doc_id, idx))). The
+         min is map-side combined, so a boilerplate chunk appearing in
+         10^8 docs ships ONE row per map partition, not 10^8 rows.
+      2. keep-join: exploded chunks ⋈ winners on the chunk key. An
+         equi-join, deliberately NOT a window over partitionBy(chunk):
+         AQE skew-join can split a hot chunk key across tasks for a
+         join, but a window's partition is unsplittable by contract.
+      3. reassembly: groupBy(doc_id) — keys are unique per doc, no
+         skew. Order restored via array_sort on (idx, chunk) structs.
+    First-occurrence = min (doc_id, chunk_idx) lexicographically, a
+    total order, so the output is partitioning-independent.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), sep
+        ),
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    winners = ex.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_first")
+    )
+    rows = ex.join(winners, "chunk").withColumn(
+        "_keep",
+        (F.col("doc_id") == F.col("_first.doc_id"))
+        & (F.col("chunk_idx") == F.col("_first.chunk_idx")),
+    )
+    kept_struct = F.when(
+        F.col("_keep"), F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )  # no otherwise: collect_list drops the nulls
+    return rows.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(F.col("_keep").cast("int")).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk"],
+            ),
+            sep,
+        ).alias("text_dedup"),
+    )

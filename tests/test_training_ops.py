@@ -925,3 +925,58 @@ def test_repetition_stats_plan_has_zero_exchanges(spark):
     plan = repetition_stats(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_paragraph_dedup_constructed(spark):
+    """First occurrence wins corpus-wide; docs reassemble in chunk
+    order; fully-duplicated docs survive with n_kept=0 and empty
+    text; output is partitioning-independent."""
+    from asag_spark.operators.dedup import paragraph_dedup
+
+    A = "a b c d"            # chunk of doc 0
+    B = "e f g h"
+    C = "x y z w"
+    rows = [
+        (0, f"{A} {B}"),     # owns A (idx 0) and B (idx 1)
+        (1, f"{C} {A}"),     # owns C; A drops (doc 0 saw it first)
+        (2, f"{B} {A}"),     # everything drops -> n_kept 0, text ''
+        (3, "short tail"),   # sub-chunk-size doc is its own chunk
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in paragraph_dedup(docs, chunk_tokens=4).collect()
+    }
+    assert out[0]["text_dedup"] == f"{A} {B}" and out[0]["n_kept"] == 2
+    assert out[1]["text_dedup"] == C and out[1]["n_kept"] == 1
+    assert out[2]["text_dedup"] == "" and out[2]["n_kept"] == 0
+    assert out[2]["n_chunks"] == 2
+    assert out[3]["text_dedup"] == "short tail" and out[3]["n_chunks"] == 1
+
+    # partitioning independence: same result at 1 and 7 partitions
+    for n in (1, 7):
+        again = {
+            r["doc_id"]: r["text_dedup"]
+            for r in paragraph_dedup(
+                docs.repartition(n), chunk_tokens=4
+            ).collect()
+        }
+        assert again == {k: v["text_dedup"] for k, v in out.items()}
+
+    with pytest.raises(ValueError):
+        paragraph_dedup(docs, chunk_tokens=0)
+
+
+def test_paragraph_dedup_plan_shape(spark):
+    """The keep-decision is an equi-join (AQE skew-splittable), never
+    a BroadcastNestedLoopJoin/cartesian; the winners aggregate is
+    partial (map-side combined)."""
+    from asag_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "w x y z " * 3) for i in range(20)], ["doc_id", "text"]
+    )
+    plan = paragraph_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan  # winners agg map-side combined
