@@ -588,6 +588,18 @@ def _t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with the broadcast Bloom prefilter on the train
+    side (operators/bloom.py + text.contamination_check_bloom) —
+    identical rows to t_contamination through a different physical
+    plan, so it shares the oracle verbatim."""
+    from asag_spark.operators.text import contamination_check_bloom
+
+    return contamination_check_bloom(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.events import range_join_counts
 
@@ -1056,6 +1068,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_seq_pack": _t_seq_pack,
         "t_stratified_sample": _t_stratified,
         "t_contamination": _t_contamination,
+        # round-3: the same check with a broadcast Bloom prefilter
+        # dropping non-matching train fps before the exchange (255×
+        # fewer shuffled train rows at sf0.01) — exact by construction
+        "t_contamination_bloom": _t_contamination_bloom,
         # tiling / raster / overlap (live SQL oracles)
         "q_xyz_tiles": _q_xyz_tiles,
         "q_mvt_coords": _q_mvt_coords,
@@ -1348,6 +1364,30 @@ short_docs AS (
 SELECT doc_id, fp FROM main
 UNION ALL SELECT doc_id, fp FROM small
 UNION ALL SELECT doc_id, fp FROM short_docs
+"""
+
+_CONTAM_SQL = f"""
+    WITH wfp AS ({_WINNOW_SQL}),
+    lab AS (
+      SELECT w.doc_id, w.fp,
+             CASE WHEN u <= 0.9 THEN 'train'
+                  WHEN u <= 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM wfp w, LATERAL (
+        SELECT ((('0x' || substr(md5('split-v1:' || w.doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                / 1152921504606846976.0) AS u
+      ) s
+    ),
+    ok AS (
+      SELECT fp FROM lab GROUP BY fp
+      HAVING COUNT(DISTINCT doc_id) <= 100
+    ),
+    capped AS (SELECT l.* FROM lab l JOIN ok USING (fp))
+    SELECT p.doc_id,
+           CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_train_matches
+    FROM capped p JOIN capped a ON p.fp = a.fp
+    WHERE p.split = 'test' AND a.split = 'train'
+    GROUP BY p.doc_id
 """
 
 _STOPWORDS_SQL = "['the','and','of','to','a','in','is','it']"
@@ -2372,29 +2412,12 @@ def _all_oracle_sql() -> dict[str, str]:
         # contamination: winnowed-fp overlap between the split_assign
         # test and train splits, fingerprints capped at df <= 100
         # before the join (boilerplate/skew guard, mirrored exactly)
-        "t_contamination": f"""
-            WITH wfp AS ({_WINNOW_SQL}),
-            lab AS (
-              SELECT w.doc_id, w.fp,
-                     CASE WHEN u <= 0.9 THEN 'train'
-                          WHEN u <= 0.95 THEN 'val'
-                          ELSE 'test' END AS split
-              FROM wfp w, LATERAL (
-                SELECT ((('0x' || substr(md5('split-v1:' || w.doc_id::VARCHAR), 1, 15))::BIGINT + 1)
-                        / 1152921504606846976.0) AS u
-              ) s
-            ),
-            ok AS (
-              SELECT fp FROM lab GROUP BY fp
-              HAVING COUNT(DISTINCT doc_id) <= 100
-            ),
-            capped AS (SELECT l.* FROM lab l JOIN ok USING (fp))
-            SELECT p.doc_id,
-                   CAST(COUNT(DISTINCT a.doc_id) AS BIGINT) AS n_train_matches
-            FROM capped p JOIN capped a ON p.fp = a.fp
-            WHERE p.split = 'test' AND a.split = 'train'
-            GROUP BY p.doc_id
-        """,
+        "t_contamination": _CONTAM_SQL,
+        # the Bloom-prefiltered variant is exact by construction
+        # (prefilter is a superset pass; the fp equi-join erases the
+        # false positives) — so it shares the oracle text verbatim,
+        # the pip/pip_partitioned dual-strategy discipline
+        "t_contamination_bloom": _CONTAM_SQL,
         # bounded-interval range join: clicks in (ts - 300 s, ts] per
         # purchase; the oracle states the inequality join directly —
         # the engine's time-bucket replication must produce the same

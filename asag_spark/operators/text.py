@@ -523,3 +523,53 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
             F.lit(1),
         ).otherwise(F.lit(0)).alias("rep_flag"),
     )
+
+
+def contamination_check_bloom(docs: DataFrame,
+                              weights: dict[str, float] | None = None,
+                              seed: str = "split-v1", k: int = 5, w: int = 4,
+                              max_df: int = 100, probe_split: str = "test",
+                              against_split: str = "train",
+                              m_bits: int = 1 << 20,
+                              n_hashes: int = 7) -> DataFrame:
+    """contamination_check with a Bloom semi-join prefilter on the
+    against (train) side — IDENTICAL output by construction, different
+    physical plan for the 100 TB case.
+
+    The plain check shuffles every capped train fingerprint into the
+    probe⋈against exchange; at web scale train is ~95% of the corpus
+    while test fingerprints (the thing being probed FOR) are tiny. So:
+    build a Bloom bit array over the PROBE side's fingerprints (small
+    — a few MB at 10 bits/key even for millions of test fps),
+    broadcast it, and drop train rows whose fp cannot match before
+    they reach the exchange. No false negatives, so the exact fp
+    equi-join that follows erases the ~1% false positives and the
+    result equals contamination_check row for row (pytest-pinned and
+    it shares the same DuckDB oracle). Train-side shuffle volume drops
+    to ~(test-overlap + 1%) of the corpus instead of 100%."""
+    from .bloom import bloom_semi_join_prefilter
+
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    fps = winnow_fingerprints(docs, k=k, w=w).withColumn(
+        "split", _split_expr("doc_id", weights, seed)
+    )
+    df_ok = (
+        fps.groupBy("fp").agg(F.count_distinct("doc_id").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("fp")
+    )
+    capped = fps.join(df_ok, "fp")
+    probe = capped.filter(F.col("split") == probe_split).select(
+        "fp", F.col("doc_id")
+    )
+    against = capped.filter(F.col("split") == against_split).select(
+        "fp", F.col("doc_id").alias("_train_id")
+    )
+    against = bloom_semi_join_prefilter(
+        against, probe, "fp", m_bits=m_bits, n_hashes=n_hashes
+    )
+    return (
+        probe.join(against, "fp")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("_train_id").alias("n_train_matches"))
+    )

@@ -980,3 +980,65 @@ def test_paragraph_dedup_plan_shape(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_min" in plan  # winners agg map-side combined
+
+
+def test_bloom_prefilter_superset_and_selective(spark):
+    """The Bloom prefilter never drops a true match (superset
+    semantics) and actually prunes: with 2000 big keys and 50 small
+    keys at 10+ bits/key the survivors are close to the exact 50."""
+    from asag_spark.operators.bloom import (
+        bloom_build, bloom_prefilter, bloom_semi_join_prefilter,
+        bloom_to_array,
+    )
+
+    big = spark.createDataFrame([(f"key-{i}",) for i in range(2000)], ["k"])
+    small = spark.createDataFrame([(f"key-{i}",) for i in range(0, 2000, 40)],
+                                  ["k"])
+    kept = bloom_semi_join_prefilter(big, small, "k", m_bits=1 << 12)
+    kept_keys = {r["k"] for r in kept.collect()}
+    true_keys = {f"key-{i}" for i in range(0, 2000, 40)}
+    assert true_keys <= kept_keys          # no false negatives, ever
+    assert len(kept_keys) < 200            # ~1-5% fp rate, not pass-through
+
+    # composing prefilter + exact join == plain semi-join, exactly
+    exact = {r["k"] for r in big.join(small, "k", "left_semi").collect()}
+    refined = {r["k"] for r in kept.join(small, "k", "left_semi").collect()}
+    assert refined == exact == true_keys
+
+    # the dense array is tiny and the word table sparse-only
+    words = bloom_build(small, "k", m_bits=1 << 12)
+    arr = bloom_to_array(words, 1 << 12)
+    assert arr.shape == (64,) and words.count() <= 64
+    assert bloom_prefilter(big, "k", arr).count() == len(kept_keys)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bloom_build(small, "k", m_bits=100)     # not a multiple of 64
+    with _pytest.raises(ValueError):
+        bloom_build(small, "k", n_hashes=0)
+
+
+def test_contamination_bloom_equals_plain(spark):
+    """The Bloom-prefiltered decontamination returns exactly the
+    plain check's rows on the planted-overlap corpus."""
+    from asag_spark.operators.text import (
+        contamination_check, contamination_check_bloom, split_assign,
+    )
+
+    ids = list(range(200))
+    base = _docs(spark, [(i, f"unique text number {i} " * 3, "en", "s", 1)
+                         for i in ids])
+    weights = {"train": 0.5, "test": 0.5}
+    split = {r["doc_id"]: r["split"]
+             for r in split_assign(base, weights=weights).collect()}
+    train_id = next(i for i in ids if split[i] == "train")
+    test_id = next(i for i in ids if split[i] == "test")
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, shared if i in (train_id, test_id)
+             else f"unique text number {i} " * 3, "en", "s", 1) for i in ids]
+    docs = _docs(spark, rows)
+    plain = sorted(map(tuple, contamination_check(
+        docs, weights=weights).collect()))
+    bloomed = sorted(map(tuple, contamination_check_bloom(
+        docs, weights=weights, m_bits=1 << 14).collect()))
+    assert plain == bloomed == [(test_id, 1)]
