@@ -654,6 +654,36 @@ def _g_spatial_clusters_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_clusters_partitioned(pts, eps=0.002, block_cells=4)
 
 
+def _g_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table fixed-radius spatial join ("all POIs within eps of
+    each stop"): stops from the geo-x/geo-y blob cloud, POIs from an
+    independent poi-x/poi-y jitter of the SAME blob grid so the radius
+    actually bites. Brute-force cross-join oracle (250k pairs at
+    sf0.01 — trivially exact at gate scale; the engine side is the
+    grid-bucketed equi-join)."""
+    from asag_spark.operators.cluster import within_distance_join
+    from asag_spark.operators.text import hash_unit
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def cloud(xs: str, ys: str, id_name: str):
+        u1, u2 = hash_unit("doc_id", xs), hash_unit("doc_id", ys)
+        return d.select(
+            F.col("doc_id").alias(id_name),
+            (F.lit(10.0) + (F.col("doc_id") % 8).cast("double") * F.lit(0.05)
+             + (u1 - F.lit(0.5)) * F.lit(0.004)).alias("lon"),
+            (F.lit(59.0)
+             + (F.expr("doc_id div 8") % 5).cast("double") * F.lit(0.05)
+             + (u2 - F.lit(0.5)) * F.lit(0.004)).alias("lat"),
+        )
+
+    return within_distance_join(
+        cloud("geo-x", "geo-y", "stop_id"),
+        cloud("poi-x", "poi-y", "poi_id"),
+        eps=0.002, left_id="stop_id", right_id="poi_id",
+    )
+
+
 def _t_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import quality_score
 
@@ -1086,6 +1116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # band-LSH machinery stays live via t_emb_near_dups
         "g_spatial_clusters": _g_spatial_clusters,
         "g_spatial_clusters_part": _g_spatial_clusters_part,
+        # round-3: two-table fixed-radius spatial join (the generic
+        # sibling of eps_pairs/knn_join), brute-force oracle
+        "g_distance_join": _g_distance_join,
         # relational operator coverage (live SQL oracles)
         "q_asof_window": _q_asof_window,
         "q_sessionize": _q_sessionize,
@@ -2439,6 +2472,36 @@ def _all_oracle_sql() -> dict[str, str]:
         # doubles in the engine's exact evaluation order, so both
         # engines compute identical IEEE values
         "g_spatial_clusters": _SPATIAL_CLUSTERS_SQL,
+        # distance join: brute-force cross-join oracle with the same
+        # pure +,-,* coordinate derivation (engine evaluation order)
+        "g_distance_join": """
+            WITH stops AS (
+              SELECT doc_id AS stop_id,
+                     10.0 + (doc_id % 8) * 0.05
+                          + (((('0x' || substr(md5('geo-x:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                              / 1152921504606846976.0) - 0.5) * 0.004 AS lon,
+                     59.0 + ((doc_id // 8) % 5) * 0.05
+                          + (((('0x' || substr(md5('geo-y:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                              / 1152921504606846976.0) - 0.5) * 0.004 AS lat
+              FROM documents
+            ),
+            pois AS (
+              SELECT doc_id AS poi_id,
+                     10.0 + (doc_id % 8) * 0.05
+                          + (((('0x' || substr(md5('poi-x:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                              / 1152921504606846976.0) - 0.5) * 0.004 AS lon,
+                     59.0 + ((doc_id // 8) % 5) * 0.05
+                          + (((('0x' || substr(md5('poi-y:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                              / 1152921504606846976.0) - 0.5) * 0.004 AS lat
+              FROM documents
+            )
+            SELECT s.stop_id, p.poi_id,
+                   (s.lon - p.lon) * (s.lon - p.lon)
+                 + (s.lat - p.lat) * (s.lat - p.lat) AS dist_sq
+            FROM stops s JOIN pois p
+              ON (s.lon - p.lon) * (s.lon - p.lon)
+               + (s.lat - p.lat) * (s.lat - p.lat) <= 0.002 * 0.002
+        """,
         # identical output through the two-level partitioned plan —
         # same oracle text on purpose (the pip/pip_partitioned
         # precedent: one truth, two physical strategies)

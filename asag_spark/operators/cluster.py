@@ -329,3 +329,62 @@ def spatial_clusters_partitioned(points: DataFrame, eps: float,
     finally:
         per_point.unpersist()
     return _with_sizes(labeled)
+
+
+def within_distance_join(
+    left: DataFrame, right: DataFrame, eps: float,
+    left_id: str = "left_id", right_id: str = "right_id",
+    lon_col: str = "lon", lat_col: str = "lat",
+) -> DataFrame:
+    """Two-table fixed-radius spatial join: every (left, right) pair
+    with planar distance <= eps — the generic sibling of eps_pairs
+    (self-join) and knn_join (nearest-k): "all POIs within 250 m of
+    each stop place". Output (left_id, right_id, dist_sq); dist_sq
+    stays squared so the whole predicate is +,-,* (module docstring's
+    exactness discipline — no sqrt in the gate).
+
+    Same grid-bucket shape as eps_pairs: pitch = eps, the RIGHT side
+    replicates to its 3x3 cell neighborhood map-side, a plain
+    equi-join on (cx, cy) carries the exact refine in its condition.
+    No dedup gymnastics are needed (the two sides are distinct tables,
+    so each qualifying pair meets in exactly one cell — the left
+    point's home cell). Shuffle = left + 9x right, both hash-uniform
+    on cell id; hot cells split by AQE skew-join or the
+    pip_join_partitioned salting if a city concentrates one cell."""
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    pitch = float(eps)
+    cx = F.floor(F.col(lon_col) / F.lit(pitch)).cast("long")
+    cy = F.floor(F.col(lat_col) / F.lit(pitch)).cast("long")
+    home = left.select(
+        F.col(left_id).alias("_ia"),
+        F.col(lon_col).alias("_xa"), F.col(lat_col).alias("_ya"),
+        cx.alias("_cx"), cy.alias("_cy"),
+    )
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    ])
+    probe = right.select(
+        F.col(right_id).alias("_ib"),
+        F.col(lon_col).alias("_xb"), F.col(lat_col).alias("_yb"),
+        cx.alias("_bx"), cy.alias("_by"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        "_ib", "_xb", "_yb",
+        (F.col("_bx") + F.col("_o.dx")).alias("_cx"),
+        (F.col("_by") + F.col("_o.dy")).alias("_cy"),
+    )
+    dx = home["_xa"] - probe["_xb"]
+    dy = home["_ya"] - probe["_yb"]
+    cond = (
+        (home["_cx"] == probe["_cx"]) & (home["_cy"] == probe["_cy"])
+        & (dx * dx + dy * dy <= F.lit(pitch * pitch))
+    )
+    return home.join(probe, cond).select(
+        F.col("_ia").alias(left_id),
+        F.col("_ib").alias(right_id),
+        ((home["_xa"] - probe["_xb"]) * (home["_xa"] - probe["_xb"])
+         + (home["_ya"] - probe["_yb"]) * (home["_ya"] - probe["_yb"])
+         ).alias("dist_sq"),
+    )

@@ -178,3 +178,52 @@ def test_kernel_exact_eps_witness_across_subcells():
     out = _local_union_find(pdf, 0.002)
     assert out["label"].nunique() == 1
     assert (out["label"] == 0).all()
+
+
+def test_within_distance_join_brute_parity_and_boundaries(spark):
+    """Two-table radius join: brute-force parity on a deterministic
+    cloud, cross-cell pairs found, distance exactly eps included,
+    pairs never duplicated, plan is an equi-join."""
+    import math
+
+    from asag_spark.operators.cluster import within_distance_join
+
+    def h(i, seed):
+        v = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16)
+        return (v + 1) / 1152921504606846976.0
+
+    left = [(i, h(i, "lx") * 0.01, h(i, "ly") * 0.01) for i in range(80)]
+    right = [(i, h(i, "rx") * 0.01, h(i, "ry") * 0.01) for i in range(80)]
+    eps = 0.002
+    ldf = spark.createDataFrame(left, "stop_id long, lon double, lat double")
+    rdf = spark.createDataFrame(right, "poi_id long, lon double, lat double")
+    out = within_distance_join(ldf, rdf, eps,
+                               left_id="stop_id", right_id="poi_id")
+    got = {(r["stop_id"], r["poi_id"]) for r in out.collect()}
+    want = {(a, b)
+            for a, xa, ya in left for b, xb, yb in right
+            if (xa - xb) ** 2 + (ya - yb) ** 2 <= eps * eps}
+    assert got == want and len(want) > 50
+    # no duplicate pairs from the 3x3 replication
+    assert out.count() == len(got)
+
+    # exact-eps boundary: included; cross-cell neighbor: found
+    l2 = spark.createDataFrame([(1, 0.0009, 0.0)],
+                               "stop_id long, lon double, lat double")
+    r2 = spark.createDataFrame(
+        [(10, 0.0011, 0.0),      # other cell, dist 0.0002
+         (11, 0.0009, 0.001),    # exactly eps below/above
+         (12, 0.0009, 0.001001)],  # just over
+        "poi_id long, lon double, lat double")
+    got2 = {r["poi_id"]
+            for r in within_distance_join(l2, r2, 0.001,
+                                          left_id="stop_id",
+                                          right_id="poi_id").collect()}
+    assert got2 == {10, 11}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    with pytest.raises(ValueError):
+        within_distance_join(ldf, rdf, 0.0)
