@@ -700,6 +700,14 @@ def _t_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-rule quality gate (text.gopher_filter):
+    keep/drop + fired-rule reasons, zero-exchange plan."""
+    from asag_spark.operators.text import gopher_filter
+
+    return gopher_filter(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _t_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import lang_id
 
@@ -1074,6 +1082,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_count": _t_token_count,
         "t_quality": _t_quality,
         "t_repetition": _t_repetition,
+        # round-3: composite Gopher quality gate over the repetition +
+        # word-length + stopword rules, with per-doc drop reasons
+        "t_gopher_filter": _t_gopher_filter,
         "t_langid": _t_langid,
         "t_fingerprint": _t_fingerprint,
         "t_winnow_fp": _t_winnow,
@@ -1397,6 +1408,51 @@ short_docs AS (
 SELECT doc_id, fp FROM main
 UNION ALL SELECT doc_id, fp FROM small
 UNION ALL SELECT doc_id, fp FROM short_docs
+"""
+
+_REPETITION_SQL = """
+    WITH tl AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    toks AS (SELECT doc_id, unnest(l) AS tok FROM tl),
+    tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM toks GROUP BY doc_id, tok
+    ),
+    uni AS (
+      SELECT doc_id,
+             MAX(c) AS top_token_cnt,
+             COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0)
+               AS dup_token_cnt,
+             COUNT(*) AS n_distinct,
+             SUM(c) AS n_tokens
+      FROM tc GROUP BY doc_id
+    ),
+    bgl AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(l)),
+                    i -> l[i] || ' ' || l[i + 1])) AS bg
+      FROM tl
+    ),
+    bc AS (
+      SELECT doc_id, MAX(c) AS top_bigram_cnt
+      FROM (SELECT doc_id, bg, COUNT(*) AS c
+            FROM bgl GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT u.doc_id,
+           CAST(u.n_tokens AS INTEGER) AS n_tokens,
+           CAST(u.n_distinct AS INTEGER) AS n_distinct,
+           CAST(u.top_token_cnt AS INTEGER) AS top_token_cnt,
+           CAST(u.dup_token_cnt AS INTEGER) AS dup_token_cnt,
+           CAST(COALESCE(b.top_bigram_cnt, 0) AS INTEGER)
+             AS top_bigram_cnt,
+           CAST(CASE WHEN (COALESCE(b.top_bigram_cnt, 0) * 5
+                             >= u.n_tokens - 1
+                           AND u.n_tokens - 1 > 0)
+                      OR u.dup_token_cnt * 2 >= u.n_tokens
+                     THEN 1 ELSE 0 END AS INTEGER) AS rep_flag
+    FROM uni u LEFT JOIN bc b USING (doc_id)
 """
 
 _CONTAM_SQL = f"""
@@ -2282,49 +2338,45 @@ def _all_oracle_sql() -> dict[str, str]:
         # exchanges (sorted-array run folds per row); the oracle is
         # the relational formulation on purpose — unnest + GROUP BY —
         # so agreement checks the semantics, not the plan
-        "t_repetition": """
-            WITH tl AS (
+        "t_repetition": _REPETITION_SQL,
+        # gopher_filter: the repetition leg reuses the relational
+        # t_repetition oracle as a CTE; the token-window / word-length
+        # / stopword rules are list-function SQL. Rule order in the
+        # reasons string is the engine's fixed GOPHER_RULES order.
+        "t_gopher_filter": f"""
+            WITH rep AS ({_REPETITION_SQL}),
+            tl AS (
               SELECT doc_id, string_split(text, ' ') AS l FROM documents
             ),
-            toks AS (SELECT doc_id, unnest(l) AS tok FROM tl),
-            tc AS (
-              SELECT doc_id, tok, COUNT(*) AS c
-              FROM toks GROUP BY doc_id, tok
-            ),
-            uni AS (
+            base AS (
               SELECT doc_id,
-                     MAX(c) AS top_token_cnt,
-                     COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0)
-                       AS dup_token_cnt,
-                     COUNT(*) AS n_distinct,
-                     SUM(c) AS n_tokens
-              FROM tc GROUP BY doc_id
-            ),
-            bgl AS (
-              SELECT doc_id,
-                     unnest(list_transform(range(1, len(l)),
-                            i -> l[i] || ' ' || l[i + 1])) AS bg
+                     CAST(len(l) AS INTEGER) AS n_tokens,
+                     CAST(list_sum(list_transform(l, x -> length(x)))
+                          AS BIGINT) AS chars,
+                     len(list_distinct(list_filter(l,
+                         x -> lower(x) IN ('the','and','of','to','a','in',
+                                           'is','it')))) AS stopd
               FROM tl
             ),
-            bc AS (
-              SELECT doc_id, MAX(c) AS top_bigram_cnt
-              FROM (SELECT doc_id, bg, COUNT(*) AS c
-                    FROM bgl GROUP BY doc_id, bg)
-              GROUP BY doc_id
+            fired AS (
+              SELECT b.doc_id, b.n_tokens,
+                     list_filter([
+                       CASE WHEN b.n_tokens < 20 THEN 'too_short' END,
+                       CASE WHEN b.n_tokens > 100000 THEN 'too_long' END,
+                       CASE WHEN b.chars < 2 * b.n_tokens
+                            THEN 'short_words' END,
+                       CASE WHEN b.chars > 8 * b.n_tokens
+                            THEN 'long_words' END,
+                       CASE WHEN b.stopd < 2 THEN 'stop_words' END,
+                       CASE WHEN r.rep_flag = 1 THEN 'repetition' END
+                     ], x -> x IS NOT NULL) AS fl
+              FROM base b JOIN rep r USING (doc_id)
             )
-            SELECT u.doc_id,
-                   CAST(u.n_tokens AS INTEGER) AS n_tokens,
-                   CAST(u.n_distinct AS INTEGER) AS n_distinct,
-                   CAST(u.top_token_cnt AS INTEGER) AS top_token_cnt,
-                   CAST(u.dup_token_cnt AS INTEGER) AS dup_token_cnt,
-                   CAST(COALESCE(b.top_bigram_cnt, 0) AS INTEGER)
-                     AS top_bigram_cnt,
-                   CAST(CASE WHEN (COALESCE(b.top_bigram_cnt, 0) * 5
-                                     >= u.n_tokens - 1
-                                   AND u.n_tokens - 1 > 0)
-                              OR u.dup_token_cnt * 2 >= u.n_tokens
-                             THEN 1 ELSE 0 END AS INTEGER) AS rep_flag
-            FROM uni u LEFT JOIN bc b USING (doc_id)
+            SELECT doc_id, n_tokens,
+                   CAST(CASE WHEN len(fl) = 0 THEN 1 ELSE 0 END
+                        AS INTEGER) AS keep,
+                   COALESCE(array_to_string(fl, ','), '') AS reasons
+            FROM fired
         """,
         "s_sessionize_stateful": _SESSIONIZE_SQL,
         "t_fingerprint": r"""

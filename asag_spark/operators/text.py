@@ -438,6 +438,33 @@ def contamination_check(docs: DataFrame, weights: dict[str, float] | None = None
     )
 
 
+def _run_fold(sorted_arr: Column) -> Column:
+    """One pass over a sorted array: longest equal run (= max
+    multiplicity) and total mass of runs with length >= 2. acc.run
+    counts the current run; when it closes at length 1 it contributed
+    nothing to dup. Shared by repetition_stats and gopher_filter."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        dup = acc["dup"] + F.when(
+            same, F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1))
+        ).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            dup.alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, init, step)
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document repetition metrics (the Gopher/Dolma "repetitious
@@ -468,33 +495,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text",
     codegen CSE to dedupe the re-embedded fold trees — measured ~11%
     on the sf0.1 corpus, same output)."""
     toks = F.split(F.col(text_col), " ")
-
-    def run_fold(sorted_arr: Column) -> Column:
-        # one pass over the sorted array: longest equal run (= max
-        # multiplicity) and total mass of runs with length >= 2.
-        # acc.run counts the current run; when it closes at length 1
-        # it contributed nothing to dup
-        init = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-            F.lit(0).alias("dup"),
-        )
-
-        def step(acc: Column, x: Column) -> Column:
-            same = acc["prev"].isNotNull() & (x == acc["prev"])
-            run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
-            dup = acc["dup"] + F.when(
-                same, F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1))
-            ).otherwise(F.lit(0))
-            return F.struct(
-                x.alias("prev"), run.alias("run"),
-                F.greatest(acc["best"], run).alias("best"),
-                dup.alias("dup"),
-            )
-
-        return F.aggregate(sorted_arr, init, step)
-
+    run_fold = _run_fold
     t = F.col("_toks")
     bigrams = F.zip_with(
         F.slice(t, 1, F.size(t) - 1),
@@ -572,4 +573,78 @@ def contamination_check_bloom(docs: DataFrame,
         probe.join(against, "fp")
         .groupBy("doc_id")
         .agg(F.count_distinct("_train_id").alias("n_train_matches"))
+    )
+
+
+GOPHER_RULES = ("too_short", "too_long", "short_words", "long_words",
+                "stop_words", "repetition")
+
+
+def gopher_filter(docs: DataFrame, min_tokens: int = 20,
+                  max_tokens: int = 100000, min_mean_wl: int = 2,
+                  max_mean_wl: int = 8, min_stopwords: int = 2,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite Gopher-style quality gate (Rae et al. 2021 §A1.1):
+    token-count window, mean-word-length window, minimum distinct
+    stopwords, and the repetition_stats flag — keep=1 iff no rule
+    fires, with the fired rule names in a fixed-order comma-joined
+    ``reasons`` string so downstream pipelines can report WHY a doc
+    was dropped (the Dolma/RefinedWeb attribute pattern) rather than
+    just that it was.
+
+    Same zero-exchange discipline as repetition_stats: every rule is
+    a pure column expression over the staged token array (mean word
+    length compares are integer cross-multiplications — total_chars <
+    min_wl * n_tokens — so no float thresholds exist anywhere), and
+    the plan is a single whole-stage-codegen projection. At 100 TB
+    this runs at scan speed; the oracle recomputes the repetition leg
+    relationally (unnest + GROUP BY) and the rest in SQL.
+
+    Output: (doc_id, n_tokens, keep, reasons)."""
+    toks = F.split(F.col(text_col), " ")
+    t = F.col("_toks")
+    bigrams = F.zip_with(
+        F.slice(t, 1, F.size(t) - 1),
+        F.slice(t, 2, F.size(t) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    staged = (
+        docs.withColumn("_toks", toks)
+        .withColumn("_uni", _run_fold(F.array_sort(t)))
+        .withColumn("_big", _run_fold(F.array_sort(bigrams)))
+        .withColumn(
+            "_chars",
+            F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x)),
+        )
+        .withColumn(
+            "_stopd",
+            F.size(F.array_distinct(
+                F.filter(t, lambda x: F.lower(x).isin(*STOPWORDS))
+            )),
+        )
+    )
+    n_tokens = F.size(t)
+    n_bigrams = F.greatest(F.size(t) - 1, F.lit(0))
+    # rep_flag: EXACTLY repetition_stats' formula (parity pytest-pinned)
+    rep = (
+        ((F.col("_big")["best"] * 5 >= n_bigrams) & (n_bigrams > 0))
+        | (F.col("_uni")["dup"] * 2 >= n_tokens)
+    )
+    rules = [
+        ("too_short", n_tokens < min_tokens),
+        ("too_long", n_tokens > max_tokens),
+        ("short_words", F.col("_chars") < min_mean_wl * n_tokens),
+        ("long_words", F.col("_chars") > max_mean_wl * n_tokens),
+        ("stop_words", F.col("_stopd") < min_stopwords),
+        ("repetition", rep),
+    ]
+    fired = F.array_compact(F.array(*[
+        F.when(cond, F.lit(name)) for name, cond in rules
+    ]))
+    return staged.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        F.when(F.size(fired) == 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        F.array_join(fired, ",").alias("reasons"),
     )

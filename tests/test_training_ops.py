@@ -1042,3 +1042,41 @@ def test_contamination_bloom_equals_plain(spark):
     bloomed = sorted(map(tuple, contamination_check_bloom(
         docs, weights=weights, m_bits=1 << 14).collect()))
     assert plain == bloomed == [(test_id, 1)]
+
+
+def test_gopher_filter_constructed_cases(spark):
+    """Each rule fires on a doc built to trip exactly it; a clean doc
+    keeps; the repetition reason agrees with repetition_stats; the
+    plan has zero exchanges."""
+    from asag_spark.operators.text import gopher_filter, repetition_stats
+
+    clean = ("the quick brown fox jumps over lazy dogs while many other "
+             "animals watch from afar and some birds sing songs about "
+             "everything they have seen today in this wide green field")
+    rows = [
+        (1, clean),
+        (2, "the of short text"),                       # too_short (has 2 stopwords)
+        (3, "the of " + "ab " * 30),                    # short_words (mean < 2 incl. 2-char toks? 'ab'=2, mean 2 exactly -> craft 1-char)
+        (4, "the of " + "x " * 40),                     # short_words
+        (5, "the of " + "extraordinarily " * 30),       # long_words
+        (6, " ".join(f"w{i}" for i in range(40))),      # stop_words only
+        (7, "the of " + "dup dup " * 20),               # repetition
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in gopher_filter(docs).collect()}
+    assert out[1]["keep"] == 1 and out[1]["reasons"] == ""
+    # (4 tokens -> 3 bigrams, so the 20%-bigram repetition rule also
+    # fires trivially on any too-short doc; order is the fixed rule order)
+    assert out[2]["reasons"].startswith("too_short")
+    assert "short_words" in out[4]["reasons"]
+    assert "long_words" in out[5]["reasons"]
+    assert out[6]["reasons"] == "stop_words"
+    assert "repetition" in out[7]["reasons"] and "stop_words" not in out[7]["reasons"]
+
+    # repetition reason == repetition_stats flag, doc for doc
+    flags = {r["doc_id"]: r["rep_flag"] for r in repetition_stats(docs).collect()}
+    for i, r in out.items():
+        assert ("repetition" in r["reasons"]) == (flags[i] == 1)
+
+    plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
