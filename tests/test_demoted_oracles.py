@@ -50,16 +50,18 @@ def duck(sf_dir):
 
 
 def test_registry_partition():
-    """Live registry is exactly 52 entries, EVERY entry carries an
+    """Live registry is exactly 56 entries, EVERY entry carries an
     oracle (round 3 closed the last two rows-only tails: media features
     via pinned-order float64 math, flagship via golden rows; then
     added g_spatial_clusters_part — the partitioned strategy of an
-    existing query, sharing its oracle verbatim — and t_repetition,
-    the zero-exchange Gopher repetition metrics), and the two
-    registries don't overlap."""
+    existing query, sharing its oracle verbatim — t_repetition,
+    the zero-exchange Gopher repetition metrics, t_gopher_filter,
+    t_paragraph_dedup, g_distance_join, and the Bloom-prefiltered
+    decontamination t_contamination_bloom), and the two registries
+    don't overlap."""
     live = list(entry_mod.queries())
     demoted = set(entry_mod.demoted_queries())
-    assert len(live) == 52
+    assert len(live) == 56
     assert not demoted & set(live)
     oracles = entry_mod.oracle_sql()
     rows_only = [q for q in live if q not in oracles]
