@@ -88,6 +88,33 @@ def zone_covers(zones: DataFrame, res: int = PIP_RES) -> DataFrame:
     return zones.select("zone_id", "geom_wkt").mapInPandas(expand, schema=schema)
 
 
+def _batch_candidates(lon: np.ndarray, lat: np.ndarray,
+                      cover: dict) -> dict[str, np.ndarray]:
+    """zone_id → indices of batch points whose res-7 cell is in that
+    zone's cover — the shared candidate-generation step of the PIP
+    kernels. Lookup per UNIQUE cell, not per point: points cluster
+    (Zipf urban skew), so unique cells << points and the Python loop
+    cost is O(cells), with numpy carrying the per-point work
+    (sort + slice; the ray cast follows in the caller)."""
+    q, r = hexgrid.cell_qr(lon, lat, PIP_RES)
+    key = (q.astype(np.int64) << 32) ^ (r.astype(np.int64) & 0xFFFFFFFF)
+    uniq, rep, inv = np.unique(key, return_index=True, return_inverse=True)
+    order = np.argsort(inv, kind="stable")
+    bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+    zone_to_pts: dict[str, list[np.ndarray]] = {}
+    for ci in range(len(uniq)):
+        zids = cover.get((int(q[rep[ci]]), int(r[rep[ci]])), ())
+        if not zids:
+            continue
+        pts = order[bounds[ci]:bounds[ci + 1]]
+        for zid in zids:
+            zone_to_pts.setdefault(zid, []).append(pts)
+    return {
+        zid: (parts[0] if len(parts) == 1 else np.concatenate(parts))
+        for zid, parts in zone_to_pts.items()
+    }
+
+
 def pip_join(points: DataFrame, zones: DataFrame,
              id_col: str = "feature_id",
              lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
@@ -119,32 +146,8 @@ def pip_join(points: DataFrame, zones: DataFrame,
                 yield pd.DataFrame({id_col: [], "zone_id": []})
                 continue
             lon, lat, ids = lon[ok], lat[ok], ids[ok]
-            q, r = hexgrid.cell_qr(lon, lat, PIP_RES)
-            # Candidate lookup per UNIQUE cell, not per point: points
-            # cluster (Zipf urban skew), so unique cells << points and
-            # the Python loop cost is O(cells), with numpy carrying the
-            # per-point work (sort + slice + ray cast).
-            key = (q.astype(np.int64) << 32) ^ (
-                r.astype(np.int64) & 0xFFFFFFFF
-            )
-            uniq, rep, inv = np.unique(
-                key, return_index=True, return_inverse=True
-            )
-            order = np.argsort(inv, kind="stable")
-            bounds = np.searchsorted(
-                inv[order], np.arange(len(uniq) + 1)
-            )
-            zone_to_pts: dict[str, list[np.ndarray]] = {}
-            for ci in range(len(uniq)):
-                zids = cover_l.get((int(q[rep[ci]]), int(r[rep[ci]])), ())
-                if not zids:
-                    continue
-                pts = order[bounds[ci]:bounds[ci + 1]]
-                for zid in zids:
-                    zone_to_pts.setdefault(zid, []).append(pts)
             out_ids, out_zones = [], []
-            for zid, parts in zone_to_pts.items():
-                pis_a = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            for zid, pis_a in _batch_candidates(lon, lat, cover_l).items():
                 inside = points_in_ring(lon[pis_a], lat[pis_a], rings_l[zid])
                 hit = pis_a[inside]
                 out_ids.extend(ids[hit])
@@ -246,4 +249,56 @@ def pip_join_partitioned(points: DataFrame, zones: DataFrame,
         cand.groupBy("zone_id", "_salt")
         .cogroup(zsalt.groupBy("zone_id", "_salt"))
         .applyInPandas(refine, schema=out_schema)
+    )
+
+
+def pip_anti_join(points: DataFrame, zones: DataFrame,
+                  id_col: str = "feature_id",
+                  lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Spatial ANTI-join: ids of points inside NO zone polygon — the
+    coverage-gap audit every zone-assignment pipeline needs (stops the
+    tariff map forgot, docs outside every municipality). Complements
+    pip_join the way LEFT ANTI complements INNER.
+
+    Plan shape (100 TB): PIP membership is a PER-POINT predicate, so
+    the anti set needs no join at all — the same broadcast cell-index
+    + vectorized ray cast as ``pip_join``, output inverted per Arrow
+    batch in ONE mapInPandas pass over the point side. A naive
+    ``points LEFT ANTI JOIN pip_join(...)`` would scan the points
+    twice and shuffle both sides on the id; this emits identical rows
+    with zero exchange. Short-circuit: each zone ray-casts only the
+    batch points not already covered by an earlier zone, so overlap-
+    heavy zone sets do strictly less work than the positive variant.
+
+    Null-coordinate points follow pip_join's contract (the caller
+    filters them; they are neither covered nor reported).
+    Output: (<id_col>) — one row per uncovered point.
+    """
+    spark = points.sparkSession
+    rings, cover = _zone_index(zones.collect())
+    bc = spark.sparkContext.broadcast((rings, cover))
+    out_schema = T.StructType([T.StructField(id_col, T.StringType())])
+
+    def refine(batches):
+        rings_l, cover_l = bc.value
+        for pdf in batches:
+            lon = pdf[lon_col].to_numpy(dtype="float64", na_value=np.nan)
+            lat = pdf[lat_col].to_numpy(dtype="float64", na_value=np.nan)
+            ids = pdf[id_col].to_numpy(dtype=object)
+            ok = ~(np.isnan(lon) | np.isnan(lat))
+            if not ok.any():
+                yield pd.DataFrame({id_col: []})
+                continue
+            lon, lat, ids = lon[ok], lat[ok], ids[ok]
+            covered = np.zeros(len(ids), dtype=bool)
+            for zid, pis_a in _batch_candidates(lon, lat, cover_l).items():
+                pis_a = pis_a[~covered[pis_a]]
+                if not len(pis_a):
+                    continue
+                inside = points_in_ring(lon[pis_a], lat[pis_a], rings_l[zid])
+                covered[pis_a[inside]] = True
+            yield pd.DataFrame({id_col: ids[~covered]})
+
+    return points.select(id_col, lon_col, lat_col).mapInPandas(
+        refine, schema=out_schema
     )

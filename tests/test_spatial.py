@@ -123,6 +123,49 @@ def test_pip_partitioned_matches_broadcast(spark):
     assert len(a) > 500  # a dense cloud must produce real hit volume
 
 
+def test_pip_anti_brute_force_parity(spark):
+    """pip_anti_join must equal the brute-force anti set (ray cast of
+    EVERY point against EVERY zone ring, no cell pruning) AND the exact
+    complement of pip_join's hit ids — on a mixed uniform+clustered
+    cloud over the 50 generated municipality polygons, so both covered
+    and uncovered points exist in volume."""
+    import numpy as np
+
+    from asag_spark.datagen import generate_zones
+    from asag_spark.geo.wkt import parse_polygon, points_in_ring
+    from asag_spark.operators.pip import pip_anti_join, pip_join
+
+    zones = generate_zones(spark)
+    rng = np.random.default_rng(41)
+    n = 1500
+    lon = rng.uniform(4.5, 31.0, n)
+    lat = rng.uniform(57.9, 71.2, n)
+    zrows = zones.collect()
+    cents = np.array([
+        [float(x) for x in
+         r["geom_wkt"].split("((")[1].split(",")[0].strip().split()]
+        for r in zrows
+    ])
+    pick = rng.integers(0, len(cents), n)
+    lon = np.r_[lon, cents[pick, 0] + rng.normal(0, 0.05, n)]
+    lat = np.r_[lat, cents[pick, 1] + rng.normal(0, 0.03, n)]
+    pts = spark.createDataFrame(
+        [(f"P:{i}", float(lon[i]), float(lat[i])) for i in range(len(lon))],
+        "feature_id string, lon double, lat double",
+    )
+    covered = np.zeros(len(lon), dtype=bool)
+    for r in zrows:
+        covered |= points_in_ring(lon, lat, parse_polygon(r["geom_wkt"]))
+    brute_anti = {f"P:{i}" for i in range(len(lon)) if not covered[i]}
+
+    got_anti = {r["feature_id"] for r in pip_anti_join(pts, zones).collect()}
+    assert got_anti == brute_anti
+    hit_ids = {r["feature_id"] for r in pip_join(pts, zones).collect()}
+    assert got_anti == {f"P:{i}" for i in range(len(lon))} - hit_ids
+    # real volume on both sides or the test proves nothing
+    assert len(got_anti) > 300 and len(hit_ids) > 300
+
+
 def test_knn_golden(spark, features):
     """The four F-ADJ stops are within ~100 m of each other and >50 km
     from everything else → each one's 3-NN are exactly the other three."""
