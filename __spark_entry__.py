@@ -586,6 +586,22 @@ def _t_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment (text.
+    train_shuffle) — one hash exchange on shard, no global sort."""
+    from asag_spark.operators.text import train_shuffle
+
+    return train_shuffle(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _t_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document cap (text.stratum_cap) — two-phase
+    distributed top-k, never one-reducer-per-language."""
+    from asag_spark.operators.text import stratum_cap
+
+    return stratum_cap(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import contamination_check
 
@@ -1124,6 +1140,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pip/knn/adjacency joins)
         "t_seq_pack": _t_seq_pack,
         "t_stratified_sample": _t_stratified,
+        # round-3: deterministic epoch shuffle/sharding + exact
+        # per-language cap (two-phase top-k)
+        "t_train_shuffle": _t_train_shuffle,
+        "t_lang_cap": _t_lang_cap,
         "t_contamination": _t_contamination,
         # round-3: the same check with a broadcast Bloom prefilter
         # dropping non-matching train fps before the exchange (255×
@@ -2519,6 +2539,35 @@ def _all_oracle_sql() -> dict[str, str]:
             WHERE u <= CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 1.0
                                  WHEN 'fr' THEN 1.0 WHEN 'es' THEN 0.5
                                  WHEN 'zh' THEN 0.25 ELSE 0.0 END
+        """,
+        # train_shuffle: order/shard key is the shared md5_long60
+        # idiom, seed 'epoch-0'; pos is the naive per-shard row_number
+        # the engine's single-exchange window reproduces
+        "t_train_shuffle": """
+            SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY h % 8
+                                           ORDER BY h, doc_id) AS INT)
+                   AS pos
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5('epoch-0:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+              FROM documents
+            )
+        """,
+        # stratum_cap: the oracle states the NAIVE per-stratum window
+        # directly; the engine's two-phase salted top-k must reproduce
+        # its exact rows (seed 'cap-v1', cap 72)
+        "t_lang_cap": """
+            SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY h, doc_id) AS rk
+              FROM (
+                SELECT doc_id, lang,
+                       ('0x' || substr(md5('cap-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+                FROM documents
+              )
+            ) WHERE rk <= 72
         """,
         # contamination: winnowed-fp overlap between the split_assign
         # test and train splits, fingerprints capped at df <= 100

@@ -648,3 +648,86 @@ def gopher_filter(docs: DataFrame, min_tokens: int = 20,
         F.when(F.size(fired) == 0, F.lit(1)).otherwise(F.lit(0)).alias("keep"),
         F.array_join(fired, ",").alias("reasons"),
     )
+
+
+def train_shuffle(docs: DataFrame, n_shards: int = 8,
+                  id_col: str = "doc_id",
+                  seed: str = "epoch-0") -> DataFrame:
+    """Deterministic epoch shuffle + shard assignment — the "permute
+    the corpus, write N shard files" step every pretraining pipeline
+    ends with. Order key is the 60-bit md5(seed:id) prefix: a new seed
+    string is a fresh permutation (next epoch), the same seed
+    reproduces bit-for-bit on any engine at any partitioning — the
+    property ``orderBy(rand())`` explicitly does NOT give you (its
+    draw depends on partition layout and Spark version).
+
+    Plan shape (100 TB): NO global total sort. shard = h mod n_shards
+    is a pure row expression; the within-shard position is a
+    row_number window on (shard) — ONE hash exchange keyed by shard,
+    then a per-partition sort. Parallelism equals n_shards, which at
+    real scale is the output file count (10^4-10^5 file-sized shards
+    for 100 TB), so no reducer sees more than one shard's rows. The
+    toy default of 8 is for the 500-doc oracle table only.
+
+    Output: (<id_col>, shard, pos) — pos is 1-based within shard;
+    reading shards in order [0..n_shards) by pos replays the epoch.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = md5_long60(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    staged = docs.select(F.col(id_col), h.alias("_h")).withColumn(
+        "shard", F.pmod(F.col("_h"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_h", id_col)
+    return staged.select(
+        F.col(id_col),
+        "shard",
+        F.row_number().over(w).alias("pos"),
+    )
+
+
+def stratum_cap(docs: DataFrame, cap: int = 72,
+                strata_col: str = "lang", id_col: str = "doc_id",
+                seed: str = "cap-v1", salt: int = 16) -> DataFrame:
+    """Exact per-stratum cap: keep AT MOST ``cap`` docs per stratum —
+    the "cap English at K documents, keep low-resource languages
+    whole" balancing rule, complementing stratified_sample's
+    rate-based thinning with a count-based guarantee. Selection is the
+    ``cap`` smallest md5(seed:id) hashes per stratum: deterministic,
+    engine-portable, and stable to re-runs (appending docs can only
+    displace by hash order, never reshuffle survivors arbitrarily).
+
+    Plan shape (100 TB): a naive row_number over (stratum) puts each
+    language on ONE reducer — with ~30 languages that is a 30-task
+    sort of the whole corpus. This is the classic two-phase
+    distributed top-k instead: phase 1 ranks within (stratum,
+    salt-bucket) — parallelism strata x ``salt``, each task sorting
+    ~1/salt of a stratum — and keeps each bucket's local top-cap,
+    which provably contains the global top-cap (any global top-cap row
+    is also top-cap within its own bucket). Phase 2 re-ranks the
+    <= cap x salt survivors per stratum: a few thousand rows, one tiny
+    exchange. Output rows are EXACTLY the naive window's.
+
+    Output: (<id_col>, <strata_col>, rk) — rk 1..cap by hash order.
+    """
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = md5_long60(
+        F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    )
+    staged = (
+        docs.select(F.col(id_col), F.col(strata_col), h.alias("_h"))
+        .withColumn("_b", F.pmod(F.col("_h"), F.lit(salt)))
+    )
+    w1 = Window.partitionBy(strata_col, "_b").orderBy("_h", id_col)
+    cand = staged.withColumn("_r1", F.row_number().over(w1)).filter(
+        F.col("_r1") <= cap
+    )
+    w2 = Window.partitionBy(strata_col).orderBy("_h", id_col)
+    return (
+        cand.withColumn("rk", F.row_number().over(w2).cast("int"))
+        .filter(F.col("rk") <= cap)
+        .select(F.col(id_col), F.col(strata_col), "rk")
+    )

@@ -1080,3 +1080,63 @@ def test_gopher_filter_constructed_cases(spark):
 
     plan = gopher_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_train_shuffle_determinism_and_shape(spark):
+    """Epoch shuffle: identical output at any parallelism, contiguous
+    1-based positions per shard, a different seed actually permutes,
+    and reading shards by (shard, pos) replays every doc exactly once."""
+    from asag_spark.operators.text import train_shuffle
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    a = train_shuffle(docs.repartition(1), n_shards=4)
+    b = train_shuffle(docs.repartition(17), n_shards=4)
+    rows_a = {(r["doc_id"], r["shard"], r["pos"]) for r in a.collect()}
+    rows_b = {(r["doc_id"], r["shard"], r["pos"]) for r in b.collect()}
+    assert rows_a == rows_b and len(rows_a) == 300
+    by_shard = {}
+    for _, s, p in rows_a:
+        by_shard.setdefault(s, []).append(p)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # a new seed is a genuinely different permutation
+    e1 = {(r["doc_id"], r["shard"], r["pos"])
+          for r in train_shuffle(docs, n_shards=4, seed="epoch-1").collect()}
+    assert e1 != rows_a
+    with pytest.raises(ValueError):
+        train_shuffle(docs, n_shards=0)
+
+
+def test_stratum_cap_matches_naive_window(spark):
+    """The two-phase salted top-k must emit EXACTLY the naive
+    one-window-per-stratum rows — brute-forced here in Python with the
+    same md5 hash order — and respect the cap on skewed strata while
+    passing small strata whole."""
+    import hashlib
+
+    from asag_spark.operators.text import stratum_cap
+
+    rows = [(i, "en" if i % 10 < 7 else ("de" if i % 10 < 9 else "fr"))
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def h(i):
+        return int(hashlib.md5(f"cap-v1:{i}".encode()).hexdigest()[:15], 16)
+
+    expected = set()
+    for lang in ("en", "de", "fr"):
+        ids = sorted((h(i), i) for i, lg in rows if lg == lang)
+        expected |= {(i, lang, rk + 1) for rk, (_, i) in enumerate(ids[:25])}
+    got = {(r["doc_id"], r["lang"], r["rk"])
+           for r in stratum_cap(docs, cap=25, salt=8).collect()}
+    assert got == expected
+    n_by_lang = {"en": 280, "de": 80, "fr": 40}
+    for lang, n in n_by_lang.items():
+        assert len([1 for _, lg, _ in got if lg == lang]) == min(25, n)
+    # parallelism invariance of the salted plan
+    got17 = {(r["doc_id"], r["lang"], r["rk"])
+             for r in stratum_cap(docs.repartition(17), cap=25, salt=8).collect()}
+    assert got17 == got
+    with pytest.raises(ValueError):
+        stratum_cap(docs, cap=0)
