@@ -602,6 +602,16 @@ def _t_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratum_cap(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha/temperature data-mixing resample with replacement
+    (text.temperature_resample) — zero-shuffle explode plan."""
+    from asag_spark.operators.text import temperature_resample
+
+    return temperature_resample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import contamination_check
 
@@ -1144,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # per-language cap (two-phase top-k)
         "t_train_shuffle": _t_train_shuffle,
         "t_lang_cap": _t_lang_cap,
+        # round-3: alpha/temperature mixing — resample WITH replacement
+        "t_temperature_resample": _t_temperature,
         "t_contamination": _t_contamination,
         # round-3: the same check with a broadcast Bloom prefilter
         # dropping non-matching train fps before the exchange (255×
@@ -2568,6 +2580,30 @@ def _all_oracle_sql() -> dict[str, str]:
                 FROM documents
               )
             ) WHERE rk <= 72
+        """,
+        # temperature_resample: copies = floor(w) + (md5-unit <= frac),
+        # materialized by unnest(generate_series) — weights are
+        # binary-exact (x/2^k) so the frac comparison is engine-safe
+        "t_temperature_resample": """
+            SELECT doc_id, lang,
+                   CAST(unnest(generate_series(1, n)) AS INT) AS copy_idx
+            FROM (
+              SELECT doc_id, lang,
+                     CAST(floor(w) AS INT)
+                     + CASE WHEN u <= w - floor(w) THEN 1 ELSE 0 END AS n
+              FROM (
+                SELECT doc_id, lang,
+                       ((('0x' || substr(md5('temp-v1:' || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                        / 1152921504606846976.0) AS u,
+                       CASE lang WHEN 'en' THEN 0.5::DOUBLE
+                                 WHEN 'es' THEN 1.5::DOUBLE
+                                 WHEN 'de' THEN 2.0::DOUBLE
+                                 WHEN 'fr' THEN 2.25::DOUBLE
+                                 WHEN 'zh' THEN 0.75::DOUBLE
+                                 ELSE 0.0::DOUBLE END AS w
+                FROM documents
+              )
+            ) WHERE n > 0
         """,
         # contamination: winnowed-fp overlap between the split_assign
         # test and train splits, fingerprints capped at df <= 100

@@ -731,3 +731,53 @@ def stratum_cap(docs: DataFrame, cap: int = 72,
         .filter(F.col("rk") <= cap)
         .select(F.col(id_col), F.col(strata_col), "rk")
     )
+
+
+def temperature_resample(docs: DataFrame,
+                         weights: dict[str, float] | None = None,
+                         strata_col: str = "lang", id_col: str = "doc_id",
+                         seed: str = "temp-v1") -> DataFrame:
+    """Weighted resampling WITH replacement — the alpha/temperature
+    data-mixing step (upsample low-resource languages, thin dominant
+    ones) that rate-based thinning cannot express: a weight of 2.25
+    means every doc appears twice and one in four appears a third
+    time. Per-doc copy count is floor(w) + (hash_unit <= frac(w)),
+    so expected copies equal the weight exactly, the decision is a
+    pure function of (seed, id) — append-stable, engine-portable, no
+    RNG state — and copies materialize as an explode of
+    sequence(1, n): a row expression + generator, ZERO shuffles,
+    fused into the scan at 100 TB. Strata absent from ``weights``
+    get 0 (dropped), matching stratified_sample's explicit-mix rule.
+
+    Fractional weights should be binary-exact (x/2^k: .5, .25, .75)
+    so the frac(w) comparison reproduces bit-for-bit on any engine —
+    the practical grids (0.25 steps) all are.
+
+    Output: (<id_col>, <strata_col>, copy_idx) — copy_idx 1..n_copies;
+    downstream training order comes from train_shuffle over
+    (id, copy_idx).
+    """
+    weights = weights if weights is not None else {
+        "en": 0.5, "es": 1.5, "de": 2.0, "fr": 2.25, "zh": 0.75,
+    }
+    for name, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0, got {w}")
+    u = hash_unit(id_col, seed)
+    w_expr = None
+    for name, w in weights.items():
+        cond = F.col(strata_col) == name
+        w_expr = (F.when(cond, F.lit(float(w))) if w_expr is None
+                  else w_expr.when(cond, F.lit(float(w))))
+    w_expr = w_expr.otherwise(F.lit(0.0)) if w_expr is not None else F.lit(0.0)
+    base = F.floor(w_expr).cast("int")
+    n = base + F.when(u <= (w_expr - base), F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.select(F.col(id_col), F.col(strata_col), n.alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx"),
+        )
+    )

@@ -1140,3 +1140,46 @@ def test_stratum_cap_matches_naive_window(spark):
     assert got17 == got
     with pytest.raises(ValueError):
         stratum_cap(docs, cap=0)
+
+
+def test_temperature_resample_semantics_and_plan(spark):
+    """Integer weights copy exactly; fractional weights land between
+    floor and ceil with deterministic per-doc choice; unknown strata
+    drop; the plan has ZERO exchanges (row expression + generator
+    only); appending docs never changes existing copy counts."""
+    from asag_spark.operators.text import temperature_resample
+
+    rows = [(i, ["en", "de", "fr", "xx"][i % 4]) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    w = {"en": 0.5, "de": 2.0, "fr": 2.25}
+    out = temperature_resample(docs, weights=w)
+    got = {}
+    for r in out.collect():
+        got.setdefault((r["doc_id"], r["lang"]), []).append(r["copy_idx"])
+    # unknown stratum dropped entirely
+    assert not any(lg == "xx" for _, lg in got)
+    # de: weight 2.0 → exactly 2 copies, idx 1..2
+    de_docs = [i for i, lg in rows if lg == "de"]
+    for i in de_docs:
+        assert sorted(got[(i, "de")]) == [1, 2]
+    # en: 0.5 → docs appear 0 or 1 times, roughly half (deterministic)
+    en_n = sum(1 for (i, lg) in got if lg == "en")
+    assert 30 <= en_n <= 70  # 100 docs at w=.5; md5-uniform
+    # fr: 2.25 → every doc 2 or 3 copies
+    fr_counts = {len(v) for (i, lg), v in got.items() if lg == "fr"}
+    assert fr_counts <= {2, 3} and 3 in fr_counts
+    # zero exchanges in the physical plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # append stability: adding docs changes nothing for existing ids
+    more = spark.createDataFrame(
+        [(1000 + i, "fr") for i in range(50)], "doc_id long, lang string"
+    )
+    out2 = {
+        (r["doc_id"], r["lang"], r["copy_idx"])
+        for r in temperature_resample(docs.union(more), weights=w).collect()
+        if r["doc_id"] < 1000
+    }
+    assert out2 == {(i, lg, c) for (i, lg), v in got.items() for c in v}
+    with pytest.raises(ValueError):
+        temperature_resample(docs, weights={"en": -0.1})
