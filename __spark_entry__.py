@@ -612,6 +612,14 @@ def _t_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25% quality selection via the histogram-exact quantile
+    (text.quality_topq) — no global sort, ties included."""
+    from asag_spark.operators.text import quality_topq
+
+    return quality_topq(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import contamination_check
 
@@ -1156,6 +1164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_lang_cap": _t_lang_cap,
         # round-3: alpha/temperature mixing — resample WITH replacement
         "t_temperature_resample": _t_temperature,
+        # round-3: histogram-exact top-share quality selection
+        "t_quality_topq": _t_quality_topq,
         "t_contamination": _t_contamination,
         # round-3: the same check with a broadcast Bloom prefilter
         # dropping non-matching train fps before the exchange (255×
@@ -2604,6 +2614,29 @@ def _all_oracle_sql() -> dict[str, str]:
                 FROM documents
               )
             ) WHERE n > 0
+        """,
+        # quality_topq: the oracle reuses the t_quality score formula
+        # and states the same histogram quantile — threshold = largest
+        # score whose desc-cumulative count reaches ceil(share*n),
+        # ties at the threshold kept
+        "t_quality_topq": f"""
+            WITH q AS (
+              SELECT doc_id, quality FROM ({_QUALITY_SQL})
+            ),
+            hist AS (
+              SELECT quality, count(*) AS c FROM q GROUP BY quality
+            ),
+            cum AS (
+              SELECT quality,
+                     sum(c) OVER (ORDER BY quality DESC) AS cum,
+                     sum(c) OVER () AS n
+              FROM hist
+            ),
+            thr AS (
+              SELECT max(quality) AS thr FROM cum
+              WHERE cum >= ceil(0.25 * n)
+            )
+            SELECT doc_id, quality FROM q, thr WHERE quality >= thr
         """,
         # contamination: winnowed-fp overlap between the split_assign
         # test and train splits, fingerprints capped at df <= 100

@@ -781,3 +781,46 @@ def temperature_resample(docs: DataFrame,
             F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("copy_idx"),
         )
     )
+
+
+def quality_topq(docs: DataFrame, share: float = 0.25,
+                 text_col: str = "text") -> DataFrame:
+    """Keep the top ``share`` of the corpus by quality score, ties at
+    the threshold included — the "train on the best 25%" selection
+    step downstream of per-doc scoring.
+
+    EXACT corpus quantile with NO global sort: ``quality`` is rounded
+    to 6 decimals in [0,1], so its domain holds at most 10^6 + 1
+    distinct values. The k-th largest score (k = ceil(share·n)) is
+    read off a HISTOGRAM — one map-combined groupBy(quality) whose
+    output is <= 1M rows no matter the corpus size, a running count
+    over that tiny frame (the single-partition window is over the
+    HISTOGRAM, never the data), threshold = the largest score whose
+    cumulative-from-top count reaches k. The 10^12-row side is touched
+    by exactly two scan-fused passes: the histogram build and the
+    final broadcast-threshold filter. Contrast percentile(): exact
+    interpolation needs a sort, approx_percentile() trades exactness —
+    the quantized domain gives both exactness and scan-speed.
+
+    Output: (doc_id, quality) for kept docs; |output| >= k, minimal
+    subject to ties.
+    """
+    if not 0.0 < share <= 1.0:
+        raise ValueError(f"share must be in (0,1], got {share}")
+    q = quality_score(docs, text_col=text_col).select("doc_id", "quality")
+    hist = q.groupBy("quality").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        hist.withColumn("_cum", F.sum("_c").over(w))
+        .crossJoin(F.broadcast(hist.agg(F.sum("_c").alias("_n"))))
+    )
+    thr = cum.filter(
+        F.col("_cum") >= F.ceil(F.lit(float(share)) * F.col("_n"))
+    ).agg(F.max("quality").alias("_thr"))
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("_thr"))
+        .select("doc_id", "quality")
+    )

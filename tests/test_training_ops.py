@@ -1183,3 +1183,31 @@ def test_temperature_resample_semantics_and_plan(spark):
     assert out2 == {(i, lg, c) for (i, lg), v in got.items() for c in v}
     with pytest.raises(ValueError):
         temperature_resample(docs, weights={"en": -0.1})
+
+
+def test_quality_topq_histogram_quantile(spark):
+    """Histogram-exact top-share selection: threshold is the k-th
+    largest rounded score, ties at the threshold are INCLUDED, and the
+    result is identical at any parallelism. Scores engineered so the
+    share boundary lands inside a tie run."""
+    from asag_spark.operators.text import quality_topq
+
+    # 10 docs with 'the' repeated i times → stopword_ratio 1, punct 0,
+    # quality = .5*min(i/100,1) + .3 + .2 — strictly increasing in i;
+    # duplicates of i=7 create a tie run at the k boundary
+    rows = [(i, " ".join(["the"] * i)) for i in range(1, 11)]
+    rows += [(100 + j, " ".join(["the"] * 7)) for j in range(3)]  # ties
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # n=13, share=0.5 → k=7; sorted desc: i=10,9,8,(7 ×4),6,...
+    # 7th largest = 7's score → ties pull in all four i=7 docs
+    out = {r["doc_id"] for r in quality_topq(docs, share=0.5).collect()}
+    assert out == {10, 9, 8, 7, 100, 101, 102}
+    out17 = {
+        r["doc_id"]
+        for r in quality_topq(docs.repartition(17), share=0.5).collect()
+    }
+    assert out17 == out
+    # share=1.0 keeps everything
+    assert quality_topq(docs, share=1.0).count() == 13
+    with pytest.raises(ValueError):
+        quality_topq(docs, share=0.0)
