@@ -130,6 +130,19 @@ def _q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                          fixture_zones(spark))
 
 
+def _q_snap_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-zone fallback for the coverage gaps: anti set with
+    coords straight out of the zero-exchange PIP pass, broadcast
+    centroid argmin (knn.snap_nearest_zone)."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.operators.knn import snap_nearest_zone
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return snap_nearest_zone(feats.filter(F.col("lat").isNotNull()),
+                             fixture_zones(spark))
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.enrich import build_features
     from asag_spark.operators.knn import knn_join
@@ -1111,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3: spatial anti-join (coverage gaps) — LEFT ANTI
         # complement of pip_fixture in one zero-exchange pass
         "g_pip_anti": _q_pip_anti,
+        # round-3: nearest-zone snap for the anti set (gap fallback)
+        "g_snap_nearest_zone": _q_snap_zone,
         "knn_fixture": _q_knn,
         "tile_cells_fixture": _q_tiles,
         "zone_cover_stats": _q_zone_cover,
@@ -1339,6 +1354,15 @@ SELECT * FROM (VALUES
   ('NSR:StopPlace:10'),
   ('NSR:StopPlace:1000')
 ) AS t(feature_id)
+"""
+
+_SNAP_GOLDEN = """
+SELECT * FROM (VALUES
+  ('NSR:Parking:99',      'MUNI:0301',          390475.798),
+  ('NSR:Quay:8',          'VKT:TariffZone:729', 83787.88),
+  ('NSR:StopPlace:10',    'VKT:TariffZone:729', 274349.448),
+  ('NSR:StopPlace:1000',  'VKT:TariffZone:729', 274349.448)
+) AS t(feature_id, zone_id, dist_m)
 """
 
 _KNN_GOLDEN = """
@@ -2192,6 +2216,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pip_fixture": _PIP_GOLDEN,
         "pip_partitioned_fixture": _PIP_GOLDEN,
         "g_pip_anti": _PIP_ANTI_GOLDEN,
+        "g_snap_nearest_zone": _SNAP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,
         "tile_cells_fixture": _TILES_GOLDEN,
         "zone_cover_stats": """

@@ -246,3 +246,55 @@ def knn_join(points: DataFrame, k: int = 3,
             F.col("rank").cast("int").alias("rank"), "dist_m",
         )
     )
+
+
+def snap_nearest_zone(points: DataFrame, zones: DataFrame,
+                      id_col: str = "feature_id",
+                      lon_col: str = "lon",
+                      lat_col: str = "lat") -> DataFrame:
+    """Fallback assignment for coverage gaps: every point inside NO
+    zone polygon snaps to the zone whose exterior-ring vertex centroid
+    is nearest by great-circle distance — the "stop outside every
+    tariff zone still needs a zone" rule that pairs with
+    pip.pip_anti_join the way COALESCE pairs with a LEFT JOIN.
+
+    Plan shape: the anti set comes out of pip_anti_join's
+    zero-exchange pass WITH coordinates (no join back to the point
+    table); zone centroids are computed once from the collected
+    registry-scale zone rows and broadcast; the snap is a
+    broadcast-nested-loop over |uncovered| x |zones| with the
+    haversine as a codegen'd column expression and a per-point
+    row_number window for the argmin. Uncovered points are the
+    EXCEPTION set (the tail the tiling missed), so the cross volume
+    stays small; if a deployment inverts that assumption, bound the
+    candidates with the same hex-disk pruning knn_join uses.
+
+    Output: (<id_col>, zone_id, dist_m) — dist_m rounded to 3
+    decimals (mm) so the value is engine-portable.
+    """
+    import numpy as np
+
+    from .pip import pip_anti_join
+
+    uncov = pip_anti_join(points, zones, id_col=id_col,
+                          lon_col=lon_col, lat_col=lat_col,
+                          with_coords=True)
+    cents = []
+    for row in zones.select("zone_id", "geom_wkt").collect():
+        from ..geo.wkt import parse_polygon
+
+        ring = parse_polygon(row["geom_wkt"])[:-1]  # drop closing vertex
+        cents.append((row["zone_id"],
+                      float(np.mean(ring[:, 0])), float(np.mean(ring[:, 1]))))
+    spark = points.sparkSession
+    cdf = spark.createDataFrame(cents, "zone_id string, c_lon double, c_lat double")
+    w = Window.partitionBy(id_col).orderBy("dist_m", "zone_id")
+    return (
+        uncov.crossJoin(F.broadcast(cdf))
+        .withColumn("dist_m", F.round(haversine_expr(
+            F.col(lon_col), F.col(lat_col), F.col("c_lon"), F.col("c_lat")
+        ), 3))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(F.col(id_col), "zone_id", "dist_m")
+    )

@@ -254,7 +254,8 @@ def pip_join_partitioned(points: DataFrame, zones: DataFrame,
 
 def pip_anti_join(points: DataFrame, zones: DataFrame,
                   id_col: str = "feature_id",
-                  lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  with_coords: bool = False) -> DataFrame:
     """Spatial ANTI-join: ids of points inside NO zone polygon — the
     coverage-gap audit every zone-assignment pipeline needs (stops the
     tariff map forgot, docs outside every municipality). Complements
@@ -272,12 +273,19 @@ def pip_anti_join(points: DataFrame, zones: DataFrame,
 
     Null-coordinate points follow pip_join's contract (the caller
     filters them; they are neither covered nor reported).
-    Output: (<id_col>) — one row per uncovered point.
+    Output: (<id_col>) — one row per uncovered point; with
+    ``with_coords`` also (<lon_col>, <lat_col>), so a downstream
+    fallback (e.g. knn.snap_nearest_zone) needs no join back to the
+    big point table.
     """
     spark = points.sparkSession
     rings, cover = _zone_index(zones.collect())
     bc = spark.sparkContext.broadcast((rings, cover))
-    out_schema = T.StructType([T.StructField(id_col, T.StringType())])
+    fields = [T.StructField(id_col, T.StringType())]
+    if with_coords:
+        fields += [T.StructField(lon_col, T.DoubleType()),
+                   T.StructField(lat_col, T.DoubleType())]
+    out_schema = T.StructType(fields)
 
     def refine(batches):
         rings_l, cover_l = bc.value
@@ -287,7 +295,7 @@ def pip_anti_join(points: DataFrame, zones: DataFrame,
             ids = pdf[id_col].to_numpy(dtype=object)
             ok = ~(np.isnan(lon) | np.isnan(lat))
             if not ok.any():
-                yield pd.DataFrame({id_col: []})
+                yield pd.DataFrame({c.name: [] for c in fields})
                 continue
             lon, lat, ids = lon[ok], lat[ok], ids[ok]
             covered = np.zeros(len(ids), dtype=bool)
@@ -297,7 +305,11 @@ def pip_anti_join(points: DataFrame, zones: DataFrame,
                     continue
                 inside = points_in_ring(lon[pis_a], lat[pis_a], rings_l[zid])
                 covered[pis_a[inside]] = True
-            yield pd.DataFrame({id_col: ids[~covered]})
+            out = {id_col: ids[~covered]}
+            if with_coords:
+                out[lon_col] = lon[~covered]
+                out[lat_col] = lat[~covered]
+            yield pd.DataFrame(out)
 
     return points.select(id_col, lon_col, lat_col).mapInPandas(
         refine, schema=out_schema

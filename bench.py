@@ -423,6 +423,18 @@ def main() -> None:
     extras["spatial_points"] = float(N_DOCS)
     extras["spatial_n_clusters"] = float(n_clusters.get("v", 0))
 
+    # epoch shuffle at corpus scale: N_DOCS ids → 64 shards. One hash
+    # exchange + per-shard sort; measures the training-order
+    # permutation the mixing ops feed into (no global sort plan).
+    from asag_spark.operators.text import train_shuffle
+
+    ids = spark.range(N_DOCS).select(F.col("id").alias("doc_id"))
+    timed(
+        "train_shuffle_1m",
+        lambda: materialize(train_shuffle(ids, n_shards=64)),
+        warm=1,
+    )
+
     # 6. relational headliners
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     timed(

@@ -326,3 +326,46 @@ def test_vectorize_cells_jvm_matches_python_twin(spark):
     for r in vectorize_cells(df).collect():
         res, q, rr = hexgrid.parse_cell(r.cell)
         assert r.geom_wkt == _hex_boundary_wkt(q, rr, res), r.cell
+
+
+def test_snap_nearest_zone_brute_parity(spark):
+    """snap_nearest_zone covers EXACTLY the anti set and each snap is
+    the brute-force argmin of haversine(point, zone vertex centroid)
+    with the (dist, zone_id) tie-break."""
+    import numpy as np
+
+    from asag_spark.datagen import generate_zones
+    from asag_spark.geo.wkt import haversine_m, parse_polygon, points_in_ring
+    from asag_spark.operators.knn import snap_nearest_zone
+    from asag_spark.operators.pip import pip_anti_join
+
+    zones = generate_zones(spark)
+    rng = np.random.default_rng(53)
+    n = 600
+    lon = rng.uniform(4.5, 31.0, n)
+    lat = rng.uniform(57.9, 71.2, n)
+    pts = spark.createDataFrame(
+        [(f"P:{i}", float(lon[i]), float(lat[i])) for i in range(n)],
+        "feature_id string, lon double, lat double",
+    )
+    got = {r["feature_id"]: (r["zone_id"], r["dist_m"])
+           for r in snap_nearest_zone(pts, zones).collect()}
+    anti = {r["feature_id"] for r in pip_anti_join(pts, zones).collect()}
+    assert set(got) == anti and len(anti) > 100
+
+    zrows = zones.collect()
+    cents = []
+    for r in zrows:
+        ring = parse_polygon(r["geom_wkt"])[:-1]
+        cents.append((r["zone_id"], ring[:, 0].mean(), ring[:, 1].mean()))
+    for i in range(n):
+        fid = f"P:{i}"
+        if fid not in got:
+            continue
+        dists = sorted(
+            (round(float(haversine_m(
+                np.array([lon[i]]), np.array([lat[i]]),
+                np.array([clon]), np.array([clat]))[0]), 3), zid)
+            for zid, clon, clat in cents
+        )
+        assert (dists[0][1], dists[0][0]) == got[fid], fid
