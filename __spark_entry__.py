@@ -625,6 +625,14 @@ def _t_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (text.chunk_windows) —
+    zero-exchange generator plan."""
+    from asag_spark.operators.text import chunk_windows
+
+    return chunk_windows(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _t_quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25% quality selection via the histogram-exact quantile
     (text.quality_topq) — no global sort, ties included."""
@@ -1181,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_temperature_resample": _t_temperature,
         # round-3: histogram-exact top-share quality selection
         "t_quality_topq": _t_quality_topq,
+        # round-3: overlapping token-window chunking (retrieval prep)
+        "t_chunk_windows": _t_chunk_windows,
         "t_contamination": _t_contamination,
         # round-3: the same check with a broadcast Bloom prefilter
         # dropping non-matching train fps before the exchange (255×
@@ -2662,6 +2672,29 @@ def _all_oracle_sql() -> dict[str, str]:
               WHERE cum >= ceil(0.25 * n)
             )
             SELECT doc_id, quality FROM q, thr WHERE quality >= thr
+        """,
+        # chunk_windows: W=32 / S=24 overlapping windows; DuckDB list
+        # slicing is 1-based inclusive so toks[s+1 : s+32] is the
+        # W-token slice, and the ceil uses the same double division
+        "t_chunk_windows": """
+            WITH t AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, toks, len(toks) AS n,
+                     CASE WHEN len(toks) <= 32 THEN 1
+                          ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1
+                     END AS nc
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(ci AS INT) AS chunk_idx,
+                   array_to_string(toks[ci * 24 + 1 : ci * 24 + 32], ' ')
+                     AS chunk_text,
+                   CAST(LEAST(32, n - ci * 24) AS INT) AS n_chunk_tokens
+            FROM c, unnest(generate_series(0, nc - 1)) AS g(ci)
         """,
         # contamination: winnowed-fp overlap between the split_assign
         # test and train splits, fingerprints capped at df <= 100

@@ -824,3 +824,46 @@ def quality_topq(docs: DataFrame, share: float = 0.25,
         .filter(F.col("quality") >= F.col("_thr"))
         .select("doc_id", "quality")
     )
+
+
+def chunk_windows(docs: DataFrame, window: int = 32, stride: int = 24,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Overlapping token-window chunking — the "split each document
+    into W-token windows every S tokens" preprocessing step of every
+    embedding / retrieval pipeline (overlap = W - S tokens keeps
+    boundary context). Chunk count = 1 if n <= W else
+    ceil((n - W) / S) + 1, so the final window always reaches the last
+    token and short docs yield exactly one chunk.
+
+    Pure per-row: token split, a sequence generator, slice + join —
+    ZERO exchanges, scan-fused at 100 TB (same plan family as
+    temperature_resample). Deterministic: chunk boundaries are pure
+    arithmetic on the token count.
+
+    Output: (<id_col>, chunk_idx, chunk_text, n_chunk_tokens) —
+    chunk_idx 0-based, n_chunk_tokens = min(W, n - idx·S).
+    """
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError(
+            f"need 1 <= stride <= window, got window={window} stride={stride}"
+        )
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - window) / float(stride)).cast("int") + 1
+    )
+    staged = docs.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return staged.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("_toks"), start + 1, F.lit(window)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(window), F.col("_n") - start).cast("int")
+        .alias("n_chunk_tokens"),
+    )

@@ -1211,3 +1211,42 @@ def test_quality_topq_histogram_quantile(spark):
     assert quality_topq(docs, share=1.0).count() == 13
     with pytest.raises(ValueError):
         quality_topq(docs, share=0.0)
+
+
+def test_chunk_windows_boundaries_and_plan(spark):
+    """Chunk math on constructed token counts: short doc → one chunk;
+    exact-window doc → one chunk; W+1 tokens → two chunks with the
+    final window reaching the last token; reconstruction property —
+    every token index is covered by at least one chunk; zero
+    exchanges in the plan."""
+    from asag_spark.operators.text import chunk_windows
+
+    def doc(i, n):
+        return (i, " ".join(f"w{j}" for j in range(n)))
+
+    docs = spark.createDataFrame(
+        [doc(1, 5), doc(2, 32), doc(3, 33), doc(4, 100)],
+        "doc_id long, text string",
+    )
+    out = chunk_windows(docs)  # W=32, S=24
+    rows = {}
+    for r in out.collect():
+        rows.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r
+    assert set(rows[1]) == {0} and rows[1][0]["n_chunk_tokens"] == 5
+    assert set(rows[2]) == {0} and rows[2][0]["n_chunk_tokens"] == 32
+    # 33 tokens: ceil((33-32)/24)+1 = 2 chunks; chunk1 = tokens 24..32
+    assert set(rows[3]) == {0, 1}
+    assert rows[3][1]["chunk_text"].split() == [f"w{j}" for j in range(24, 33)]
+    assert rows[3][1]["n_chunk_tokens"] == 9
+    # 100 tokens: ceil(68/24)+1 = 4 chunks; full coverage incl. w99
+    assert set(rows[4]) == {0, 1, 2, 3}
+    covered = set()
+    for ci, r in rows[4].items():
+        ws = r["chunk_text"].split()
+        assert ws[0] == f"w{ci * 24}" and len(ws) == r["n_chunk_tokens"]
+        covered |= set(ws)
+    assert covered == {f"w{j}" for j in range(100)}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError):
+        chunk_windows(docs, window=16, stride=24)
