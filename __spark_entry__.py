@@ -633,6 +633,15 @@ def _t_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_windows(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd step of the IVF quantizer
+    (similarity.ivf_train_step) — map-only assignment, bounded-volume
+    mean aggregation."""
+    from asag_spark.operators.similarity import ivf_train_step
+
+    return ivf_train_step(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _t_quality_topq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-25% quality selection via the histogram-exact quantile
     (text.quality_topq) — no global sort, ties included."""
@@ -1147,6 +1156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_dedup": _t_minhash_dedup,
         "t_cosine_topk": _t_cosine_topk,
         "t_ivf_topk": _t_ivf_topk,
+        # round-3: quantizer re-train as an engine operator
+        "t_ivf_train_step": _t_ivf_train,
         "t_emb_near_dups": _t_emb_near_dups,
         "t_simhash_near_dups": _t_simhash,
         "t_media_decode": _t_media_decode,
@@ -2134,11 +2145,13 @@ QUALIFY rank <= 5
 # same ordering, candidates = corpus rows in probed cells, final rank
 # = (cosine DESC, neighbor_id ASC). All cosines rounded to 6 dp before
 # any comparison so numpy and DuckDB summation order cannot diverge.
-def _ivf_sql() -> str:
-    from asag_spark.operators.similarity import IVF_CELLS, IVF_NPROBE
+def _ivf_assign_cte() -> str:
+    """Shared cent/e/assign CTE body — the centroid derivation and
+    rounded-cosine argmax assignment both _ivf_sql (probe path) and
+    _ivf_train_sql (Lloyd step) build on; one idiom, one translation."""
+    from asag_spark.operators.similarity import IVF_CELLS
 
-    return f"""
-WITH cent AS (
+    return f"""cent AS (
   SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
   FROM embeddings
@@ -2159,7 +2172,26 @@ assign AS (
                       cent.c_id ASC) AS rn
     FROM e CROSS JOIN cent
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_train_sql() -> str:
+    return f"""
+WITH {_ivf_assign_cte()}
+SELECT a.c_id AS cell, CAST(i - 1 AS INT) AS dim,
+       ROUND(avg(e.v[i]), 6) AS m,
+       count(*) AS n_members
+FROM assign a JOIN e ON e.vec_id = a.vec_id,
+     unnest(generate_series(1, len(e.v))) AS g(i)
+GROUP BY a.c_id, i
+"""
+
+
+def _ivf_sql() -> str:
+    from asag_spark.operators.similarity import IVF_NPROBE
+
+    return f"""
+WITH {_ivf_assign_cte()},
 probe AS (
   SELECT query_id, c_id FROM (
     SELECT e.vec_id AS query_id, cent.c_id,
@@ -2550,6 +2582,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "t_cosine_topk": _COSINE_TOPK_SQL,
         "t_cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
         "t_ivf_topk": _ivf_sql(),
+        "t_ivf_train_step": _ivf_train_sql(),
         "t_emb_near_dups": _EMB_ND_SQL,
         "t_simhash_near_dups": _simhash_sql(),
         "t_media_decode": _MEDIA_DECODE_SQL,

@@ -583,3 +583,34 @@ def ivf_topk_indexed(spark, path: str, queries: DataFrame, k: int = 5,
         _ivf_probe_kernel(bc, k, from_index=True), _cand_schema(id_type)
     )
     return _rank_topk(cand, k)
+
+
+def ivf_train_step(emb: DataFrame, n_cells: int = IVF_CELLS,
+                   centroids=None) -> DataFrame:
+    """One distributed Lloyd (k-means) refinement of the IVF coarse
+    quantizer — the "periodic re-train" SCALE.md §8 prescribes for
+    quantizer drift, as an engine operator instead of an offline
+    assumption: assign every vector to its nearest current centroid,
+    then emit the per-cell mean vector. Iterating this op IS k-means;
+    one step is the common nightly refresh.
+
+    Plan shape (100 TB): assignment is ivf_assign's map-only broadcast
+    matmul (zero shuffles). The mean never ships vectors to a reducer:
+    posexplode to (cell, dim, x) feeds a groupBy(cell, dim) whose
+    map-side partial aggregation reduces each partition to at most
+    cells × dims rows BEFORE the exchange — shuffle volume is bounded
+    by (partitions × cells × dims), independent of corpus row count.
+    Long output format (no arrays) keeps the value oracle exact.
+
+    Output: (cell, dim, m, n_members) — m = round(avg, 6) of dimension
+    ``dim`` over the cell's members, dim 0-based.
+    """
+    assigned = ivf_assign(emb, n_cells=n_cells, centroids=centroids).select(
+        F.col("ivf_cell").alias("cell"),
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("dim", "x"),
+    )
+    return assigned.groupBy("cell", "dim").agg(
+        F.round(F.avg("x"), 6).alias("m"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

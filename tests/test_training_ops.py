@@ -1250,3 +1250,40 @@ def test_chunk_windows_boundaries_and_plan(spark):
     assert "Exchange" not in plan
     with pytest.raises(ValueError):
         chunk_windows(docs, window=16, stride=24)
+
+
+def test_ivf_train_step_blob_means(spark):
+    """One Lloyd step on two well-separated blobs whose seed centroids
+    land one-per-blob: every vector assigns to its blob's centroid and
+    the emitted means are exactly the blob means (engine avg == numpy
+    mean after the shared round-6)."""
+    import numpy as np
+
+    from asag_spark.operators.similarity import ivf_centroids, ivf_train_step
+
+    rng = np.random.default_rng(7)
+    a = rng.normal((10.0, 0.0, 0.0), 0.1, (40, 3))
+    b = rng.normal((0.0, 10.0, 0.0), 0.1, (40, 3))
+    vecs = np.r_[a, b]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ivf_centroids(emb, n_cells=2)
+    c_ids, C = cents
+    # with 2 centroids from md5-order sampling, assert they straddle
+    # the blobs (cosine separates them regardless of which ids chosen)
+    blob_of = lambda cid: 0 if cid < 40 else 1
+    assert {blob_of(int(c)) for c in c_ids} == {0, 1}, c_ids
+    out = ivf_train_step(emb, n_cells=2, centroids=cents).collect()
+    got = {}
+    for r in out:
+        got.setdefault(int(r["cell"]), {})[r["dim"]] = (r["m"], r["n_members"])
+    # float32 storage: mirror the engine's cast path before averaging
+    vecs32 = vecs.astype(np.float32).astype(np.float64)
+    for cid, dims in got.items():
+        members = vecs32[:40] if blob_of(cid) == 0 else vecs32[40:]
+        for d in range(3):
+            m, n = dims[d]
+            assert n == 40
+            assert abs(m - round(float(members[:, d].mean()), 6)) < 1e-9, (cid, d)
