@@ -130,6 +130,17 @@ def _q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                          fixture_zones(spark))
 
 
+def _q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MVT polygon slicing: fixture zones clipped into zoom-9 tiles
+    with extent-4096 local integer rings (xyz.clip_polygons_to_tiles —
+    the Mapbox-server-side step as a zero-exchange engine operator)."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.geo.xyz import clip_polygons_to_tiles
+
+    zones = fixture_zones(spark).withColumnRenamed("zone_id", "feature_id")
+    return clip_polygons_to_tiles(zones, zoom=9)
+
+
 def _q_snap_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-zone fallback for the coverage gaps: anti set with
     coords straight out of the zero-exchange PIP pass, broadcast
@@ -1143,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_pip_anti": _q_pip_anti,
         # round-3: nearest-zone snap for the anti set (gap fallback)
         "g_snap_nearest_zone": _q_snap_zone,
+        # round-3: MVT polygon tile slicing (S-H clip, extent-4096)
+        "g_tile_clip": _q_tile_clip,
         "knn_fixture": _q_knn,
         "tile_cells_fixture": _q_tiles,
         "zone_cover_stats": _q_zone_cover,
@@ -1375,6 +1388,24 @@ SELECT * FROM (VALUES
   ('NSR:StopPlace:10'),
   ('NSR:StopPlace:1000')
 ) AS t(feature_id)
+"""
+
+_TILE_CLIP_GOLDEN = """
+SELECT t.feature_id, CAST(t.x AS INTEGER) AS x, CAST(t.y AS INTEGER) AS y,
+       t.mvt_ring
+FROM (VALUES
+  ('MUNI:0301', 271, 148, '309,4096 2057,4096 2057,2804 309,2804'),
+  ('MUNI:0301', 271, 149, '309,0 309,1031 2057,1031 2057,0'),
+  ('MUNI:ADJ', 271, 151, '2348,2334 2465,2334 2465,2108 2348,2108'),
+  ('VKT:TariffZone:729', 270, 150, '3701,3899 3673,3986 3652,4096 4096,4096 4096,3392 3855,3352 3822,3363 3792,3634'),
+  ('VKT:TariffZone:729', 270, 151, '3652,0 3607,235 3755,309 4095,266 4096,266 4096,0'),
+  ('VKT:TariffZone:729', 271, 150, '0,4096 367,4096 412,3823 63,3403 0,3392'),
+  ('VKT:TariffZone:729', 271, 151, '0,0 0,266 350,103 367,0'),
+  ('VKT:TariffZone:730', 270, 150, '3701,3899 3673,3986 3652,4096 4096,4096 4096,3392 3855,3352 3822,3363 3792,3634'),
+  ('VKT:TariffZone:730', 270, 151, '3652,0 3607,235 3755,309 4095,266 4096,266 4096,0'),
+  ('VKT:TariffZone:730', 271, 150, '0,4096 367,4096 412,3823 63,3403 0,3392'),
+  ('VKT:TariffZone:730', 271, 151, '0,0 0,266 350,103 367,0')
+) AS t(feature_id, x, y, mvt_ring)
 """
 
 _SNAP_GOLDEN = """
@@ -2259,6 +2290,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pip_partitioned_fixture": _PIP_GOLDEN,
         "g_pip_anti": _PIP_ANTI_GOLDEN,
         "g_snap_nearest_zone": _SNAP_GOLDEN,
+        "g_tile_clip": _TILE_CLIP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,
         "tile_cells_fixture": _TILES_GOLDEN,
         "zone_cover_stats": """

@@ -283,3 +283,139 @@ def assign_xyz(
             .withColumn(f"qk{z}", quadkey(F.col(f"x{z}"), F.col(f"y{z}"), z))
         )
     return out
+
+
+def clip_ring(fx, fy, x0: float, y0: float, x1: float, y1: float):
+    """Sutherland–Hodgman clip of ring (fx, fy) — OPEN vertex arrays,
+    no closing repeat — against the axis-aligned window
+    [x0,x1] × [y0,y1]. Returns (cfx, cfy) open arrays; length 0 when
+    the intersection is empty or degenerate (area 0).
+
+    The clip window is convex, so S-H is exact for any simple subject
+    ring (non-convex subjects may gain zero-width bridge edges where
+    they exit/re-enter the window — those carry zero area, which is
+    why the per-tile areas of a grid clip sum EXACTLY to the ring's
+    area; tests/test_xyz.py pins that partition property)."""
+    import numpy as np
+
+    verts = list(zip(map(float, fx), map(float, fy)))
+    # each edge: (is_x_axis, bound, keep_greater)
+    for axis, bound, keep_ge in (
+        (0, x0, True), (0, x1, False), (1, y0, True), (1, y1, False),
+    ):
+        if not verts:
+            return np.empty(0), np.empty(0)
+        out = []
+        prev = verts[-1]
+        prev_in = (prev[axis] >= bound) if keep_ge else (prev[axis] <= bound)
+        for cur in verts:
+            cur_in = (cur[axis] >= bound) if keep_ge else (cur[axis] <= bound)
+            if cur_in != prev_in:
+                # intersection of segment prev→cur with the bound line
+                t = (bound - prev[axis]) / (cur[axis] - prev[axis])
+                pt = (
+                    prev[0] + t * (cur[0] - prev[0]),
+                    prev[1] + t * (cur[1] - prev[1]),
+                )
+                # snap the clipped coordinate exactly onto the bound
+                pt = (bound, pt[1]) if axis == 0 else (pt[0], bound)
+                out.append(pt)
+            if cur_in:
+                out.append(cur)
+            prev, prev_in = cur, cur_in
+        verts = out
+    if len(verts) < 3:
+        return np.empty(0), np.empty(0)
+    cfx = np.array([v[0] for v in verts])
+    cfy = np.array([v[1] for v in verts])
+    area2 = float(np.dot(cfx, np.roll(cfy, -1)) - np.dot(cfy, np.roll(cfx, -1)))
+    if area2 == 0.0:
+        return np.empty(0), np.empty(0)
+    return cfx, cfy
+
+
+def clip_polygons_to_tiles(polys: DataFrame, zoom: int = 9,
+                           extent: int = 4096,
+                           id_col: str = "feature_id",
+                           wkt_col: str = "geom_wkt") -> DataFrame:
+    """Slice polygon features into Web-Mercator z/x/y tiles — the MVT
+    tiling step the reference delegates to Mapbox's upload service
+    (MapBoxUpdateRouteBuilder.java:109-122 ships the whole
+    FeatureCollection; the service clips server-side). At 100 TB the
+    clip must be an engine operator: each polygon is projected once to
+    fractional tile coords (np_merc_fxy), its bbox names the covered
+    tile range, and a Sutherland–Hodgman clip against each tile window
+    emits the tile-local geometry quantized to MVT extent-4096 integer
+    coords.
+
+    Plan shape: ONE mapInPandas pass, zero exchanges — tile fan-out is
+    data-dependent (bbox area), not a shuffle; downstream per-tile
+    assembly repartitions by (x, y) exactly like
+    tiles.tile_feature_collections. A continent-sized polygon fans out
+    to many rows inside its batch; rasterize_polygons_xyz's two-stage
+    tile-keyed variant is the template if per-feature fan-out ever
+    needs spreading across tasks.
+
+    Output: (<id_col>, x, y, mvt_ring) — mvt_ring = "px,py px,py ..."
+    open ring, integer extent-local coords (may touch 0/extent),
+    empty-intersection tiles omitted.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from .wkt import parse_polygon
+
+    out_schema = T.StructType([
+        T.StructField(id_col, T.StringType()),
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.IntegerType()),
+        T.StructField("mvt_ring", T.StringType()),
+    ])
+    n_tiles = 1 << zoom
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, xs, ys, rings = [], [], [], []
+            for fid, wkt in zip(pdf[id_col], pdf[wkt_col]):
+                if wkt is None or not wkt.startswith("POLYGON"):
+                    continue
+                ring = parse_polygon(wkt)[:-1]  # open ring
+                fx, fy = np_merc_fxy(ring[:, 0], ring[:, 1], zoom)
+                tx0 = max(int(np.floor(fx.min())), 0)
+                tx1 = min(int(np.floor(fx.max())), n_tiles - 1)
+                ty0 = max(int(np.floor(fy.min())), 0)
+                ty1 = min(int(np.floor(fy.max())), n_tiles - 1)
+                for tx in range(tx0, tx1 + 1):
+                    for ty in range(ty0, ty1 + 1):
+                        cfx, cfy = clip_ring(
+                            fx, fy, tx, ty, tx + 1.0, ty + 1.0
+                        )
+                        if not len(cfx):
+                            continue
+                        px = np.rint((cfx - tx) * extent).astype(np.int64)
+                        py = np.rint((cfy - ty) * extent).astype(np.int64)
+                        # drop consecutive duplicates after quantization
+                        keep = np.ones(len(px), dtype=bool)
+                        keep[1:] = (px[1:] != px[:-1]) | (py[1:] != py[:-1])
+                        if keep.sum() and (
+                            px[keep][0] == px[keep][-1]
+                            and py[keep][0] == py[keep][-1]
+                            and keep.sum() > 1
+                        ):
+                            keep[np.where(keep)[0][-1]] = False
+                        px, py = px[keep], py[keep]
+                        if len(px) < 3:
+                            continue
+                        ids.append(fid)
+                        xs.append(tx)
+                        ys.append(ty)
+                        rings.append(" ".join(
+                            f"{a},{b}" for a, b in zip(px, py)
+                        ))
+            yield pd.DataFrame(
+                {id_col: ids, "x": pd.array(xs, dtype="int32"),
+                 "y": pd.array(ys, dtype="int32"), "mvt_ring": rings}
+            )
+
+    return polys.select(id_col, wkt_col).mapInPandas(kernel, schema=out_schema)

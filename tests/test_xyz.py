@@ -262,3 +262,71 @@ def test_null_propagation(spark):
     rows = {r.feature_id: r for r in assign_xyz(feats, zooms=(7,)).collect()}
     assert rows["poly"].x7 is None and rows["poly"].qk7 is None
     assert rows["pt"].x7 is not None and len(rows["pt"].qk7) == 7
+
+
+def test_clip_ring_area_partition_property():
+    """A grid clip PARTITIONS a simple ring: the shoelace areas of the
+    per-tile Sutherland-Hodgman clips must sum exactly (to float
+    round-off) to the ring's own area, for convex AND non-convex
+    subjects — the zero-width bridge edges S-H introduces on re-entry
+    carry no area. Also: every clipped vertex lies inside its window."""
+    import numpy as np
+
+    from asag_spark.geo.xyz import clip_ring
+
+    def shoelace(fx, fy):
+        return 0.5 * float(
+            np.dot(fx, np.roll(fy, -1)) - np.dot(fy, np.roll(fx, -1))
+        )
+
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        # star polygon around (2.5, 2.5): non-convex for most draws
+        k = int(rng.integers(5, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        rad = rng.uniform(0.5, 2.4, k)
+        fx = 2.5 + rad * np.cos(ang)
+        fy = 2.5 + rad * np.sin(ang)
+        if shoelace(fx, fy) < 0:  # normalize orientation
+            fx, fy = fx[::-1], fy[::-1]
+        total = 0.0
+        for tx in range(5):
+            for ty in range(5):
+                cfx, cfy = clip_ring(fx, fy, tx, ty, tx + 1.0, ty + 1.0)
+                if not len(cfx):
+                    continue
+                assert (cfx >= tx - 1e-9).all() and (cfx <= tx + 1 + 1e-9).all()
+                assert (cfy >= ty - 1e-9).all() and (cfy <= ty + 1 + 1e-9).all()
+                total += shoelace(cfx, cfy)
+        assert abs(total - shoelace(fx, fy)) < 1e-9, trial
+    # fully-outside window → empty
+    assert clip_ring(fx, fy, 50.0, 50.0, 51.0, 51.0)[0].size == 0
+
+
+def test_clip_polygons_to_tiles_engine(spark):
+    """Engine pass over the fixture zones at zoom 9: rows match the
+    pinned golden exactly at any parallelism; extent-local coords stay
+    in [0, 4096]; shared tile edges of adjacent clips land exactly on
+    the 0/4096 boundary (the twin Bolaerene polygons are identical)."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.geo.xyz import clip_polygons_to_tiles
+
+    zones = fixture_zones(spark).withColumnRenamed("zone_id", "feature_id")
+    got = {
+        (r["feature_id"], r["x"], r["y"], r["mvt_ring"])
+        for r in clip_polygons_to_tiles(zones, zoom=9).collect()
+    }
+    got17 = {
+        (r["feature_id"], r["x"], r["y"], r["mvt_ring"])
+        for r in clip_polygons_to_tiles(zones.repartition(7), zoom=9).collect()
+    }
+    assert got == got17 and len(got) == 11
+    for _, _, _, ring in got:
+        for pair in ring.split(" "):
+            px, py = map(int, pair.split(","))
+            assert 0 <= px <= 4096 and 0 <= py <= 4096
+    t729 = {(x, y, ring) for f, x, y, ring in got
+            if f == "VKT:TariffZone:729"}
+    t730 = {(x, y, ring) for f, x, y, ring in got
+            if f == "VKT:TariffZone:730"}
+    assert t729 == t730 and len(t729) == 4
