@@ -941,6 +941,18 @@ def _t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper per dup cluster (dedup.keep_best_per_cluster):
+    same full-table labels as t_dedup_clusters, keeper = argmax quality,
+    ties to the smallest doc_id."""
+    from asag_spark.operators.dedup import keep_best_per_cluster
+    from asag_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = _t_dedup_clusters(spark, sf_dir)
+    return keep_best_per_cluster(labels, quality_score(docs))
+
+
 def _t_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.similarity import cosine_topk
 
@@ -1188,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_exact_dedup": _t_exact_dedup,
         "t_jaccard_pairs": _t_jaccard,
         "t_dedup_clusters": _t_dedup_clusters,
+        # round-3: quality-aware keeper choice over the same clusters
+        "t_dedup_keep_best": _t_dedup_keep_best,
         # round-3: corpus-level paragraph dedup (first occurrence wins,
         # docs reassembled) — the Lee-et-al exact-substring family
         # member the dedup suite lacked
@@ -2571,6 +2585,18 @@ def _all_oracle_sql() -> dict[str, str]:
         "t_jaccard_pairs": _JACCARD_SQL,
         "t_kmv_distinct": _KMV_SQL,
         "t_dedup_clusters": _dedup_clusters_sql(),
+        # keep_best: the cluster CTE verbatim + the quality formula,
+        # keeper = argmax(quality) per cluster with id tie-break
+        "t_dedup_keep_best": f"""
+            WITH lab AS (SELECT * FROM ({_dedup_clusters_sql()})),
+            q AS (SELECT doc_id, quality FROM ({_QUALITY_SQL}))
+            SELECT l.doc_id, l.cluster_id, q.quality,
+                   CASE WHEN ROW_NUMBER() OVER (
+                          PARTITION BY l.cluster_id
+                          ORDER BY q.quality DESC, l.doc_id ASC) = 1
+                        THEN 1 ELSE 0 END AS keep
+            FROM lab l JOIN q ON q.doc_id = l.doc_id
+        """,
         # paragraph dedup: the oracle ranks occurrences relationally
         # (row_number over chunk) — a deliberately different plan from
         # the engine's min-struct groupBy + skew-splittable equi-join

@@ -773,3 +773,33 @@ def paragraph_dedup(
             sep,
         ).alias("text_dedup"),
     )
+
+
+def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
+                          id_col: str = "doc_id",
+                          cluster_col: str = "cluster_id",
+                          score_col: str = "quality") -> DataFrame:
+    """Quality-aware keeper choice — production dedup keeps the BEST
+    member of each near-dup cluster (highest quality score), not the
+    smallest id: the min-id convention dedup_clusters bakes into
+    cluster_id stays the stable CLUSTER LABEL, while the keeper flag
+    moves to argmax(score), ties to the smallest id so the choice is
+    total and engine-portable.
+
+    Plan shape: one equi-join of labels to scores (both keyed by doc
+    id) and one row_number window over cluster_id. Cluster ids are
+    high-cardinality (each near-dup group is a handful of docs;
+    singletons are their own cluster), so neither the join nor the
+    window has a hot key — this is the benign kind of window, unlike
+    a per-language one (see stratum_cap).
+
+    Output: (<id_col>, <cluster_col>, <score_col>, keep) — keep = 1
+    on exactly one row per cluster.
+    """
+    joined = labels.join(scores.select(id_col, score_col), id_col)
+    w = Window.partitionBy(cluster_col).orderBy(F.desc(score_col), id_col)
+    return joined.select(
+        F.col(id_col), F.col(cluster_col), F.col(score_col),
+        F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(F.lit(0))
+        .alias("keep"),
+    )

@@ -214,6 +214,16 @@ def main() -> None:
     poly_raster = rasterize_polygons_xyz(zones, zoom=11, extent=16)
     timed("polygon_raster", lambda: materialize(poly_raster), warm=1)
     extras["polygon_raster_tiles"] = poly_raster.count()
+
+    # MVT tile slicing of the same polygon set: S-H clip into z12
+    # tiles, extent-4096 local rings (zero-exchange Arrow pass)
+    from asag_spark.geo.xyz import clip_polygons_to_tiles
+
+    poly_clip = clip_polygons_to_tiles(
+        zones.withColumnRenamed("zone_id", "feature_id"), zoom=12
+    )
+    timed("polygon_clip", lambda: materialize(poly_clip), warm=1)
+    extras["clip_rows"] = poly_clip.count()
     from asag_spark.operators.overlap import zone_overlap_join
 
     overlap = zone_overlap_join(zones)

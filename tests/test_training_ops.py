@@ -1287,3 +1287,29 @@ def test_ivf_train_step_blob_means(spark):
             m, n = dims[d]
             assert n == 40
             assert abs(m - round(float(members[:, d].mean()), 6)) < 1e-9, (cid, d)
+
+
+def test_keep_best_per_cluster_semantics(spark):
+    """Exactly one keeper per cluster; keeper = max score, id
+    tie-break; singletons keep themselves."""
+    from asag_spark.operators.dedup import keep_best_per_cluster
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5), (6, 0.5)],
+        "doc_id long, quality double",
+    )
+    out = {r["doc_id"]: r for r in
+           keep_best_per_cluster(labels, scores).collect()}
+    keepers = {d for d, r in out.items() if r["keep"] == 1}
+    # cluster 1: 2 and 3 tie at 0.9 → smallest id 2; cluster 4:
+    # singleton; cluster 5: 5 and 6 tie → 5
+    assert keepers == {2, 4, 5}
+    per_cluster = {}
+    for r in out.values():
+        per_cluster.setdefault(r["cluster_id"], 0)
+        per_cluster[r["cluster_id"]] += r["keep"]
+    assert all(v == 1 for v in per_cluster.values())
