@@ -251,3 +251,37 @@ def docs_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         has_media, F.concat(spans, F.array(media_span))
     ).otherwise(spans)
     return d.select(sid.alias("doc_id"), spans_full.alias("spans"))
+
+
+def write_training_shards(docs: DataFrame, path: str,
+                          n_shards: int = 8,
+                          id_col: str = "doc_id",
+                          seed: str = "epoch-0") -> None:
+    """Materialize a training epoch: text.train_shuffle's deterministic
+    permutation written as ``shard=K`` parquet directories with rows
+    PHYSICALLY ordered by the epoch position — the final "write N
+    shard files a trainer streams in order" step.
+
+    Layout contract: partitionBy(shard) gives one directory per shard;
+    repartition(n_shards, shard) + sortWithinPartitions(pos) makes each
+    directory a single ordered run (Spark writes a partition's rows in
+    iterator order), so a reader streaming any shard file start to end
+    replays that shard's slice of the epoch without sorting. Shard
+    directories are independent — a trainer's data-parallel ranks map
+    1:1 to them.
+
+    At 100 TB, n_shards is the trainer's file-count dial (10^4-10^5);
+    the write costs exactly the one shard-keyed exchange train_shuffle
+    already pays (the sort rides inside each write task).
+    """
+    from ..operators.text import train_shuffle
+
+    order = train_shuffle(docs, n_shards=n_shards, id_col=id_col, seed=seed)
+    out = docs.join(order, id_col)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

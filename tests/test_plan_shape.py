@@ -278,3 +278,46 @@ def test_contamination_filters_before_fp_join(spark):
     plan = _plan(contamination_check(docs))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_write_training_shards_ordered_runs(spark, tmp_path):
+    """Each shard directory reads back as ONE ordered run: pos strictly
+    ascending in file order (zero read-side sorting for the trainer),
+    every doc appears exactly once across shards, and the layout is
+    reproducible (same seed → identical shard membership)."""
+    from asag_spark.sources import write_training_shards
+
+    docs = spark.range(0, 500).selectExpr(
+        "id AS doc_id", "concat('text ', id) AS text"
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, n_shards=4)
+
+    import glob
+
+    seen = {}
+    for d in sorted(glob.glob(f"{path}/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        # read the shard's parquet files in file order WITHOUT Spark
+        # (Spark's scan may reorder splits) — pyarrow preserves row order
+        import pyarrow.parquet as pq
+
+        parts = sorted(glob.glob(f"{d}/*.parquet"))
+        assert len(parts) == 1, "one ordered run per shard directory"
+        t = pq.read_table(parts[0]).to_pydict()
+        ps = t["pos"]
+        assert ps == sorted(ps) and len(set(ps)) == len(ps), shard
+        for did in t["doc_id"]:
+            assert did not in seen
+            seen[did] = shard
+    assert len(seen) == 500
+    # determinism: a rewrite lands every doc in the same shard
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(docs, path2, n_shards=4)
+    for d in sorted(glob.glob(f"{path2}/shard=*")):
+        shard = int(d.rsplit("=", 1)[1])
+        import pyarrow.parquet as pq
+
+        for f in glob.glob(f"{d}/*.parquet"):
+            for did in pq.read_table(f).to_pydict()["doc_id"]:
+                assert seen[did] == shard
