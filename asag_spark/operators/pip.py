@@ -314,3 +314,51 @@ def pip_anti_join(points: DataFrame, zones: DataFrame,
     return points.select(id_col, lon_col, lat_col).mapInPandas(
         refine, schema=out_schema
     )
+
+
+def pip_flag_join(points: DataFrame, zones: DataFrame,
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  flag_col: str = "covered") -> DataFrame:
+    """Append a boolean ``covered`` column (inside ANY zone) while
+    keeping EVERY input column — the generic form of pip_join /
+    pip_anti_join for pipelines that need the membership bit alongside
+    other data (e.g. the streaming coverage-gap monitor, which windows
+    uncovered points by event time: the positive/anti variants drop
+    the timestamp). Same zero-exchange broadcast kernel; STATELESS, so
+    it runs unchanged on a Structured Streaming frame (mapInPandas is
+    streaming-capable; watermarks/windows attach downstream).
+
+    Null coordinates yield ``covered = false`` here — rows survive (a
+    monitor must see them), unlike pip_join/pip_anti_join's
+    filter-first contract where they vanish from both sides.
+    """
+    spark = points.sparkSession
+    rings, cover = _zone_index(zones.collect())
+    bc = spark.sparkContext.broadcast((rings, cover))
+    out_schema = T.StructType(
+        list(points.schema.fields) + [T.StructField(flag_col, T.BooleanType())]
+    )
+
+    def refine(batches):
+        rings_l, cover_l = bc.value
+        for pdf in batches:
+            covered_full = np.zeros(len(pdf), dtype=bool)
+            lon = pdf[lon_col].to_numpy(dtype="float64", na_value=np.nan)
+            lat = pdf[lat_col].to_numpy(dtype="float64", na_value=np.nan)
+            ok = ~(np.isnan(lon) | np.isnan(lat))
+            if ok.any():
+                idx = np.nonzero(ok)[0]
+                lon_o, lat_o = lon[ok], lat[ok]
+                covered = np.zeros(len(idx), dtype=bool)
+                for zid, pis in _batch_candidates(lon_o, lat_o, cover_l).items():
+                    pis = pis[~covered[pis]]
+                    if not len(pis):
+                        continue
+                    inside = points_in_ring(lon_o[pis], lat_o[pis], rings_l[zid])
+                    covered[pis[inside]] = True
+                covered_full[idx] = covered
+            out = pdf.copy()
+            out[flag_col] = covered_full
+            yield out
+
+    return points.mapInPandas(refine, schema=out_schema)

@@ -295,3 +295,41 @@ def lsh_dedup_stream(docs_stream: DataFrame, bucket_table: str,
         .start()
         .awaitTermination()
     )
+
+
+def gap_density_stream(
+    points: DataFrame,
+    zones: DataFrame,
+    zoom: int = 6,
+    watermark: str = "2 hours",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """Streaming coverage-gap monitor: hourly per-tile counts of points
+    that fall inside NO zone polygon — the live alert surface for
+    pip_anti_join ("pings outside every tariff zone are appearing in
+    tile X"). The membership bit comes from pip.pip_flag_join, whose
+    broadcast ray-cast kernel is STATELESS and therefore legal inside
+    a streaming plan (the zone index rides the broadcast exactly as in
+    batch); only the downstream windowed count is stateful, with the
+    same (window, x, y) keyed exchange + watermark bound as
+    tile_density_stream.
+
+    Streaming-batch parity is the contract: availableNow over a staged
+    directory must equal the batch pipeline on the same rows
+    (tests/test_streaming_checkpoint.py)."""
+    from ..geo.xyz import tile_x, tile_y
+    from ..operators.pip import pip_flag_join
+
+    flagged = pip_flag_join(points, zones, lon_col=lon_col, lat_col=lat_col)
+    return (
+        flagged.filter(~F.col("covered"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            tile_x(F.col(lon_col), zoom).alias("x"),
+            tile_y(F.col(lat_col), zoom).alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_uncovered"))
+        .select(F.col("w.start").alias("hour_start"), "x", "y", "n_uncovered")
+    )

@@ -229,3 +229,57 @@ def test_sessionize_stateful_cross_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_gap_density_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming coverage-gap monitor == the same PIP-flag + windowed
+    count run in batch, on events mapped to deterministic coords over
+    the 50 generated municipality polygons (both covered and uncovered
+    points present)."""
+    from asag_spark.datagen import generate_zones
+    from asag_spark.operators.pip import pip_flag_join
+    from asag_spark.streaming import gap_density_stream
+
+    zones = generate_zones(spark)
+    path = f"{sf_dir}/events.parquet"
+    stream_dir = tmp_path / "ev_gap"
+    stream_dir.mkdir()
+    shutil.copy(path, stream_dir / "part-0.parquet")
+
+    def with_coords(df):
+        # deterministic hash coords spanning the zone bbox and beyond
+        u1 = (F.pmod(F.xxhash64("event_id", F.lit(1)), F.lit(10_000))
+              / 10_000.0)
+        u2 = (F.pmod(F.xxhash64("event_id", F.lit(2)), F.lit(10_000))
+              / 10_000.0)
+        return df.withColumn("lon", 4.0 + u1 * 28.0).withColumn(
+            "lat", 57.5 + u2 * 14.0
+        )
+
+    stream = with_coords(read_events_stream(spark, str(stream_dir)))
+    agg = gap_density_stream(stream, zones, zoom=6)
+    run_available_now(agg, str(tmp_path / "ckpt_gap"), "gap_stream_tbl")
+    streamed = {
+        (r["hour_start"], r["x"], r["y"]): r["n_uncovered"]
+        for r in spark.sql("select * from gap_stream_tbl").collect()
+    }
+
+    from asag_spark.geo.xyz import tile_x, tile_y
+
+    flagged = pip_flag_join(with_coords(spark.read.parquet(path)), zones)
+    batch = {
+        (r["hour_start"], r["x"], r["y"]): r["n_uncovered"]
+        for r in (
+            flagged.filter(~F.col("covered"))
+            .groupBy(F.window("ts", "1 hour").alias("w"),
+                     tile_x(F.col("lon"), 6).alias("x"),
+                     tile_y(F.col("lat"), 6).alias("y"))
+            .agg(F.count(F.lit(1)).alias("n_uncovered"))
+            .select(F.col("w.start").alias("hour_start"), "x", "y",
+                    "n_uncovered")
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 10
+    # sanity: gaps are a strict subset — some points ARE covered
+    total = spark.read.parquet(path).count()
+    assert sum(streamed.values()) < total
