@@ -809,16 +809,23 @@ def quality_topq(docs: DataFrame, share: float = 0.25,
         raise ValueError(f"share must be in (0,1], got {share}")
     q = quality_score(docs, text_col=text_col).select("doc_id", "quality")
     hist = q.groupBy("quality").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy(F.desc("quality")).rowsBetween(
+    # both windows share one ordering → one Window exec over the SAME
+    # histogram (a separate hist.agg(sum) branch would re-scan docs)
+    w_cum = Window.orderBy(F.desc("quality")).rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = (
-        hist.withColumn("_cum", F.sum("_c").over(w))
-        .crossJoin(F.broadcast(hist.agg(F.sum("_c").alias("_n"))))
+    w_all = Window.orderBy(F.desc("quality")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    thr = cum.filter(
-        F.col("_cum") >= F.ceil(F.lit(float(share)) * F.col("_n"))
-    ).agg(F.max("quality").alias("_thr"))
+    thr = (
+        hist.select(
+            "quality",
+            F.sum("_c").over(w_cum).alias("_cum"),
+            F.sum("_c").over(w_all).alias("_n"),
+        )
+        .filter(F.col("_cum") >= F.ceil(F.lit(float(share)) * F.col("_n")))
+        .agg(F.max("quality").alias("_thr"))
+    )
     return (
         q.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("_thr"))

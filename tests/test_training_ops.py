@@ -1213,6 +1213,33 @@ def test_quality_topq_histogram_quantile(spark):
         quality_topq(docs, share=0.0)
 
 
+def test_quality_topq_scans_docs_exactly_twice(spark):
+    """The histogram quantile touches the corpus exactly twice
+    (histogram build + final threshold filter) — a separate total
+    branch would silently re-scan a third time."""
+    import os
+    import tempfile
+
+    from asag_spark.operators.text import quality_topq
+
+    d = tempfile.mkdtemp(prefix="topq_scan_")
+    try:
+        spark.createDataFrame(
+            [(i, f"text {'x ' * (i % 20)}") for i in range(200)],
+            "doc_id long, text string",
+        ).write.mode("overwrite").parquet(f"{d}/docs")
+        docs = spark.read.parquet(f"{d}/docs")
+        plan = (
+            quality_topq(docs)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert plan.count(f"{os.path.basename(d)}/docs") == 2, plan
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_chunk_windows_boundaries_and_plan(spark):
     """Chunk math on constructed token counts: short doc → one chunk;
     exact-window doc → one chunk; W+1 tokens → two chunks with the
