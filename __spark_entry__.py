@@ -941,6 +941,15 @@ def _t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type volume z-scores vs the trailing 24 observations
+    (events.hourly_anomaly) — window over the pre-aggregated tiny
+    frame, never the raw events."""
+    from asag_spark.operators.events import hourly_anomaly
+
+    return hourly_anomaly(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _t_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keeper per dup cluster (dedup.keep_best_per_cluster):
     same full-table labels as t_dedup_clusters, keeper = argmax quality,
@@ -1254,6 +1263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational operator coverage (live SQL oracles)
         "q_asof_window": _q_asof_window,
         "q_sessionize": _q_sessionize,
+        # round-3: hourly volume anomaly over the events table
+        "q_event_anomaly": _q_event_anomaly,
         # streaming (live SQL oracles)
         "s_hourly_stream": _s_hourly_stream,
         "s_tile_stream": _s_tile_stream,
@@ -2320,6 +2331,24 @@ def _all_oracle_sql() -> dict[str, str]:
         "vectorize_fixture": _VECTORIZE_GOLDEN,
         "geojson_fixture": _GEOJSON_GOLDEN,
         "q_sessionize": _SESSIONIZE_SQL,
+        # hourly_anomaly: trailing-24-rows z-score per type; the frame
+        # excludes the current row, z null under min_points/zero-sd
+        "q_event_anomaly": """
+            WITH hourly AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour_start,
+                     count(*) AS n
+              FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, hour_start, n,
+                   CASE WHEN count(n) OVER w >= 8
+                             AND stddev_samp(n) OVER w > 0
+                        THEN ROUND((n - avg(n) OVER w)
+                                   / stddev_samp(n) OVER w, 4)
+                   END AS z
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        """,
         "q_percentiles": """
             SELECT l_returnflag,
                    ROUND(quantile_cont(l_quantity, 0.5), 2) AS med_qty,

@@ -151,3 +151,45 @@ def topk_per_user(events: DataFrame, k: int = 3) -> DataFrame:
         .select("user_id", "event_id", F.col("rk").cast("int").alias("rk"),
                 F.round("value", 2).alias("value"))
     )
+
+
+def hourly_anomaly(events: DataFrame, trail: int = 24,
+                   min_points: int = 8) -> DataFrame:
+    """Per-type hourly volume anomaly: z-score of each hour's event
+    count against the TRAILING ``trail`` observations (current hour
+    excluded — the monitor must not normalize away the spike it is
+    scoring). The ops-dashboard query every event pipeline grows.
+
+    Plan shape: the corpus-sized input collapses FIRST — one
+    map-combined groupBy(type, hour) whose output is hours × types
+    rows — and the per-type ordered window runs over THAT tiny frame,
+    so the few-distinct-types skew that makes per-type windows
+    dangerous on raw data (see stratum_cap) is harmless here: window
+    input ≤ thousands of rows regardless of corpus size.
+
+    z is null when fewer than ``min_points`` trailing hours exist or
+    the trailing stddev is 0. Rounded to 4 dp (mean/stddev are double
+    reductions; both engines agree well inside 4 dp).
+
+    Output: (event_type, hour_start, n, z).
+    """
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-trail, -1)
+    )
+    mean = F.avg("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    npts = F.count("n").over(w)
+    z = F.when(
+        (npts >= min_points) & (sd > 0),
+        F.round((F.col("n") - mean) / sd, 4),
+    )
+    return hourly.select("event_type", "hour_start", "n", z.alias("z"))

@@ -138,3 +138,45 @@ def test_range_join_plan_has_no_nested_loop(spark):
         .executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hourly_anomaly_spike_detection(spark):
+    """A constructed 10x spike after 24 flat hours scores a large
+    positive z; the flat hours score ~0 once the window fills; the
+    first min_points-1 hours are null (insufficient trailing data)."""
+    from datetime import datetime, timedelta
+
+    from asag_spark.operators.events import hourly_anomaly
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(30):
+        # 4/5/6 cycling baseline (sd > 0), 50-event spike at hour 27
+        n = 50 if h == 27 else 4 + (h % 3)
+        for k in range(n):
+            rows.append((eid, base + timedelta(hours=h, minutes=k % 60),
+                         1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["hour_start"].hour + 24 * (r["hour_start"].day - 1): r["z"]
+           for r in hourly_anomaly(ev).collect()}
+    assert len(out) == 30
+    for h in range(7):          # fewer than min_points trailing hours
+        assert out[h] is None, h
+    assert out[26] is not None and abs(out[26]) < 2.0  # in-pattern hour
+    assert out[27] is not None and out[27] > 10.0      # the spike
+    # hour 28: trailing window now CONTAINS the spike → negative z
+    assert out[28] is not None and out[28] < 0.0
+    # flat-history null guard: a constant series never scores
+    flat = spark.createDataFrame(
+        [(i, base + timedelta(hours=i), 1, "view", 1.0, "{}")
+         for i in range(30)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    assert all(r["z"] is None for r in hourly_anomaly(flat).collect())
