@@ -950,6 +950,13 @@ def _q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_anomaly(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix (events.retention_cohorts)."""
+    from asag_spark.operators.events import retention_cohorts
+
+    return retention_cohorts(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _t_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware keeper per dup cluster (dedup.keep_best_per_cluster):
     same full-table labels as t_dedup_clusters, keeper = argmax quality,
@@ -1265,6 +1272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q_sessionize,
         # round-3: hourly volume anomaly over the events table
         "q_event_anomaly": _q_event_anomaly,
+        # round-3: weekly retention cohort matrix
+        "q_retention_cohorts": _q_retention,
         # streaming (live SQL oracles)
         "s_hourly_stream": _s_hourly_stream,
         "s_tile_stream": _s_tile_stream,
@@ -2331,6 +2340,24 @@ def _all_oracle_sql() -> dict[str, str]:
         "vectorize_fixture": _VECTORIZE_GOLDEN,
         "geojson_fixture": _GEOJSON_GOLDEN,
         "q_sessionize": _SESSIONIZE_SQL,
+        # retention: first-seen week per user, distinct users per
+        # (cohort, week); offset in whole weeks via epoch arithmetic
+        "q_retention_cohorts": """
+            WITH firsts AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+              FROM events GROUP BY user_id
+            ),
+            active AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events
+            )
+            SELECT f.cohort_week, a.week,
+                   count(DISTINCT a.user_id) AS n_users,
+                   CAST(floor((epoch(a.week) - epoch(f.cohort_week))
+                              / 604800) AS INT) AS week_offset
+            FROM active a JOIN firsts f ON f.user_id = a.user_id
+            GROUP BY f.cohort_week, a.week
+        """,
         # hourly_anomaly: trailing-24-rows z-score per type; the frame
         # excludes the current row, z null under min_points/zero-sd
         "q_event_anomaly": """

@@ -193,3 +193,37 @@ def hourly_anomaly(events: DataFrame, trail: int = 24,
         F.round((F.col("n") - mean) / sd, 4),
     )
     return hourly.select("event_type", "hour_start", "n", z.alias("z"))
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-seen week
+    (cohort), counted per subsequent activity week — the
+    product-analytics staple. Two aggregations, both map-combined:
+    first-seen via min(ts) per user (one shuffle on user_id), then the
+    (cohort_week, activity_week) distinct-user counts (one shuffle on
+    the week pair; distinct users per pair via the two-level groupBy,
+    never a count(DISTINCT) over raw events).
+
+    week = date_trunc('week', ts) — ISO Monday weeks in both engines.
+
+    Output: (cohort_week, week, n_users, week_offset) — week_offset in
+    whole weeks, 0 = the cohort's own week.
+    """
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("cohort_week", "week")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .withColumn(
+            "week_offset",
+            F.floor(
+                (F.unix_timestamp("week") - F.unix_timestamp("cohort_week"))
+                / F.lit(604800)
+            ).cast("int"),
+        )
+    )

@@ -180,3 +180,44 @@ def test_hourly_anomaly_spike_detection(spark):
         " value double, props string",
     )
     assert all(r["z"] is None for r in hourly_anomaly(flat).collect())
+
+
+def test_retention_cohorts_constructed(spark):
+    """Two cohorts with known return patterns: counts and week offsets
+    match hand-computed truth; every user counts once per active week."""
+    from datetime import datetime, timedelta
+
+    from asag_spark.operators.events import retention_cohorts
+
+    monday = datetime(2024, 1, 1)  # a Monday
+    rows, eid = [], 0
+
+    def ev(user, week, dow=0):
+        nonlocal eid
+        rows.append((eid, monday + timedelta(weeks=week, days=dow),
+                     user, "click", 1.0, "{}"))
+        eid += 1
+
+    # cohort A (week 0): users 1,2,3 — user 1 returns w1+w2, user 2
+    # returns w2 (twice in the week: still one count), user 3 never
+    ev(1, 0); ev(2, 0); ev(3, 0)
+    ev(1, 1); ev(1, 2)
+    ev(2, 2); ev(2, 2, dow=3)
+    # cohort B (week 1): user 4 — returns w2
+    ev(4, 1); ev(4, 2)
+    e = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r["cohort_week"].date().isoformat(), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(e).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 3,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 2,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
