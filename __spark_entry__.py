@@ -941,6 +941,24 @@ def _t_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g_cell_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex focal-mean smoothing (tiles.smooth_cell_counts) over a
+    deterministic events-derived cell raster — the operator contract
+    is (cell, n) regardless of provenance, and this provenance is
+    SQL-mirrorable so the smoothing arithmetic gets a value oracle
+    (the geo-real rasters ride the golden-pinned fixture queries)."""
+    from asag_spark.geo.tiles import smooth_cell_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cells = ev.groupBy(
+        F.concat(
+            F.lit("h7_"), F.pmod(F.col("event_id"), F.lit(13)).cast("string"),
+            F.lit("_"), F.pmod(F.col("user_id"), F.lit(11)).cast("string"),
+        ).alias("cell")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return smooth_cell_counts(cells)
+
+
 def _q_event_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly per-type volume z-scores vs the trailing 24 observations
     (events.hourly_anomaly) — window over the pre-aggregated tiny
@@ -1184,6 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_snap_nearest_zone": _q_snap_zone,
         # round-3: MVT polygon tile slicing (S-H clip, extent-4096)
         "g_tile_clip": _q_tile_clip,
+        # round-3: hex focal-mean smoothing (scatter plan)
+        "g_cell_smooth": _g_cell_smooth,
         "knn_fixture": _q_knn,
         "tile_cells_fixture": _q_tiles,
         "zone_cover_stats": _q_zone_cover,
@@ -2340,6 +2360,30 @@ def _all_oracle_sql() -> dict[str, str]:
         "vectorize_fixture": _VECTORIZE_GOLDEN,
         "geojson_fixture": _GEOJSON_GOLDEN,
         "q_sessionize": _SESSIONIZE_SQL,
+        # cell_smooth: the 7 axial disk offsets as a VALUES list; each
+        # occupied cell scatters to its disk, sum/7 per target
+        "g_cell_smooth": """
+            WITH counts AS (
+              SELECT 'h7_' || (event_id % 13) || '_' || (user_id % 11)
+                       AS cell,
+                     count(*) AS n
+              FROM events GROUP BY 1
+            ),
+            parsed AS (
+              SELECT CAST(string_split(cell, '_')[2] AS INT) AS q,
+                     CAST(string_split(cell, '_')[3] AS INT) AS r,
+                     n
+              FROM counts
+            ),
+            offs(dq, dr) AS (
+              VALUES (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+                     (1, -1), (1, 0)
+            )
+            SELECT 'h7_' || (q + dq) || '_' || (r + dr) AS cell,
+                   ROUND(sum(n) / 7.0, 6) AS smoothed
+            FROM parsed CROSS JOIN offs
+            GROUP BY 1
+        """,
         # retention: first-seen week per user, distinct users per
         # (cohort, week); offset in whole weeks via epoch arithmetic
         "q_retention_cohorts": """

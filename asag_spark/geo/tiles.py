@@ -215,3 +215,49 @@ def vectorize_cells(raster: DataFrame, cell_col: str = "cell") -> DataFrame:
         F.lit("POLYGON(("), F.concat_ws(", ", *verts), F.lit("))")
     )
     return raster.withColumn("geom_wkt", wkt)
+
+
+def smooth_cell_counts(cells: DataFrame, count_col: str = "n") -> DataFrame:
+    """Hex focal-mean smoothing of a cell raster: smoothed(c) =
+    (sum of counts over grid_disk(c, 1)) / 7, absent neighbors
+    contributing 0 — the standard focal filter over the engine's axial
+    lattice (hexgrid.grid_disk), e.g. de-noising a stop-density raster
+    before contouring.
+
+    Plan shape: a SCATTER, not a gather — each occupied cell explodes
+    to its 7 disk cells via a plan-time literal offset array (pure
+    JVM, no UDF) and ONE map-combined groupBy(target) sums the
+    contributions. Shuffle carries <= 7 x occupied cells — never the
+    raw points, and no self-join against a neighbor list exists. Cells
+    with no occupied neighbor stay absent (their smoothed value is 0
+    by definition and materializing the infinite empty lattice is not
+    a thing).
+
+    Input: (cell 'h{res}_{q}_{r}', <count_col>). Output:
+    (cell, smoothed) — smoothed rounded to 6 dp.
+    """
+    from . import hexgrid
+
+    parts = F.split(F.col("cell"), "_")
+    prefix = F.element_at(parts, 1)  # 'h{res}' — res rides the input
+    q = F.element_at(parts, 2).cast("int")
+    r = F.element_at(parts, 3).cast("int")
+    offsets = F.array(*[
+        F.struct(F.lit(dq).alias("dq"), F.lit(dr).alias("dr"))
+        for dq, dr in hexgrid.grid_disk(0, 0, 1)
+    ])
+    scattered = cells.select(
+        F.col(count_col).alias("_n"),
+        prefix.alias("_p"), q.alias("_q"), r.alias("_r"),
+        F.explode(offsets).alias("_o"),
+    ).select(
+        F.concat_ws(
+            "_", F.col("_p"),
+            (F.col("_q") + F.col("_o.dq")).cast("string"),
+            (F.col("_r") + F.col("_o.dr")).cast("string"),
+        ).alias("cell"),
+        "_n",
+    )
+    return scattered.groupBy("cell").agg(
+        F.round(F.sum("_n") / 7.0, 6).alias("smoothed")
+    )

@@ -61,7 +61,7 @@ def test_registry_partition():
     don't overlap."""
     live = list(entry_mod.queries())
     demoted = set(entry_mod.demoted_queries())
-    assert len(live) == 68
+    assert len(live) == 69
     assert not demoted & set(live)
     oracles = entry_mod.oracle_sql()
     rows_only = [q for q in live if q not in oracles]

@@ -330,3 +330,38 @@ def test_clip_polygons_to_tiles_engine(spark):
     t730 = {(x, y, ring) for f, x, y, ring in got
             if f == "VKT:TariffZone:730"}
     assert t729 == t730 and len(t729) == 4
+
+
+def test_smooth_cell_counts_focal_mean(spark):
+    """Focal mean on a constructed raster: a single occupied cell
+    scatters 1/7 of its count to each of its 7 disk cells; a pair of
+    adjacent cells overlaps correctly; brute-force gather parity on a
+    random raster."""
+    import numpy as np
+
+    from asag_spark.geo.hexgrid import grid_disk
+    from asag_spark.geo.tiles import smooth_cell_counts
+
+    one = spark.createDataFrame([("h7_0_0", 7)], "cell string, n long")
+    got = {r["cell"]: r["smoothed"]
+           for r in smooth_cell_counts(one).collect()}
+    assert got == {f"h7_{q}_{r}": 1.0 for q, r in grid_disk(0, 0, 1)}
+
+    rng = np.random.default_rng(3)
+    cells = {(int(q), int(r)): int(n) for q, r, n in zip(
+        rng.integers(-5, 6, 60), rng.integers(-5, 6, 60),
+        rng.integers(1, 100, 60),
+    )}
+    df = spark.createDataFrame(
+        [(f"h8_{q}_{r}", n) for (q, r), n in cells.items()],
+        "cell string, n long",
+    )
+    got = {r["cell"]: r["smoothed"]
+           for r in smooth_cell_counts(df).collect()}
+    # brute-force GATHER: smoothed(c) = sum of disk counts / 7
+    expect = {}
+    targets = {t for qr in cells for t in grid_disk(*qr, 1)}
+    for tq, tr in targets:
+        s = sum(cells.get((nq, nr), 0) for nq, nr in grid_disk(tq, tr, 1))
+        expect[f"h8_{tq}_{tr}"] = round(s / 7.0, 6)
+    assert got == expect
