@@ -598,6 +598,51 @@ def _t_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_count(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _pii_augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic injected PII (the synthetic corpus
+    is purely alphabetic, so without injection every count would be a
+    trivial zero): doc_id%3==0 gets an email, %4==0 an IPv4, %5==0 a
+    spaced international phone. The SAME concatenation is built in the
+    DuckDB oracle, so the scrubber is exercised on non-trivial input
+    in both engines."""
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    aug = F.concat(
+        F.col("text"),
+        F.when(d % 3 == 0, F.concat(
+            F.lit(" contact u"), s(d), F.lit("@ex"), s(d % 7), F.lit(".org")
+        )).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.concat(
+            F.lit(" from 10."), s(d % 256), F.lit(".0.1")
+        )).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.concat(
+            F.lit(" call +47 9"), s(d % 10), F.lit(" 12 34 56")
+        )).otherwise(F.lit("")),
+    )
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", aug.alias("text")
+    )
+
+
+def _t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (operators/text.pii_scrub): per-row JVM
+    regex counts + pinned-order redaction, zero exchanges."""
+    from asag_spark.operators.text import pii_scrub
+
+    return pii_scrub(_pii_augmented_docs(spark, sf_dir))
+
+
+def _t_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed BPE merge-scoring iteration
+    (operators/text.bpe_pair_counts): two vocabulary-bounded
+    map-combined shuffles + TakeOrderedAndProject top-N."""
+    from asag_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _t_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import seq_pack
 
@@ -1215,17 +1260,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_emb_near_dups": _t_emb_near_dups,
         "t_simhash_near_dups": _t_simhash,
         "t_media_decode": _t_media_decode,
-        "t_frame_sample": _t_frame_sample,
         "t_token_count": _t_token_count,
         "t_quality": _t_quality,
+        # this session: PII scrubbing — a first-class training-data
+        # op the suite lacked (takes t_frame_sample's slot; media
+        # stays live via t_media_decode / t_media_features)
+        "t_pii_scrub": _t_pii_scrub,
         # round-3: composite Gopher quality gate over the repetition +
         # word-length + stopword rules, with per-doc drop reasons
         "t_gopher_filter": _t_gopher_filter,
         "t_langid": _t_langid,
         "t_winnow_fp": _t_winnow,
         "t_exact_dedup": _t_exact_dedup,
-        "t_jaccard_pairs": _t_jaccard,
         "t_dedup_clusters": _t_dedup_clusters,
+        # this session: distributed BPE merge scoring — tokenizer
+        # training as an engine op (takes t_jaccard_pairs' slot; the
+        # jaccard verify stays exercised inside t_minhash_dedup's
+        # demoted oracle and its own demoted entry)
+        "t_bpe_pairs": _t_bpe_pairs,
         # round-3: corpus-level paragraph dedup (first occurrence wins,
         # docs reassembled) — the Lee-et-al exact-substring family
         # member the dedup suite lacked
@@ -1387,6 +1439,12 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MVT coordinate transform rides inside the live g_tile_clip
         # (extent-4096 coords) and tile family via q_xyz_tiles
         "q_mvt_coords": _q_mvt_coords,
+        # displaced by t_pii_scrub — media family live via
+        # t_media_decode / t_media_features
+        "t_frame_sample": _t_frame_sample,
+        # displaced by t_bpe_pairs — minhash family live via
+        # t_minhash_lsh; jaccard verify also rides t_minhash_dedup
+        "t_jaccard_pairs": _t_jaccard,
     }
 
 
@@ -2353,8 +2411,69 @@ def demoted_oracle_sql() -> dict[str, str]:
     return {k: v for k, v in all_o.items() if k in demoted}
 
 
+_PII_AUG_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@ex'
+                      || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +47 9' || CAST(doc_id % 10 AS VARCHAR)
+                      || ' 12 34 56'
+                 ELSE '' END AS text
+  FROM documents
+"""
+
+_PII_SQL = f"""
+WITH aug AS ({_PII_AUG_SQL})
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_emails,
+       len(regexp_extract_all(text,
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ips,
+       len(regexp_extract_all(text,
+           '\\+\\d(?:[ -]?\\d){{6,14}}')) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+             '<EMAIL>', 'g'),
+           '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+           '<IP>', 'g'),
+         '\\+\\d(?:[ -]?\\d){{6,14}}', '<PHONE>', 'g') AS scrubbed
+FROM aug
+"""
+
+_BPE_SQL = """
+WITH words AS (
+  SELECT w, count(*) AS wf FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+    FROM documents
+  ) WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, i, 2))) AS pair,
+         wf
+  FROM words
+),
+counts AS (
+  SELECT pair, CAST(sum(wf) AS BIGINT) AS n FROM pairs GROUP BY pair
+)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rank,
+       pair, n
+FROM counts ORDER BY n DESC, pair LIMIT 20
+"""
+
+
 def _all_oracle_sql() -> dict[str, str]:
     return {
+        "t_pii_scrub": _PII_SQL,
+        "t_bpe_pairs": _BPE_SQL,
         "features_fixture": _FEATURES_GOLDEN,
         "validity_filter": _VALIDITY_GOLDEN,
         "adjacency_types": _ADJACENCY_GOLDEN,

@@ -874,3 +874,97 @@ def chunk_windows(docs: DataFrame, window: int = 32, stride: int = 24,
         F.least(F.lit(window), F.col("_n") - start).cast("int")
         .alias("n_chunk_tokens"),
     )
+
+
+# --- PII detection / redaction -------------------------------------------
+# Patterns are deliberately restricted to syntax valid AND equivalent in
+# both Java regex (Spark executors) and RE2 (the DuckDB oracle): ASCII
+# classes, non-capturing groups, \b word boundaries — no lookarounds, no
+# backreferences. Counts are taken on the RAW text; redaction is applied
+# in the pinned order email → IPv4 → phone so both engines see identical
+# intermediate strings (an email local-part containing "+digits" must be
+# consumed by the email pass before the phone pass can touch it).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d(?:[ -]?\d){6,14}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Detect and redact PII (emails, IPv4 addresses, +international
+    phone numbers) — the scrubbing pass every web-scale training-data
+    pipeline runs before tokenization (reference scope: the brief's
+    text-analysis family; the asag reference has no PII surface).
+
+    Pure per-row JVM regex column expressions — ZERO exchanges, fused
+    into the scan at 100 TB; no Python anywhere. Deterministic and
+    engine-portable: the DuckDB oracle reproduces counts with
+    len(regexp_extract_all) and the scrubbed text with the same
+    replacement sequence under the 'g' flag.
+
+    Output: (<id_col>, n_emails, n_ips, n_phones, scrubbed) with
+    redaction tokens <EMAIL>/<IP>/<PHONE>.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(t, F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def bpe_pair_counts(docs: DataFrame, top: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """One BPE-tokenizer training iteration: score every adjacent
+    character pair across the corpus (weighted by word frequency) and
+    emit the top-N merge candidates — the inner loop of byte-pair
+    encoding vocabulary training (Sennrich et al. 2016), distributed.
+
+    Plan shape (and why it scales to 100 TB):
+      1. lowercase + split to alpha words, explode — scan-fused, no
+         exchange yet;
+      2. groupBy(word) count — ONE map-combined shuffle whose key
+         space is the DISTINCT vocabulary (sub-linear in corpus size:
+         partial aggregation collapses repeats executor-side, so the
+         wire carries vocab-sized data, not corpus-sized);
+      3. per distinct word, generate its length-1 adjacent pairs with
+         a sequence/substring transform (no Python), explode;
+      4. groupBy(pair) sum(word_freq) — a second map-combined shuffle
+         on an even smaller key space (≤ alphabet², a few hundred
+         keys);
+      5. global top-N by (count desc, pair asc) — orderBy+limit
+         compiles to TakeOrderedAndProject (per-partition heap + tiny
+         driver merge, never a full sort), then row_number over the
+         ≤N surviving rows assigns the deterministic merge rank.
+
+    A full BPE train loop re-runs this over the merged-symbol corpus;
+    one exact scoring pass is the unit the driver's SQL oracle can
+    verify end-to-end. Deterministic: ties break on the pair string.
+
+    Output: (rank, pair, n) — rank 1-based, pair the two merged
+    symbols, n the corpus-wide weighted count.
+    """
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z]+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count("*").alias("wf"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1),"
+                   " i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wf",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("wf").alias("n"))
+    topn = counts.orderBy(F.desc("n"), F.asc("pair")).limit(top)
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return topn.select(
+        F.row_number().over(w).alias("rank"), "pair", "n"
+    )

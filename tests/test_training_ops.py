@@ -1340,3 +1340,50 @@ def test_keep_best_per_cluster_semantics(spark):
         per_cluster.setdefault(r["cluster_id"], 0)
         per_cluster[r["cluster_id"]] += r["keep"]
     assert all(v == 1 for v in per_cluster.values())
+
+
+def test_pii_scrub_semantics_and_plan(spark):
+    from asag_spark.operators.text import pii_scrub
+
+    rows = [
+        (0, "mail me at bob.smith+x@corp.example.com today"),
+        (1, "server 192.168.1.254 and peer 10.0.0.1 up"),
+        (2, "call +47 91 23 45 67 or +1-555-123-4567 now"),
+        (3, "nothing sensitive here at all"),
+        # email whose local part contains +digits: the pinned
+        # email-first order must consume it before the phone pass
+        (4, "a+4712345678@ex.org"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in pii_scrub(docs).collect()}
+    assert (r[0]["n_emails"], r[0]["n_ips"], r[0]["n_phones"]) == (1, 0, 0)
+    assert r[0]["scrubbed"] == "mail me at <EMAIL> today"
+    assert (r[1]["n_emails"], r[1]["n_ips"], r[1]["n_phones"]) == (0, 2, 0)
+    assert r[1]["scrubbed"] == "server <IP> and peer <IP> up"
+    assert r[2]["n_phones"] == 2
+    assert r[2]["scrubbed"] == "call <PHONE> or <PHONE> now"
+    assert r[3]["scrubbed"] == rows[3][1]
+    # counts are taken on the RAW text (the +digits run does match the
+    # phone pattern there), but redaction order makes email win
+    assert r[4]["n_emails"] == 1 and r[4]["scrubbed"] == "<EMAIL>"
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bpe_pair_counts_weighted(spark):
+    from asag_spark.operators.text import bpe_pair_counts
+
+    # "abab" x3 docs + "bc" once; pairs of abab = ab,ba,ab; word freq
+    # weights multiply: ab -> 2*3=6, ba -> 1*3=3, bc -> 1
+    docs = spark.createDataFrame(
+        [(0, "abab ABAB"), (1, "abab"), (2, "bc!")],
+        "doc_id long, text string",
+    )
+    got = [(r["rank"], r["pair"], r["n"])
+           for r in bpe_pair_counts(docs, top=10).collect()]
+    # distinct-word weighting: vocab = {abab: 3 (case-folded), bc: 1}
+    assert got == [(1, "ab", 6), (2, "ba", 3), (3, "bc", 1)]
+    plan = (bpe_pair_counts(docs, top=10)
+            ._jdf.queryExecution().executedPlan().toString())
+    # global top-N must compile to a bounded heap, never a full sort
+    assert "TakeOrderedAndProject" in plan
