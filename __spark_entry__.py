@@ -411,6 +411,21 @@ def _q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g_compact_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadtree coverage compaction (geo/xyz.compact_tiles — the
+    S2-CellUnion-Normalize / H3-compact analogue): z6 event-coverage
+    tiles compacted to the minimal mixed-zoom set. One window shuffle
+    per level on a ≥4×-shrinking frontier; the DuckDB oracle replays
+    the per-level promotion with chained CTEs."""
+    from asag_spark.geo.xyz import compact_tiles, tile_x, tile_y
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lon = (-180.0 + (F.col("event_id") * 7919 % 36000) / 100.0)
+    lat = (-85.0 + (F.col("event_id") * 104729 % 17000) / 100.0)
+    base = ev.select(tile_x(lon, 6).alias("x"), tile_y(lat, 6).alias("y"))
+    return compact_tiles(base, zoom=6, min_zoom=0)
+
+
 def _q_xyz_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-Mercator z/x/y tiling + quadkeys (geo/xyz.py) with a pyramid
     rollup: deterministic coords derived from event_id (integer mod
@@ -1298,6 +1313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_contamination": _t_contamination,
         # tiling / raster / overlap (live SQL oracles)
         "q_xyz_tiles": _q_xyz_tiles,
+        # this session: quadtree coverage compaction (S2
+        # CellUnion.Normalize / H3 compact analogue; takes
+        # s_tile_stream's slot — streaming stays live twice over via
+        # s_hourly_stream + s_sessionize_stateful)
+        "g_compact_tiles": _g_compact_tiles,
         "q_tile_pyramid": _q_tile_pyramid,
         "polygon_raster_fixture": _q_polygon_raster,
         "zone_measures_fixture": _q_zone_measures,
@@ -1313,7 +1333,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_event_anomaly": _q_event_anomaly,
         # streaming (live SQL oracles)
         "s_hourly_stream": _s_hourly_stream,
-        "s_tile_stream": _s_tile_stream,
         "s_sessionize_stateful": _s_sessionize_stateful,
         # formerly rows-only, oracle-backed since round 3:
         # t_media_features via exact pinned-order float64 math,
@@ -1442,6 +1461,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by t_pii_scrub — media family live via
         # t_media_decode / t_media_features
         "t_frame_sample": _t_frame_sample,
+        # displaced by g_compact_tiles — streaming stays live via
+        # s_hourly_stream + s_sessionize_stateful; the tile-keyed
+        # stream also remains batch-parity-tested in tests
+        "s_tile_stream": _s_tile_stream,
         # displaced by t_bpe_pairs — minhash family live via
         # t_minhash_lsh; jaccard verify also rides t_minhash_dedup
         "t_jaccard_pairs": _t_jaccard,
@@ -1929,6 +1952,30 @@ WITH pts AS (
          LEAST(GREATEST(CAST(FLOOR(fy) AS INTEGER), 0), {n - 1}) AS ty
   FROM f
 )"""
+
+
+def _compact_sql(zoom: int = 6, min_zoom: int = 0) -> str:
+    """Oracle for g_compact_tiles: the per-level quartet promotion
+    replayed as chained CTEs — at each level a window count over the
+    parent key keeps incomplete quartets and promotes one NW
+    representative per complete quartet, exactly the engine's rule."""
+    parts = [_merc_sql_ctes(zoom),
+             f", lvl{zoom} AS (SELECT DISTINCT tx AS x, ty AS y FROM t)"]
+    sel = []
+    for z in range(zoom, min_zoom, -1):
+        parts.append(f""",
+c{z} AS (
+  SELECT x, y, x // 2 AS px, y // 2 AS py,
+         count(*) OVER (PARTITION BY x // 2, y // 2) AS n
+  FROM lvl{z}
+),
+lvl{z - 1} AS (
+  SELECT px AS x, py AS y FROM c{z}
+  WHERE n = 4 AND x % 2 = 0 AND y % 2 = 0
+)""")
+        sel.append(f"SELECT {z} AS z, x, y FROM c{z} WHERE n < 4")
+    sel.append(f"SELECT {min_zoom} AS z, x, y FROM lvl{min_zoom}")
+    return "".join(parts) + "\n" + "\nUNION ALL ".join(sel)
 
 
 def _mvt_sql(zoom: int = 9, extent: int = 4096) -> str:
@@ -2474,6 +2521,7 @@ def _all_oracle_sql() -> dict[str, str]:
     return {
         "t_pii_scrub": _PII_SQL,
         "t_bpe_pairs": _BPE_SQL,
+        "g_compact_tiles": _compact_sql(),
         "features_fixture": _FEATURES_GOLDEN,
         "validity_filter": _VALIDITY_GOLDEN,
         "adjacency_types": _ADJACENCY_GOLDEN,

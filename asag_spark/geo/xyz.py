@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # atan(sinh(pi)) in degrees — latitude where Web-Mercator y diverges
@@ -419,3 +419,61 @@ def clip_polygons_to_tiles(polys: DataFrame, zoom: int = 9,
             )
 
     return polys.select(id_col, wkt_col).mapInPandas(kernel, schema=out_schema)
+
+
+def compact_tiles(tiles: DataFrame, zoom: int, min_zoom: int = 0,
+                  x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Quadtree compaction of a tile coverage set — the slippy-tile
+    analogue of S2's CellUnion.Normalize / H3's compact: every
+    complete quartet of siblings is replaced by its parent,
+    recursively, yielding the MINIMAL mixed-zoom tile set covering
+    exactly the same area. This is how a 100 TB coverage layer (e.g.
+    "which tiles does this zone/corpus touch") is stored and shipped:
+    compaction turns dense regions into a handful of low-zoom tiles
+    while sparse fringes stay at high zoom.
+
+    Plan shape: one bounded round per zoom level (zoom → min_zoom,
+    plan-time constant). Each round is a SINGLE hash-partitioned
+    window over the parent key (x>>1, y>>1) on the CURRENT frontier
+    only: children in incomplete quartets are emitted at this level;
+    complete quartets promote exactly one representative (the NW
+    child, x%2==0 ∧ y%2==0) to the parent level — no distinct, no
+    join, no second exchange. The frontier shrinks ≥4× per promoted
+    level, so total shuffled bytes across all rounds are < 4/3 of the
+    input level — strictly cheaper than one extra scan of the base
+    set. All lazy: the driver never collects; the union across levels
+    is a plan-time concat of ≤(zoom−min_zoom+1) branches.
+
+    Input rows are (x, y) tiles at ``zoom`` (duplicates tolerated —
+    the first round's window sees them via a pre-distinct which rides
+    the same exchange). Output: (z, x, y) mixed-zoom minimal cover.
+    """
+    if not 0 <= min_zoom <= zoom:
+        raise ValueError(f"need 0 <= min_zoom <= zoom, got {min_zoom}>{zoom}")
+    cur = tiles.select(
+        F.col(x_col).cast("int").alias("x"), F.col(y_col).cast("int").alias("y")
+    ).distinct()
+    levels = []
+    for z in range(zoom, min_zoom, -1):
+        staged = cur.select(
+            "x", "y",
+            F.shiftright("x", 1).alias("px"), F.shiftright("y", 1).alias("py"),
+        )
+        n = F.count(F.lit(1)).over(Window.partitionBy("px", "py"))
+        staged = staged.withColumn("_n", n)
+        levels.append(
+            staged.filter(F.col("_n") < 4)
+            .select(F.lit(z).alias("z"), "x", "y")
+        )
+        cur = (
+            staged.filter(
+                (F.col("_n") == 4)
+                & (F.col("x").bitwiseAND(1) == 0)
+                & (F.col("y").bitwiseAND(1) == 0)
+            ).select(F.col("px").alias("x"), F.col("py").alias("y"))
+        )
+    levels.append(cur.select(F.lit(min_zoom).alias("z"), "x", "y"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

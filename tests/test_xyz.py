@@ -365,3 +365,45 @@ def test_smooth_cell_counts_focal_mean(spark):
         s = sum(cells.get((nq, nr), 0) for nq, nr in grid_disk(tq, tr, 1))
         expect[f"h8_{tq}_{tr}"] = round(s / 7.0, 6)
     assert got == expect
+
+
+def test_compact_tiles_quartets_and_roundtrip(spark):
+    from asag_spark.geo.xyz import compact_tiles
+
+    # z2 grid: the full NW z1-quadrant (tiles 0..1 x 0..1), a complete
+    # quartet at (2..3, 0..1) -> two z1 parents which together form an
+    # INCOMPLETE z0 quartet (only 2 of 4 children), plus one isolated
+    # z2 tile
+    base = [(x, y) for x in range(4) for y in range(2)] + [(0, 3)]
+    df = spark.createDataFrame(base, "x int, y int")
+    got = sorted((r.z, r.x, r.y)
+                 for r in compact_tiles(df, zoom=2, min_zoom=0).collect())
+    assert got == [(1, 0, 0), (1, 1, 0), (2, 0, 3)]
+
+    # full z2 coverage compacts to the single root tile
+    full = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    assert [(r.z, r.x, r.y) for r in
+            compact_tiles(full, zoom=2, min_zoom=0).collect()] == [(0, 0, 0)]
+
+    # round-trip: expanding every output tile back to z2 reproduces the
+    # input set exactly (same cover), and no two output tiles overlap
+    out = compact_tiles(df, zoom=2, min_zoom=0).collect()
+    expanded = set()
+    for r in out:
+        shift = 2 - r.z
+        for dx in range(1 << shift):
+            for dy in range(1 << shift):
+                cell = ((r.x << shift) + dx, (r.y << shift) + dy)
+                assert cell not in expanded, "overlapping output tiles"
+                expanded.add(cell)
+    assert expanded == set(base)
+
+    # duplicates in the input must not fabricate complete quartets
+    dup = spark.createDataFrame(
+        [(0, 0), (0, 0), (0, 1), (1, 0)], "x int, y int"
+    )
+    got_dup = sorted((r.z, r.x, r.y)
+                     for r in compact_tiles(dup, zoom=2, min_zoom=0).collect())
+    assert got_dup == [(2, 0, 0), (2, 0, 1), (2, 1, 0)]
