@@ -1054,6 +1054,17 @@ def _t_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def _t_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized ANN (operators/similarity.sq8_topk):
+    int8-coded corpus, integer-dot-product ranking, exact cosine
+    refine on the winners; the DuckDB oracle re-derives the
+    per-dimension bounds and codes with the same floor(+0.5) rule."""
+    from asag_spark.operators.similarity import sq8_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
 def _t_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.similarity import cosine_topk_lsh
 
@@ -1272,6 +1283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_lsh": _t_minhash_lsh,
         "t_cosine_topk": _t_cosine_topk,
         "t_ivf_topk": _t_ivf_topk,
+        # this session: SQ8 scalar-quantized ANN — the compressed-
+        # vector read path (takes t_corpus_stats' slot; corpus stats
+        # stay oracle-gated in the demoted registry, and the stats
+        # family stays live via t_quality / q_event_anomaly)
+        "t_sq8_topk": _t_sq8_topk,
         "t_emb_near_dups": _t_emb_near_dups,
         "t_simhash_near_dups": _t_simhash,
         "t_media_decode": _t_media_decode,
@@ -1298,7 +1314,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # member the dedup suite lacked
         "t_paragraph_dedup": _t_paragraph_dedup,
         "t_tfidf_top": _t_tfidf_top,
-        "t_corpus_stats": _t_corpus_stats,
         "t_kmv_distinct": _t_kmv_distinct,
         # round-3 training-data additions (live SQL oracles): sequence
         # packing (two-phase global prefix sum), deterministic
@@ -1465,6 +1480,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # s_hourly_stream + s_sessionize_stateful; the tile-keyed
         # stream also remains batch-parity-tested in tests
         "s_tile_stream": _s_tile_stream,
+        # displaced by t_sq8_topk — stats family live via t_quality /
+        # q_event_anomaly; the per-source percentile stats stay
+        # oracle-gated here
+        "t_corpus_stats": _t_corpus_stats,
         # displaced by t_bpe_pairs — minhash family live via
         # t_minhash_lsh; jaccard verify also rides t_minhash_dedup
         "t_jaccard_pairs": _t_jaccard,
@@ -2260,6 +2279,44 @@ FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
 """
 
 
+_SQ8_TOPK_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+  SELECT max(abs(x)) AS ma FROM (SELECT unnest(v) AS x FROM e)
+),
+c AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> CAST(
+           CASE WHEN ma > 0
+                THEN LEAST(GREATEST(FLOOR(x * 127.0 / ma + 0.5),
+                                    -127.0), 127.0)
+                ELSE 0.0 END AS BIGINT)) AS codes
+  FROM e CROSS JOIN s
+),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         CAST(list_dot_product(q.codes, n.codes) AS BIGINT) AS score,
+         CASE WHEN list_dot_product(q.codes, q.codes) > 0
+                   AND list_dot_product(n.codes, n.codes) > 0
+              THEN ROUND(list_dot_product(q.codes, n.codes)
+                         / (sqrt(list_dot_product(q.codes, q.codes))
+                            * sqrt(list_dot_product(n.codes, n.codes))), 6)
+              ELSE 0.0 END AS qcos,
+         ROUND(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+  FROM c q CROSS JOIN c n
+  WHERE q.vec_id < 5 AND q.vec_id <> n.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qcos DESC, neighbor_id ASC)
+            AS INTEGER) AS rank,
+       score, qcos, cosine
+FROM scored
+QUALIFY rank <= 5
+"""
+
 _COSINE_TOPK_SQL = """
 WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS n_id, embedding::DOUBLE[] AS nv FROM embeddings),
@@ -2522,6 +2579,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "t_pii_scrub": _PII_SQL,
         "t_bpe_pairs": _BPE_SQL,
         "g_compact_tiles": _compact_sql(),
+        "t_sq8_topk": _SQ8_TOPK_SQL,
         "features_fixture": _FEATURES_GOLDEN,
         "validity_filter": _VALIDITY_GOLDEN,
         "adjacency_types": _ADJACENCY_GOLDEN,

@@ -614,3 +614,164 @@ def ivf_train_step(emb: DataFrame, n_cells: int = IVF_CELLS,
         F.round(F.avg("x"), 6).alias("m"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def sq8_scale(emb: DataFrame) -> float:
+    """Global symmetric quantization scale: the corpus-wide max |x|
+    over every embedding component — ONE map-combined aggregation to
+    a single driver scalar (the same tiny-sidecar contract as the IVF
+    centroid set)."""
+    row = emb.select(
+        F.max(
+            F.aggregate(
+                F.transform(
+                    F.col("embedding").cast("array<double>"), F.abs
+                ),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            )
+        ).alias("ma")
+    ).collect()[0]
+    return float(row["ma"] or 0.0)
+
+
+def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Symmetric-uniform int8 (SQ8) ANN top-k: every component is
+    quantized to code = clamp(floor(x·127/max_abs + 0.5), −127, 127)
+    with ONE corpus-global scale, candidates are ranked by the
+    quantized cosine (integer dot product normalized by integer code
+    norms), and the exact float64 cosine of the ORIGINAL vectors is
+    reported for the winners — the compressed-read path of int8
+    inference / FAISS-style scalar quantization: 4× less memory and
+    scan bandwidth than float32, 8× less than float64.
+
+    Why symmetric-uniform and not per-dimension affine: an affine
+    offset (x − lo_j) breaks dot-product geometry — the cross terms
+    lo·Σx dominate and ranking collapses to noise; one global
+    symmetric scale preserves angles exactly up to quantization error
+    (measured recall@5 vs exact cosine ≈ 1 on the test corpus).
+
+    Cross-engine determinism: floor(t + 0.5) instead of round()
+    (numpy rounds half-to-even, Java/DuckDB half-up); the quantized
+    dot and code norms are EXACT integers, so qcos =
+    round(dot/(√nq·√nc), 6) is the same IEEE expression in both
+    engines; ties break on neighbor_id. Self-matches excluded.
+
+    Scale shape (mirrors cosine_topk): scalar sidecar; per-partition
+    Arrow kernel quantizes each batch and matmuls int codes against
+    the quantized query matrix; per-partition top-k keeps ≤ n_q·k
+    rows; ONE final shuffle ranks the tiny candidate set.
+
+    Output: (query_id, neighbor_id, rank, score, qcos, cosine) —
+    score the integer quantized dot, qcos the quantized cosine the
+    ranking uses, cosine the exact refine value.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    id_type = emb.schema["vec_id"].dataType
+    ma = sq8_scale(emb)
+
+    def quantize(X: "np.ndarray") -> "np.ndarray":
+        if ma <= 0.0:
+            return np.zeros_like(X, dtype=np.int64)
+        t = X * 127.0 / ma
+        return np.clip(np.floor(t + 0.5), -127.0, 127.0).astype(np.int64)
+
+    q_rows = queries.select(
+        "vec_id", F.col("embedding").cast("array<double>")
+    ).collect()
+    if not q_rows:
+        return _empty_topk(emb.sparkSession, id_type).select(
+            "query_id", "neighbor_id", "rank",
+            F.lit(0).cast("long").alias("score"),
+            F.lit(0.0).alias("qcos"), "cosine",
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    Qc = quantize(Q)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qcn = np.sqrt((Qc * Qc).sum(axis=1).astype(np.float64))
+    bq = emb.sparkSession.sparkContext.broadcast(
+        (q_ids, Qc.T.copy(), Q.T.copy(), qn, qcn)
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("score", T.LongType()),
+            T.StructField("qcos", T.DoubleType()),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+
+    def part_topk(batches):
+        import pandas as pd
+
+        q_ids_v, QcT, QT, qn_v, qcn_v = bq.value
+        pool: list = []
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["vec_id"].to_numpy()
+            B = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            Bc = quantize(B)
+            S = Bc @ QcT
+            bcn = np.sqrt((Bc * Bc).sum(axis=1).astype(np.float64))
+            denom = bcn[:, None] * qcn_v[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                QS = np.round(np.where(denom > 0.0, S / denom, 0.0), 6)
+            QS[ids[:, None] == q_ids_v[None, :]] = -np.inf  # self-matches
+            if len(ids) > k:
+                kth = np.partition(QS, -k, axis=0)[-k, :]
+                keep = (QS >= kth[None, :]) & (QS > -np.inf)
+            else:
+                keep = QS > -np.inf
+            rows, cols = np.nonzero(keep)
+            if len(rows):
+                bn = np.sqrt((B * B).sum(axis=1))
+                cos = np.round(
+                    (B[rows] * QT.T[cols]).sum(axis=1)
+                    / (bn[rows] * qn_v[cols]), 6
+                )
+                pool.append(
+                    (ids[rows], cols, S[rows, cols], QS[rows, cols], cos)
+                )
+        if not pool:
+            return
+        nid = np.concatenate([p[0] for p in pool])
+        qcol = np.concatenate([p[1] for p in pool])
+        sc = np.concatenate([p[2] for p in pool])
+        qs = np.concatenate([p[3] for p in pool])
+        cs = np.concatenate([p[4] for p in pool])
+        out = {"query_id": [], "neighbor_id": [], "score": [],
+               "qcos": [], "cosine": []}
+        for j in range(len(q_ids_v)):
+            m = qcol == j
+            if not m.any():
+                continue
+            nj, sj, qj, cj = nid[m], sc[m], qs[m], cs[m]
+            order = np.lexsort((nj, -qj))[:k]
+            out["query_id"].extend([q_ids_v[j]] * len(order))
+            out["neighbor_id"].extend(nj[order])
+            out["score"].extend(sj[order])
+            out["qcos"].extend(qj[order])
+            out["cosine"].extend(cj[order])
+        yield pd.DataFrame(out)
+
+    cand = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "score", "qcos", "cosine",
+        )
+    )

@@ -1387,3 +1387,30 @@ def test_bpe_pair_counts_weighted(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # global top-N must compile to a bounded heap, never a full sort
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sq8_topk_quantization_and_recall(spark, sf_dir):
+    from asag_spark.operators.similarity import cosine_topk, sq8_scale, sq8_topk
+
+    # constructed case: global scale = max|x| = 4.0, so codes are
+    # exact: x*127/4 -> 2.0 -> 64 (floor(63.5+0.5)), -4.0 -> -127,
+    # 1.0 -> 32 (floor(31.75+0.5))
+    rows = [(0, [2.0, 0.0]), (1, [-4.0, 0.0]), (2, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assert sq8_scale(emb) == 4.0
+    got = {(r.query_id, r.neighbor_id): (r.score, r.rank)
+           for r in sq8_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()}
+    # codes: v0=[64,0], v1=[-127,0], v2=[32,32]
+    # scores vs v0: v1 = -8128, v2 = 2048; qcos ranks v2 first
+    assert got == {(0, 2): (2048, 1), (0, 1): (-8128, 2)}
+
+    # recall vs the exact brute-force ranking on the real table —
+    # 8-bit symmetric quantization should be near-lossless here
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(e, q, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in sq8_topk(e, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"SQ8 recall@5 collapsed: {recall}"
