@@ -727,6 +727,32 @@ def _t_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal
+    (operators/dedup.boilerplate_removal; CCNet line-frequency shape).
+    The synthetic corpus has no naturally-shared chunks, so two
+    8-token banners are PREPENDED deterministically (prefixes keep
+    the fixed-window chunk boundaries aligned, so every banner copy
+    is the same chunk string): doc_id%2==0 gets the terms banner,
+    %5==0 the subscribe banner. The oracle injects identically."""
+    from asag_spark.operators.dedup import boilerplate_removal
+
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.when(d % 5 == 0, F.lit(_BP_BANNER2 + " ")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit(_BP_BANNER1 + " ")).otherwise(F.lit("")),
+        F.col("text"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", aug.alias("text")
+    )
+    return boilerplate_removal(docs, min_docs=3)
+
+
+_BP_BANNER1 = "terms of service apply all rights reserved worldwide"
+_BP_BANNER2 = "subscribe to our newsletter for daily updates now"
+
+
 def _t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level paragraph (fixed 8-token chunk) dedup — first
     occurrence wins, docs reassembled from surviving chunks
@@ -1484,6 +1510,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # q_event_anomaly; the per-source percentile stats stay
         # oracle-gated here
         "t_corpus_stats": _t_corpus_stats,
+        # this session, born demoted: CCNet-style corpus-frequency
+        # boilerplate removal (drop ALL copies of hot chunks) — the
+        # dedup family's live slots stay with exact/paragraph/cluster
+        "t_boilerplate": _t_boilerplate,
         # displaced by t_bpe_pairs — minhash family live via
         # t_minhash_lsh; jaccard verify also rides t_minhash_dedup
         "t_jaccard_pairs": _t_jaccard,
@@ -2969,6 +2999,52 @@ def _all_oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
                                        ORDER BY chunk_idx), '') AS text_dedup
             FROM ranked GROUP BY doc_id
+        """,
+        "t_boilerplate": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN 'subscribe to our newsletter for daily updates now '
+                          ELSE '' END
+                     || CASE WHEN doc_id % 2 = 0
+                          THEN 'terms of service apply all rights reserved worldwide '
+                          ELSE '' END
+                     || text AS text
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM aug
+            ),
+            ch AS (
+              SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+                     array_to_string(toks[i*8+1 : i*8+8], ' ') AS chunk
+              FROM base,
+                   UNNEST(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS t(i)
+            ),
+            hot AS (
+              SELECT chunk FROM (
+                SELECT chunk, count(DISTINCT doc_id) AS nd
+                FROM ch GROUP BY chunk
+              ) WHERE nd >= 3
+            ),
+            kept AS (
+              SELECT doc_id,
+                     CAST(count(*) AS INTEGER) AS n_kept,
+                     string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean
+              FROM ch
+              WHERE chunk NOT IN (SELECT chunk FROM hot)
+              GROUP BY doc_id
+            ),
+            spine AS (
+              SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks
+              FROM ch GROUP BY doc_id
+            )
+            SELECT s.doc_id, s.n_chunks,
+                   coalesce(k.n_kept, 0) AS n_kept,
+                   coalesce(k.text_clean, '') AS text_clean
+            FROM spine s LEFT JOIN kept k ON k.doc_id = s.doc_id
         """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,

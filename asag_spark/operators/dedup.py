@@ -803,3 +803,83 @@ def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
         F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(F.lit(0))
         .alias("keep"),
     )
+
+
+def boilerplate_removal(
+    docs: DataFrame,
+    min_docs: int = 3,
+    chunk_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-frequency boilerplate filter (the CCNet / RefinedWeb
+    line-frequency pass): drop EVERY occurrence of any chunk that
+    appears in >= ``min_docs`` DISTINCT documents — headers, footers,
+    cookie banners. Complements paragraph_dedup (which keeps the
+    first occurrence): boilerplate is noise in every copy, so no copy
+    survives. Chunking convention shared with paragraph_dedup (the
+    synthetic corpus has no newline structure, so a fixed
+    ``chunk_tokens``-token window stands in for the line boundary).
+
+    Output: (doc_id, n_chunks, n_kept, text_clean) for every input
+    doc, order preserved among survivors.
+
+    Scale shape — three chunk-keyed shuffles, all map-combined and
+    linear in the corpus:
+      1. per-chunk distinct-doc count as TWO stacked hash aggs:
+         groupBy(chunk, doc_id) then groupBy(chunk).count — a hot
+         boilerplate chunk ships one row per (map partition) per
+         stage, never 10^8 rows, and the second agg's input is
+         already distinct so count(*) needs no distinct expansion;
+      2. hot set = count >= min_docs, joined back with a LEFT ANTI
+         equi-join (NOT a window over partitionBy(chunk): AQE can
+         split a skewed join key across tasks, a window partition is
+         unsplittable by contract; and NOT a broadcast — the hot set
+         is usually tiny but adversarial corpora can make it huge);
+      3. reassembly groupBy(doc_id) via a left join from the original
+         doc spine so fully-boilerplate docs survive with n_kept=0.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), sep
+        ),
+    )
+    spine = docs.select(
+        F.col(id_col).alias("doc_id"), n_chunks.alias("n_chunks")
+    )
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    )
+    hot = (
+        ex.groupBy("chunk", "doc_id").agg(F.lit(1))
+        .groupBy("chunk").agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("chunk")
+    )
+    kept = ex.join(hot, "chunk", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
+                ),
+                lambda s: s["chunk"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return spine.join(agg, "doc_id", "left").select(
+        "doc_id", "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )

@@ -635,7 +635,8 @@ def sq8_scale(emb: DataFrame) -> float:
     return float(row["ma"] or 0.0)
 
 
-def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             scale: float | None = None) -> DataFrame:
     """Symmetric-uniform int8 (SQ8) ANN top-k: every component is
     quantized to code = clamp(floor(x·127/max_abs + 0.5), −127, 127)
     with ONE corpus-global scale, candidates are ranked by the
@@ -664,13 +665,16 @@ def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
 
     Output: (query_id, neighbor_id, rank, score, qcos, cosine) —
     score the integer quantized dot, qcos the quantized cosine the
-    ranking uses, cosine the exact refine value.
+    ranking uses, cosine the exact refine value. ``scale`` lets the
+    caller hoist the corpus max-abs sidecar out of repeated queries
+    (the same convention as ivf_topk's ``centroids`` arg: the corpus
+    pays the stats pass once, every query batch reuses it).
     """
     import numpy as np
     from pyspark.sql import types as T
 
     id_type = emb.schema["vec_id"].dataType
-    ma = sq8_scale(emb)
+    ma = sq8_scale(emb) if scale is None else float(scale)
 
     def quantize(X: "np.ndarray") -> "np.ndarray":
         if ma <= 0.0:

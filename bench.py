@@ -211,6 +211,18 @@ def main() -> None:
     pyramid = tile_pyramid(feats_pts, base_zoom=12, min_zoom=5)
     timed("xyz_pyramid", lambda: materialize(pyramid), warm=1)
     extras["pyramid_tiles"] = pyramid.count()
+
+    # this session: quadtree compaction of the z12 coverage set to the
+    # minimal mixed-zoom cover (one window shuffle per level on a
+    # >=4x-shrinking frontier)
+    from asag_spark.geo.xyz import compact_tiles, tile_x, tile_y
+
+    cover12 = feats_pts.select(
+        tile_x(F.col("lon"), 12).alias("x"), tile_y(F.col("lat"), 12).alias("y")
+    )
+    compacted = compact_tiles(cover12, zoom=12, min_zoom=0)
+    timed("compact_tiles", lambda: materialize(compacted), warm=1)
+    extras["compact_out_tiles"] = compacted.count()
     poly_raster = rasterize_polygons_xyz(zones, zoom=11, extent=16)
     timed("polygon_raster", lambda: materialize(poly_raster), warm=1)
     extras["polygon_raster_tiles"] = poly_raster.count()
@@ -320,6 +332,18 @@ def main() -> None:
         lambda: materialize(cosine_topk(big_emb, qbig, k=10)),
         warm=1,
     )
+    # SQ8 quantized path over the same 2M corpus — the compressed-read
+    # story next to the float brute number. The corpus max-abs sidecar
+    # is hoisted like the IVF centroids (a one-off stats pass at
+    # corpus-build time, reused by every query batch).
+    from asag_spark.operators.similarity import sq8_scale, sq8_topk
+
+    sq8_ma = sq8_scale(big_emb)
+    timed(
+        "sq8_topk_2m",
+        lambda: materialize(sq8_topk(big_emb, qbig, k=10, scale=sq8_ma)),
+        warm=1,
+    )
     timed(
         "ivf_indexed_2m",
         lambda: materialize(ivf_topk_indexed(spark, ivf_path, qbig, k=10)),
@@ -374,6 +398,13 @@ def main() -> None:
     from asag_spark.operators.text import repetition_stats
 
     timed("repetition", lambda: materialize(repetition_stats(documents)), warm=1)
+
+    # this session: PII scrub (zero-exchange per-row regex) and one
+    # BPE merge-scoring pass (vocab-bounded shuffles)
+    from asag_spark.operators.text import bpe_pair_counts, pii_scrub
+
+    timed("pii_scrub", lambda: materialize(pii_scrub(documents)), warm=1)
+    timed("bpe_pairs", lambda: materialize(bpe_pair_counts(documents)), warm=1)
 
     # round-3 training-data additions: global prefix-sum packing,
     # winnow-fp decontamination join, time-bucketed range join

@@ -1414,3 +1414,25 @@ def test_sq8_topk_quantization_and_recall(spark, sf_dir):
               for r in sq8_topk(e, q, k=5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"SQ8 recall@5 collapsed: {recall}"
+
+
+def test_boilerplate_removal_drops_all_copies(spark):
+    from asag_spark.operators.dedup import boilerplate_removal
+
+    # 4-token chunks; "a b c d" appears in 3 docs (hot at min_docs=3),
+    # "x y z w" in only 2 (kept). Doc 3 is pure boilerplate.
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d x y z w"),
+        (2, "x y z w p q r s"),
+        (3, "a b c d"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in
+         boilerplate_removal(docs, min_docs=3, chunk_tokens=4).collect()}
+    assert (r[0]["n_chunks"], r[0]["n_kept"]) == (2, 1)
+    assert r[0]["text_clean"] == "e f g h"
+    # unlike paragraph_dedup, the FIRST copy dies too
+    assert r[1]["text_clean"] == "x y z w"
+    assert r[2]["text_clean"] == "x y z w p q r s"
+    assert (r[3]["n_kept"], r[3]["text_clean"]) == (0, "")
