@@ -779,3 +779,140 @@ def sq8_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
             "score", "qcos", "cosine",
         )
     )
+
+
+def sq8_encode(emb: DataFrame, path: str, scale: float | None = None) -> float:
+    """Materialize the SQ8 compressed layout: the corpus stored as
+    int8 codes (one byte per dimension — ~4× smaller on disk and on
+    the scan path than float32, ~8× than float64) plus the scalar
+    scale as a one-row sidecar. This is the deployment shape of
+    scalar quantization: encode ONCE at corpus-build time, serve
+    every query from the code scan; sq8_topk's per-query
+    re-quantization of the float corpus is only the zero-setup
+    fallback. Returns the scale used."""
+    spark = emb.sparkSession
+    ma = sq8_scale(emb) if scale is None else float(scale)
+    factor = F.lit(127.0 / ma) if ma > 0.0 else F.lit(0.0)
+    codes = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.least(
+            F.greatest(F.floor(x * factor + F.lit(0.5)), F.lit(-127.0)),
+            F.lit(127.0),
+        ).cast("tinyint"),
+    )
+    emb.select("vec_id", codes.alias("codes")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+    spark.createDataFrame([(ma,)], "ma double").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/scale")
+    return ma
+
+
+def sq8_topk_encoded(spark, path: str, queries: DataFrame,
+                     k: int = 5) -> DataFrame:
+    """ANN top-k against a stored sq8_encode layout: the corpus scan
+    reads ONLY the one-byte-per-dimension code column (the 4×/8×
+    bandwidth saving is physical, not just arithmetic), queries are
+    quantized with the stored scale sidecar, and ranking is the same
+    integer-exact quantized cosine as sq8_topk. No float corpus is
+    touched, so the output is (query_id, neighbor_id, rank, score,
+    qcos) — exact-cosine refine joins the winners back to the float
+    table when the caller needs it (tiny: ≤ n_q·k rows).
+
+    Engine-exactness matches sq8_topk: the stored codes were produced
+    by the same floor(t+0.5) rule, and scoring is integer dot +
+    integer code norms."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    ma = float(
+        spark.read.parquet(f"{path}/scale").collect()[0]["ma"]
+    )
+    corpus = spark.read.parquet(f"{path}/codes")
+    id_type = corpus.schema["vec_id"].dataType
+
+    q_rows = queries.select(
+        "vec_id", F.col("embedding").cast("array<double>")
+    ).collect()
+    if not q_rows:
+        return _empty_topk(spark, id_type).select(
+            "query_id", "neighbor_id", "rank",
+            F.lit(0).cast("long").alias("score"),
+            F.lit(0.0).alias("qcos"),
+        )
+    q_ids = np.array([r[0] for r in q_rows])
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    if ma > 0.0:
+        Qc = np.clip(
+            np.floor(Q * 127.0 / ma + 0.5), -127.0, 127.0
+        ).astype(np.int64)
+    else:
+        Qc = np.zeros_like(Q, dtype=np.int64)
+    qcn = np.sqrt((Qc * Qc).sum(axis=1).astype(np.float64))
+    bq = spark.sparkContext.broadcast((q_ids, Qc.T.copy(), qcn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("score", T.LongType()),
+            T.StructField("qcos", T.DoubleType()),
+        ]
+    )
+
+    def part_topk(batches):
+        import pandas as pd
+
+        q_ids_v, QcT, qcn_v = bq.value
+        pool: list = []
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["vec_id"].to_numpy()
+            Bc = np.stack(batch["codes"].to_numpy()).astype(np.int64)
+            S = Bc @ QcT
+            bcn = np.sqrt((Bc * Bc).sum(axis=1).astype(np.float64))
+            denom = bcn[:, None] * qcn_v[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                QS = np.round(np.where(denom > 0.0, S / denom, 0.0), 6)
+            QS[ids[:, None] == q_ids_v[None, :]] = -np.inf
+            if len(ids) > k:
+                kth = np.partition(QS, -k, axis=0)[-k, :]
+                keep = (QS >= kth[None, :]) & (QS > -np.inf)
+            else:
+                keep = QS > -np.inf
+            rows, cols = np.nonzero(keep)
+            if len(rows):
+                pool.append((ids[rows], cols, S[rows, cols], QS[rows, cols]))
+        if not pool:
+            return
+        nid = np.concatenate([p[0] for p in pool])
+        qcol = np.concatenate([p[1] for p in pool])
+        sc = np.concatenate([p[2] for p in pool])
+        qs = np.concatenate([p[3] for p in pool])
+        out = {"query_id": [], "neighbor_id": [], "score": [], "qcos": []}
+        for j in range(len(q_ids_v)):
+            m = qcol == j
+            if not m.any():
+                continue
+            nj, sj, qj = nid[m], sc[m], qs[m]
+            order = np.lexsort((nj, -qj))[:k]
+            out["query_id"].extend([q_ids_v[j]] * len(order))
+            out["neighbor_id"].extend(nj[order])
+            out["score"].extend(sj[order])
+            out["qcos"].extend(qj[order])
+        yield pd.DataFrame(out)
+
+    cand = corpus.mapInPandas(part_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qcos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "score", "qcos",
+        )
+    )

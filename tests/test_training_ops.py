@@ -1436,3 +1436,22 @@ def test_boilerplate_removal_drops_all_copies(spark):
     assert r[1]["text_clean"] == "x y z w"
     assert r[2]["text_clean"] == "x y z w p q r s"
     assert (r[3]["n_kept"], r[3]["text_clean"]) == (0, "")
+
+
+def test_sq8_encoded_matches_inline(spark, sf_dir, tmp_path):
+    from asag_spark.operators.similarity import sq8_encode, sq8_topk, sq8_topk_encoded
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "sq8")
+    sq8_encode(e, path)
+    enc = {(r.query_id, r.neighbor_id): (r.rank, r.score, r.qcos)
+           for r in sq8_topk_encoded(spark, path, q, k=5).collect()}
+    inline = {(r.query_id, r.neighbor_id): (r.rank, r.score, r.qcos)
+              for r in sq8_topk(e, q, k=5).collect()}
+    # stored codes were produced by the same floor(t+0.5) rule, so the
+    # encoded read path is BIT-identical to inline quantization
+    assert enc == inline and len(enc) == 25
+    # codes are physically tinyint
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.schema["codes"].dataType.simpleString() == "array<tinyint>"
