@@ -968,3 +968,109 @@ def bpe_pair_counts(docs: DataFrame, top: int = 20,
     return topn.select(
         F.row_number().over(w).alias("rank"), "pair", "n"
     )
+
+
+def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram language-model fluency scoring (the CCNet-style quality
+    dial: train an n-gram LM on the corpus, keep the low-perplexity
+    tail). One pass trains the LM — add-one-smoothed bigram
+    conditionals over the corpus itself — and scores every document by
+    its average negative log-likelihood:
+
+        nll(d) = (1/|bigrams(d)|) * SUM -ln( (c(w1,w2)+1) / (c(w1)+V) )
+
+    lower = more corpus-typical text (perplexity = e^nll if a caller
+    wants the conventional unit).
+
+    Plan shape (and why it scales to 100 TB):
+      1. one scan projects the token array; unigram counts and bigram
+         counts are TWO map-combined shuffles whose key spaces are the
+         distinct vocabulary / distinct bigram set — sub-linear in
+         corpus size under Zipf (partial aggregation collapses repeats
+         executor-side, the wire carries vocab-sized data);
+      2. per-doc bigram occurrences are pre-aggregated to
+         (doc_id, w1, w2, cnt) BEFORE the count join, so repetitive
+         docs join each distinct bigram once and multiply — the join
+         input is bounded by distinct-bigrams-per-doc, not tokens;
+      3. the count join is a plain hash join keyed by the bigram (the
+         build side has ONE row per key, so hot "of the"-style keys
+         replicate cheaply; AQE broadcasts it when the pruned vocab
+         fits, shuffle-hash otherwise); V rides along as a broadcast
+         single-row cross join;
+      4. per-term quantization floor(term*1e6 + 0.5) -> BIGINT makes
+         the per-doc SUM integer-exact, so aggregation order can never
+         move the result (the SQ8 / hyperplane-LSH idiom); the only
+         float op is one final division, rounded to 6 dp. Cross-engine
+         risk is confined to ln() ulp parity at the 1e-6 boundary,
+         the same accepted class as the rounded-cosine operators.
+      5. the scorer re-aggregates by doc_id — one further map-combined
+         shuffle keyed by the doc.
+
+    Docs with fewer than two tokens have no bigrams: n_bigrams = 0,
+    nll NULL (never a 0/0 under ANSI mode).
+
+    Output: (doc_id, n_bigrams, nll).
+    """
+    tk = docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("tk"))
+    uni = (
+        tk.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # V counts uni's rows THROUGH c1's value (c1 >= 1 by construction,
+    # so the count is exactly the vocabulary size): a bare count(1)
+    # lets the optimizer rewrite this branch to a keys-only distinct,
+    # whose exchange no longer canonically matches uni's, and the
+    # corpus gets re-tokenized for a single scalar. Keying the count
+    # on c1 keeps the (w, partial_count) exchange byte-identical, so
+    # ReusedExchange feeds uni's shuffle to both consumers
+    vocab = F.broadcast(
+        uni.agg(F.count(F.when(F.col("c1") > 0, F.lit(1))).alias("v"))
+    )
+    m = F.size(F.col("tk")) - 1
+    # the explicit doc_id NOT NULL (doc_id is the PK — never null)
+    # keeps the docbg subtree byte-identical under both consumers:
+    # without it the scored branch gets the join's isnotnull pushed in
+    # while big's branch doesn't, and ReusedExchange needs exact
+    # canonical equality to serve both from one shuffle write
+    bg = (
+        tk.filter((F.size("tk") >= 2) & F.col("doc_id").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tk", 1, m).alias("w1"),
+                    F.slice("tk", 2, m).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    docbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    # corpus bigram counts re-aggregate docbg (NOT a fresh explode):
+    # the (doc_id, w1, w2) exchange is an identical subtree, so
+    # ReusedExchange serves both consumers from one shuffle write and
+    # the corpus is tokenized/exploded once per key space, not twice
+    big = docbg.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
+    term = -F.log((F.col("c12") + F.lit(1)) / (F.col("c1") + F.col("v")))
+    term_q = F.floor(term * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = (
+        docbg.join(big, ["w1", "w2"])
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(vocab)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("cnt") * term_q).alias("sq"),
+            F.sum("cnt").alias("nb"),
+        )
+        .select(
+            "doc_id",
+            F.col("nb").alias("n_bigrams"),
+            F.round(F.col("sq") / (F.col("nb") * F.lit(1e6)), 6).alias("nll"),
+        )
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        "nll",
+    )

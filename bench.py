@@ -431,6 +431,12 @@ def main() -> None:
     timed("pii_scrub", lambda: materialize(pii_scrub(documents)), warm=1)
     timed("bpe_pairs", lambda: materialize(bpe_pair_counts(documents)), warm=1)
 
+    # bigram-LM fluency scoring: LM train (two vocab-keyed combines)
+    # + per-doc NLL join in one job
+    from asag_spark.operators.text import lm_bigram_score
+
+    timed("lm_score", lambda: materialize(lm_bigram_score(documents)), warm=1)
+
     # round-3 training-data additions: global prefix-sum packing,
     # winnow-fp decontamination join, time-bucketed range join
     from asag_spark.operators.events import range_join_counts

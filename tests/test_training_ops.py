@@ -1455,3 +1455,30 @@ def test_sq8_encoded_matches_inline(spark, sf_dir, tmp_path):
     # codes are physically tinyint
     codes = spark.read.parquet(f"{path}/codes")
     assert codes.schema["codes"].dataType.simpleString() == "array<tinyint>"
+
+
+def test_lm_bigram_score_semantics(spark):
+    from math import log
+
+    from asag_spark.operators.text import lm_bigram_score
+
+    rows = [
+        (0, "a b a b a b"),      # only corpus-frequent bigrams
+        (1, "a b x y"),          # two rare bigrams alongside one hot one
+        (2, "z"),                # single token: no bigrams
+        (3, ""),                 # empty text: one ''-token, no bigrams
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in lm_bigram_score(docs).collect()}
+    assert r[2]["n_bigrams"] == 0 and r[2]["nll"] is None
+    assert r[3]["n_bigrams"] == 0 and r[3]["nll"] is None
+    assert r[0]["n_bigrams"] == 5 and r[1]["n_bigrams"] == 3
+    # the all-hot-bigram doc is the more corpus-typical one
+    assert r[0]["nll"] < r[1]["nll"]
+    # hand-check doc 0: corpus bigrams ab=4, ba=2; unigrams a=4, b=4;
+    # V=6 (a, b, x, y, z, and the ''-token of the empty doc) —
+    # add-one: p(b|a)=(4+1)/(4+6), p(a|b)=(2+1)/(4+6)
+    t_ab = int(-log(5 / 10) * 1e6 + 0.5)
+    t_ba = int(-log(3 / 10) * 1e6 + 0.5)
+    expect = round((3 * t_ab + 2 * t_ba) / (5 * 1e6), 6)
+    assert r[0]["nll"] == pytest.approx(expect, abs=1e-9)
