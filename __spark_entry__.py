@@ -130,6 +130,20 @@ def _q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                          fixture_zones(spark))
 
 
+def _g_boundary_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-boundary-edge snap over the fixture features x fixture
+    zones (operators/pip.snap_to_boundary — the map-matching
+    primitive); golden-pinned like the PIP fixtures, values verified
+    against an independent scalar reference in tests/test_spatial.py."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.operators.pip import snap_to_boundary
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return snap_to_boundary(feats.filter(F.col("lat").isNotNull()),
+                            fixture_zones(spark))
+
+
 def _q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MVT polygon slicing: fixture zones clipped into zoom-9 tiles
     with extent-4096 local integer rings (xyz.clip_polygons_to_tiles —
@@ -1100,6 +1114,17 @@ def _t_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sq8_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def _t_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC ANN (operators/similarity.pq_topk):
+    PQ_M sub-codebooks from the seeded md5 sample, per-dimension
+    integer-quantized sub-distances so codes and ADC scores are
+    integer-exact in both engines (module comment in similarity.py)."""
+    from asag_spark.operators.similarity import pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
 def _t_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.similarity import cosine_topk_lsh
 
@@ -1318,11 +1343,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_minhash_lsh": _t_minhash_lsh,
         "t_cosine_topk": _t_cosine_topk,
         "t_ivf_topk": _t_ivf_topk,
-        # this session: SQ8 scalar-quantized ANN — the compressed-
-        # vector read path (takes t_corpus_stats' slot; corpus stats
-        # stay oracle-gated in the demoted registry, and the stats
-        # family stays live via t_quality / q_event_anomaly)
-        "t_sq8_topk": _t_sq8_topk,
+        # this session: PQ/ADC quantized ANN — the m-bytes-per-vector
+        # compressed read path, integer-exact sub-distances (takes
+        # t_sq8_topk's slot, which rides the demoted registry with the
+        # same oracle; quantized-ANN family stays live here, and SQ8
+        # keeps its pytest parity + bench rows). Slot lineage:
+        # t_corpus_stats -> t_sq8_topk (r3) -> t_pq_topk (r3)
+        "t_pq_topk": _t_pq_topk,
         "t_emb_near_dups": _t_emb_near_dups,
         "t_simhash_near_dups": _t_simhash,
         "t_media_decode": _t_media_decode,
@@ -1458,6 +1485,13 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banded-hyperplane LSH path stays live via t_emb_near_dups —
         # the LSH-probed top-k variant rides here with the same oracle
         "t_cosine_topk_lsh": _t_cosine_topk_lsh,
+        # born-demoted round 3 (live set full at 50): nearest-edge
+        # snap, golden-pinned + scalar-reference-verified in pytest
+        "g_boundary_snap": _g_boundary_snap,
+        # demoted round 3 for t_pq_topk: SQ8 is the scalar-quantized
+        # sibling of the PQ read path that replaced it live; identical
+        # oracle, plus its own pytest recall/parity gates
+        "t_sq8_topk": _t_sq8_topk,
         # demoted round 3 for t_lm_score: raw token counting is a
         # two-expression select; the token pipeline stays live through
         # t_quality / t_gopher_filter / t_lm_score itself
@@ -1599,6 +1633,25 @@ SELECT * FROM (VALUES
   ('NSR:StopPlace:1',   'MUNI:0301'),
   ('NSR:StopPlace:999', 'MUNI:0301')
 ) AS t(feature_id, zone_id)
+"""
+
+_BOUNDARY_SNAP_GOLDEN = """
+SELECT t.feature_id, t.zone_id, CAST(t.edge_idx AS INTEGER) AS edge_idx,
+       CAST(t.snap_lon AS DOUBLE) AS snap_lon,
+       CAST(t.snap_lat AS DOUBLE) AS snap_lat,
+       CAST(t.dist_m AS DOUBLE) AS dist_m
+FROM (VALUES
+  ('NSR:Parking:99', 'MUNI:0301', 2, 10.794161, 60.0, 379349.355),
+  ('NSR:Quay:8', 'VKT:TariffZone:729', 1, 10.4628582, 59.1552823, 80061.358),
+  ('NSR:StopPlace:1', 'MUNI:0301', 1, 10.9, 59.911868, 7908.292),
+  ('NSR:StopPlace:10', 'VKT:TariffZone:729', 1, 10.4628582, 59.1552823, 270795.541),
+  ('NSR:StopPlace:1000', 'VKT:TariffZone:729', 1, 10.4628582, 59.1552823, 270795.541),
+  ('NSR:StopPlace:59879', 'MUNI:ADJ', 3, 10.95, 58.981594, 452.157),
+  ('NSR:StopPlace:59880', 'MUNI:ADJ', 3, 10.95, 58.981708, 398.064),
+  ('NSR:StopPlace:59881', 'MUNI:ADJ', 3, 10.95, 58.981227, 410.676),
+  ('NSR:StopPlace:59883', 'MUNI:ADJ', 3, 10.95, 58.9815, 420.815),
+  ('NSR:StopPlace:999', 'MUNI:0301', 1, 10.9, 59.911868, 7908.292)
+) AS t(feature_id, zone_id, edge_idx, snap_lon, snap_lat, dist_m)
 """
 
 _PIP_ANTI_GOLDEN = """
@@ -2326,6 +2379,65 @@ FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id
 """
 
 
+# PQ/ADC oracle mirroring operators/similarity.pq_topk exactly:
+# sub-codebooks = the PQ_K smallest-md5(vec_id) corpus vectors sliced
+# into PQ_M subspaces (centroid index = vec_id-ascending rank), every
+# per-dimension squared difference independently quantized
+# floor(d^2 * 1e12 + 0.5)::BIGINT so sub-distances, argmin code
+# assignment (ties to the smaller index) and the summed ADC score are
+# integer-exact regardless of summation order. Self-matches excluded;
+# final rank (adist ASC, neighbor_id ASC).
+_PQ_TOPK_SQL = """
+WITH samp AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {ksub}
+),
+cent AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx FROM samp
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (SELECT UNNEST(generate_series(0, {m_minus_1})) AS s),
+dist AS (
+  SELECT e.vec_id, sub.s, cent.cidx,
+         CAST(list_sum(list_transform(generate_series(1, {dsub}),
+           i -> CAST(floor(((v[s*{dsub}+i] - cv[s*{dsub}+i])
+                            * (v[s*{dsub}+i] - cv[s*{dsub}+i]))
+                           * 1e12 + 0.5) AS BIGINT))) AS BIGINT) AS dq
+  FROM e CROSS JOIN sub CROSS JOIN cent
+),
+code AS (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dq ASC, cidx ASC) AS rn
+    FROM dist) WHERE rn = 1
+),
+qlut AS (
+  SELECT vec_id AS query_id, s, cidx, dq FROM dist WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(SUM(q.dq) AS BIGINT) AS adist
+  FROM code c JOIN qlut q ON q.s = c.s AND q.cidx = c.cidx
+  WHERE c.vec_id <> q.query_id
+  GROUP BY q.query_id, c.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adist ASC, neighbor_id ASC) AS INTEGER) AS rank,
+       adist
+FROM scored QUALIFY rank <= 5
+"""
+
+
+def _pq_sql() -> str:
+    from asag_spark.operators.similarity import PQ_K, PQ_M
+
+    # d=64 in the embeddings fixture; dsub derives from it
+    return _PQ_TOPK_SQL.format(ksub=PQ_K, m_minus_1=PQ_M - 1,
+                               dsub=64 // PQ_M)
+
+
 _SQ8_TOPK_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (
@@ -2627,6 +2739,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "t_bpe_pairs": _BPE_SQL,
         "g_compact_tiles": _compact_sql(),
         "t_sq8_topk": _SQ8_TOPK_SQL,
+        "t_pq_topk": _pq_sql(),
         "features_fixture": _FEATURES_GOLDEN,
         "validity_filter": _VALIDITY_GOLDEN,
         "adjacency_types": _ADJACENCY_GOLDEN,
@@ -2634,6 +2747,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pip_fixture": _PIP_GOLDEN,
         "pip_partitioned_fixture": _PIP_GOLDEN,
         "g_pip_anti": _PIP_ANTI_GOLDEN,
+        "g_boundary_snap": _BOUNDARY_SNAP_GOLDEN,
         "g_snap_nearest_zone": _SNAP_GOLDEN,
         "g_tile_clip": _TILE_CLIP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,

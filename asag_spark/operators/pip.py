@@ -362,3 +362,118 @@ def pip_flag_join(points: DataFrame, zones: DataFrame,
             yield out
 
     return points.mapInPandas(refine, schema=out_schema)
+
+
+def snap_to_boundary(points: DataFrame, zones: DataFrame,
+                     id_col: str = "feature_id",
+                     lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Nearest-boundary-edge snap (the map-matching primitive): for
+    every point, the closest point ON any zone's exterior-ring edge —
+    projection onto the segment, clamped to its endpoints — plus the
+    owning zone/edge and the great-circle snap distance.
+
+    Geometry: the projection parameter t = clamp(((p−a)·(b−a)) /
+    |b−a|², 0, 1) is computed in lon/lat degree space with latitude
+    scaled by cos(mean ring latitude) (the standard local equirect
+    correction — without it, east-west distances near 59°N are
+    overweighted ~2×); distances for the argmin and the reported
+    dist_m are haversine meters to the candidate snap point, so the
+    winner is chosen by true metric distance among the per-edge
+    projections. Ties break (zone_id ASC, edge_idx ASC).
+
+    Scale shape (mirrors pip_join's broadcast side): zone edges are
+    registry-scale — parsed once driver-side and broadcast as dense
+    numpy arrays; the point side is a single Arrow mapInPandas pass
+    with an (n_batch × n_edges) vectorized distance computation and
+    NO shuffle at all (no join, no window — the argmin is per-row).
+    Dense urban skew is irrelevant: per-point cost is uniform. With a
+    non-registry-scale edge set, the same kernel runs behind a
+    cell-pre-join prune exactly like pip_join_partitioned.
+
+    Output: (feature_id, zone_id, edge_idx, snap_lon, snap_lat,
+    dist_m) — snap coords rounded to 7 dp, dist_m to 3 dp.
+    """
+    spark = points.sparkSession
+    zrows = zones.select("zone_id", "geom_wkt").collect()
+    rings, _ = _zone_index(zrows)
+    if not rings:
+        raise ValueError("snap_to_boundary: no zones")
+    zids, eidx, A, B = [], [], [], []
+    for zid in sorted(rings):
+        ring = rings[zid]
+        # exterior ring is closed (first == last vertex): edges i -> i+1
+        for i in range(len(ring) - 1):
+            zids.append(zid)
+            eidx.append(i)
+            A.append(ring[i])
+            B.append(ring[i + 1])
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    zid_arr = np.asarray(zids)
+    eidx_arr = np.asarray(eidx, dtype=np.int32)
+    coslat = np.cos(np.radians((A[:, 1] + B[:, 1]) / 2.0))
+    bc = spark.sparkContext.broadcast((zid_arr, eidx_arr, A, B, coslat))
+
+    id_type = points.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("feature_id", id_type),
+            T.StructField("zone_id", T.StringType()),
+            T.StructField("edge_idx", T.IntegerType()),
+            T.StructField("snap_lon", T.DoubleType()),
+            T.StructField("snap_lat", T.DoubleType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+
+    def snap(batches):
+        from ..geo.wkt import haversine_m
+
+        zid_v, eidx_v, A_v, B_v, cl = bc.value
+        ab = B_v - A_v                               # (E, 2)
+        # scaled-degree squared edge lengths for the projection param
+        ab_sc = ab.copy()
+        ab_sc[:, 0] *= cl
+        denom = (ab_sc * ab_sc).sum(axis=1)
+        denom[denom == 0.0] = 1.0                    # degenerate edge -> t=0
+        # chunk so the (n_chunk x E) intermediates stay ~tens of MB
+        # regardless of the edge-set size
+        chunk = max(1, 2_000_000 // max(1, len(A_v)))
+
+        def snap_chunk(pdf):
+            P = np.stack(
+                [pdf[lon_col].to_numpy(), pdf[lat_col].to_numpy()], axis=1
+            )
+            ap = P[:, None, :] - A_v[None, :, :]     # (n, E, 2)
+            ap_sc = ap.copy()
+            ap_sc[..., 0] *= cl[None, :]
+            t = np.clip((ap_sc * ab_sc[None, :, :]).sum(-1) / denom[None, :],
+                        0.0, 1.0)                    # (n, E)
+            proj = A_v[None, :, :] + t[..., None] * ab[None, :, :]
+            d = haversine_m(
+                np.repeat(P[:, 0:1], len(A_v), axis=1),
+                np.repeat(P[:, 1:2], len(A_v), axis=1),
+                proj[..., 0], proj[..., 1],
+            )
+            best = d.argmin(axis=1)                  # edges sorted (zone, idx):
+            rows = np.arange(len(P))                 # argmin first-min = tie rule
+            return pd.DataFrame(
+                {
+                    "feature_id": pdf[id_col],
+                    "zone_id": zid_v[best],
+                    "edge_idx": eidx_v[best],
+                    "snap_lon": np.round(proj[rows, best, 0], 7),
+                    "snap_lat": np.round(proj[rows, best, 1], 7),
+                    "dist_m": np.round(d[rows, best], 3),
+                }
+            )
+
+        for pdf0 in batches:
+            for lo in range(0, len(pdf0), chunk):
+                pdf = pdf0.iloc[lo:lo + chunk]
+                if len(pdf):
+                    yield snap_chunk(pdf)
+
+    return points.select(id_col, lon_col, lat_col).mapInPandas(
+        snap, schema=out_schema
+    )

@@ -186,6 +186,13 @@ def main() -> None:
     pipp = pip_join_partitioned(feats_pts, zones)
     timed("pip_partitioned", lambda: materialize(pipp), warm=1)
 
+    # 2c. nearest-boundary-edge snap: zero-shuffle broadcast-edge
+    # kernel, every point x every zone edge vectorized per batch
+    from asag_spark.operators.pip import snap_to_boundary
+
+    snap = snap_to_boundary(feats_pts, zones)
+    timed("boundary_snap", lambda: materialize(snap), warm=1)
+
     # 3. kNN on a deterministic 1-in-20 subsample (bounded-radius contract)
     sample = feats_pts.filter(F.pmod(F.xxhash64("feature_id"), F.lit(20)) == 0)
     knn = knn_join(sample, k=3)
@@ -369,6 +376,39 @@ def main() -> None:
 
     extras["sq8_code_bytes"] = _dir_bytes(os.path.join(sq8_path, "codes"))
     extras["emb_float_bytes"] = _dir_bytes(emb_path)
+
+    # PQ/ADC over the same 2M corpus: m-bytes-per-vector codes (the
+    # third compression point after float and SQ8), LUT-gather scoring;
+    # encoded = the deployment shape (codes scan only), refined = the
+    # recall-restoring exact rerank of the r=50 shortlist
+    from asag_spark.operators.similarity import (
+        pq_codebook, pq_encode, pq_topk, pq_topk_encoded, pq_topk_refined,
+    )
+
+    _, pq_cb = pq_codebook(big_emb)
+    pq_path = f"/tmp/asag_bench/pq_{n_vecs}"
+    if not os.path.exists(os.path.join(pq_path, "codes", "_SUCCESS")):
+        t0 = time.perf_counter()
+        pq_encode(big_emb, pq_path, codebook=pq_cb)
+        extras["pq_encode_s"] = round(time.perf_counter() - t0, 3)
+    timed(
+        "pq_topk_2m",
+        lambda: materialize(pq_topk(big_emb, qbig, k=10, codebook=pq_cb)),
+        warm=1,
+    )
+    timed(
+        "pq_encoded_2m",
+        lambda: materialize(pq_topk_encoded(spark, pq_path, qbig, k=10)),
+        warm=1,
+    )
+    timed(
+        "pq_refined_2m",
+        lambda: materialize(
+            pq_topk_refined(big_emb, qbig, k=10, r=50, codebook=pq_cb)
+        ),
+        warm=1,
+    )
+    extras["pq_code_bytes"] = _dir_bytes(os.path.join(pq_path, "codes"))
     timed(
         "ivf_indexed_2m",
         lambda: materialize(ivf_topk_indexed(spark, ivf_path, qbig, k=10)),

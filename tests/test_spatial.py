@@ -369,3 +369,80 @@ def test_snap_nearest_zone_brute_parity(spark):
             for zid, clon, clat in cents
         )
         assert (dists[0][1], dists[0][0]) == got[fid], fid
+
+
+def test_snap_to_boundary_constructed(spark):
+    """Hand-checkable case: a unit square zone at the equator (cos
+    correction = ~1). A point east of the right edge snaps
+    perpendicular onto it; a point past a corner clamps to the
+    vertex; the first-minimal-edge rule breaks vertex ties."""
+    from asag_spark.geo.wkt import haversine_m
+    from asag_spark.operators.pip import snap_to_boundary
+
+    zones = spark.createDataFrame(
+        [("Z:1", "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")],
+        "zone_id string, geom_wkt string",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("P:east", 1.5, 0.5),    # perpendicular onto edge 1->2
+            ("P:corner", 2.0, 2.0),  # clamps to vertex (1, 1)
+            ("P:inside", 0.9, 0.5),  # inside: nearest boundary = x=1
+        ],
+        "feature_id string, lon double, lat double",
+    )
+    r = {x["feature_id"]: x for x in snap_to_boundary(pts, zones).collect()}
+    assert (r["P:east"]["snap_lon"], r["P:east"]["snap_lat"]) == (1.0, 0.5)
+    assert r["P:east"]["edge_idx"] == 1
+    assert (r["P:corner"]["snap_lon"], r["P:corner"]["snap_lat"]) == (1.0, 1.0)
+    # vertex (1,1) ends edge 1 and starts edge 2: first minimal wins
+    assert r["P:corner"]["edge_idx"] == 1
+    assert (r["P:inside"]["snap_lon"], r["P:inside"]["snap_lat"]) == (1.0, 0.5)
+    expect = float(haversine_m(1.5, 0.5, 1.0, 0.5))
+    assert r["P:east"]["dist_m"] == pytest.approx(expect, abs=0.001)
+
+
+def test_snap_to_boundary_scalar_reference(spark):
+    """Vectorized kernel vs an independent per-point/per-edge scalar
+    loop over the fixture features x fixture zones."""
+    import math
+
+    import numpy as np
+
+    from asag_spark.geo.wkt import haversine_m, parse_polygon
+    from asag_spark.operators.pip import snap_to_boundary
+
+    feats = build_features(fixture_docs(spark), as_of=AS_OF).filter(
+        F.col("lat").isNotNull()
+    )
+    zones = fixture_zones(spark)
+    got = {
+        r["feature_id"]: (r["zone_id"], r["edge_idx"], r["snap_lon"],
+                          r["snap_lat"], r["dist_m"])
+        for r in snap_to_boundary(feats, zones).collect()
+    }
+    zrows = sorted(
+        {(r["zone_id"], r["geom_wkt"]) for r in zones.collect()}
+    )
+    for p in feats.select("feature_id", "lon", "lat").collect():
+        best = None
+        for zid, wkt in zrows:
+            ring = parse_polygon(wkt)
+            for i in range(len(ring) - 1):
+                ax, ay = ring[i]
+                bx, by = ring[i + 1]
+                cl = math.cos(math.radians((ay + by) / 2.0))
+                dx, dy = (bx - ax) * cl, by - ay
+                den = dx * dx + dy * dy or 1.0
+                t = max(0.0, min(1.0, ((p["lon"] - ax) * cl * dx
+                                       + (p["lat"] - ay) * dy) / den))
+                sx, sy = ax + t * (bx - ax), ay + t * (by - ay)
+                d = float(haversine_m(np.float64(p["lon"]), np.float64(p["lat"]),
+                                      np.float64(sx), np.float64(sy)))
+                if best is None or d < best[0] - 1e-9:
+                    best = (d, zid, i, sx, sy)
+        zid_g, ei_g, sx_g, sy_g, d_g = got[p["feature_id"]]
+        assert (zid_g, ei_g) == (best[1], best[2])
+        assert sx_g == pytest.approx(best[3], abs=1e-6)
+        assert sy_g == pytest.approx(best[4], abs=1e-6)
+        assert d_g == pytest.approx(best[0], abs=0.01)

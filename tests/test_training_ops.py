@@ -1482,3 +1482,63 @@ def test_lm_bigram_score_semantics(spark):
     t_ba = int(-log(3 / 10) * 1e6 + 0.5)
     expect = round((3 * t_ab + 2 * t_ba) / (5 * 1e6), 6)
     assert r[0]["nll"] == pytest.approx(expect, abs=1e-9)
+
+
+def test_pq_encoded_matches_inline(spark, sf_dir, tmp_path):
+    from asag_spark.operators.similarity import pq_encode, pq_topk, pq_topk_encoded
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "pq")
+    pq_encode(e, path)
+    enc = {(r.query_id, r.neighbor_id): (r.rank, r.adist)
+           for r in pq_topk_encoded(spark, path, q, k=5).collect()}
+    inline = {(r.query_id, r.neighbor_id): (r.rank, r.adist)
+              for r in pq_topk(e, q, k=5).collect()}
+    # stored codes came from the same per-dimension-quantized argmin,
+    # so the encoded read path is BIT-identical to inline encoding
+    assert enc == inline and len(enc) == 25
+    # codes are physically one byte per subspace
+    codes = spark.read.parquet(f"{path}/codes")
+    assert codes.schema["codes"].dataType.simpleString() == "array<tinyint>"
+    assert codes.select(F.max(F.size("codes"))).collect()[0][0] == 8
+
+
+def test_pq_refined_recall_floor(spark, sf_dir):
+    import numpy as np
+
+    from asag_spark.operators.similarity import pq_topk, pq_topk_refined
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    brute = set()
+    for qi in np.where(ids < 20)[0]:
+        d = ((X - X[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        for n in np.lexsort((ids, d))[:5]:
+            brute.add((ids[qi], ids[n]))
+    q = e.filter(F.col("vec_id") < 20)
+    ref = {(x.query_id, x.neighbor_id)
+           for x in pq_topk_refined(e, q, k=5, r=200).collect()}
+    # isotropic Gaussian is PQ's worst case; the r=200 refine measured
+    # 0.91 here — gate well below to stay robust to fixture changes
+    assert len(brute & ref) / len(brute) >= 0.8
+    # refine must never DROP below raw ADC ordering quality: the
+    # refined top-5 is exactly the exact-L2 rerank of the ADC top-200
+    raw = {(x.query_id, x.neighbor_id)
+           for x in pq_topk(e, q, k=5).collect()}
+    assert len(brute & ref) >= len(brute & raw)
+
+
+def test_pq_codes_partition_invariant(spark, sf_dir):
+    from asag_spark.operators.similarity import pq_topk
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    a = {(r.query_id, r.neighbor_id, r.rank, r.adist)
+         for r in pq_topk(e.repartition(3), q, k=5).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank, r.adist)
+         for r in pq_topk(e.repartition(17), q, k=5).collect()}
+    assert a == b and len(a) == 25
