@@ -785,6 +785,16 @@ def _t_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated n-gram span scrub — OVERLAPPING 8-token windows, every
+    covered token of any corpus-repeated window dropped, docs
+    reassembled (operators/dedup.ngram_span_scrub; the sliding-window
+    exact-substring pass fixed-boundary chunking cannot express)."""
+    from asag_spark.operators.dedup import ngram_span_scrub
+
+    return ngram_span_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _t_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with the broadcast Bloom prefilter on the train
     side (operators/bloom.py + text.contamination_check_bloom) —
@@ -1375,10 +1385,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # jaccard verify stays exercised inside t_minhash_dedup's
         # demoted oracle and its own demoted entry)
         "t_bpe_pairs": _t_bpe_pairs,
-        # round-3: corpus-level paragraph dedup (first occurrence wins,
-        # docs reassembled) — the Lee-et-al exact-substring family
-        # member the dedup suite lacked
-        "t_paragraph_dedup": _t_paragraph_dedup,
+        # this session: overlapping-window exact-substring scrub —
+        # the strictly stronger Lee-et-al pass (takes
+        # t_paragraph_dedup's slot; fixed-chunk paragraph dedup rides
+        # the demoted registry with the same oracle, and the
+        # misaligned-repeat differentiator is pytest-pinned)
+        "t_ngram_scrub": _t_ngram_scrub,
         "t_tfidf_top": _t_tfidf_top,
         "t_kmv_distinct": _t_kmv_distinct,
         # round-3 training-data additions (live SQL oracles): sequence
@@ -1485,6 +1497,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # banded-hyperplane LSH path stays live via t_emb_near_dups —
         # the LSH-probed top-k variant rides here with the same oracle
         "t_cosine_topk_lsh": _t_cosine_topk_lsh,
+        # demoted round 3 for t_ngram_scrub (the overlapping-window
+        # superset); first-occurrence-wins chunk dedup keeps its oracle
+        "t_paragraph_dedup": _t_paragraph_dedup,
         # born-demoted round 3 (live set full at 50): nearest-edge
         # snap, golden-pinned + scalar-reference-verified in pytest
         "g_boundary_snap": _g_boundary_snap,
@@ -3144,6 +3159,36 @@ def _all_oracle_sql() -> dict[str, str]:
         # paragraph dedup: the oracle ranks occurrences relationally
         # (row_number over chunk) — a deliberately different plan from
         # the engine's min-struct groupBy + skew-splittable equi-join
+        # overlapping-window scrub: windows slide one token at a time,
+        # repeated set = count >= 2, covered positions anti-joined out,
+        # string_agg reassembly ordered by position
+        "t_ngram_scrub": r"""
+WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+win AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+7], ' ') AS w
+  FROM tk, unnest(generate_series(1, len(tk) - 7)) AS g(i)
+),
+rep AS (SELECT w FROM win GROUP BY w HAVING count(*) >= 2),
+drops AS (
+  SELECT DISTINCT doc_id, pos + j AS p
+  FROM win JOIN rep USING (w), unnest(generate_series(0, 7)) AS gg(j)
+),
+toks AS (SELECT doc_id, i - 1 AS p, tk[i] AS tok
+         FROM tk, unnest(generate_series(1, len(tk))) AS g(i)),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok FROM toks t
+  ANTI JOIN drops d ON d.doc_id = t.doc_id AND d.p = t.p
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM kept GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(len(s.tk) AS BIGINT) AS n_tokens,
+       CAST(len(s.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped,
+       COALESCE(a.text_clean, '') AS text_clean
+FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
+        """,
         "t_paragraph_dedup": r"""
             WITH base AS (
               SELECT doc_id,

@@ -883,3 +883,101 @@ def boilerplate_removal(
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
         F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
+
+
+def ngram_span_scrub(docs: DataFrame, n: int = 8, min_count: int = 2,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     sep: str = " ") -> DataFrame:
+    """Exact repeated-substring scrub at token-window granularity (the
+    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better" / RefinedWeb pass, bounded to n-token windows): every
+    token covered by ANY n-token window that occurs >= ``min_count``
+    times corpus-wide is dropped, and documents are reassembled from
+    the survivors in order. OVERLAPPING windows slide one token at a
+    time, so repeats land regardless of alignment — the case the
+    fixed-boundary ``boilerplate_removal`` chunker structurally
+    misses (a banner inserted at a doc-dependent offset never aligns
+    with chunk boundaries; here it always matches itself).
+
+    Output: (doc_id, n_tokens, n_dropped, text_clean) for every input
+    doc (short docs with < n tokens pass through whitespace-normalized
+    with n_dropped = 0).
+
+    Plan shape / 100 TB notes:
+      1. window explode is n x corpus tokens through ONE map-combined
+         count shuffle keyed by the window STRING (exact — a 60-bit
+         hash prefilter would false-drop at 10^12-window scale where
+         birthday collisions are certain; production can two-level
+         this: hash-group then verify strings within groups);
+      2. the repeated set joins back LEFT SEMI (not broadcast — an
+         adversarial corpus makes it huge; not a window over
+         partitionBy(w) — AQE can split a skewed join key, a window
+         partition is unsplittable), and only REPEATED occurrences
+         explode to their n covered positions;
+      3. distinct (doc, pos) drop set anti-joins the token positions
+         and the reassembly groupBy(doc_id) sorts each survivor list
+         in memory per doc (array_sort of collect_list — never a
+         global sort);
+      4. everything is keyed by window or doc hash — both uniform;
+         the hot-window skew lives entirely inside the map-combined
+         count, which ships one row per partition per hot key.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    toks = tokens(F.col(text_col))
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("tk")
+    )
+    spine = tk.select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens")
+    )
+    m = F.size("tk") - n + 1
+    win = (
+        tk.filter(F.size("tk") >= n)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), m - 1),
+                    lambda i: F.array_join(F.slice("tk", i + 1, n), sep),
+                )
+            ).alias("pos", "w"),
+        )
+    )
+    rep = (
+        win.groupBy("w").agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("w")
+    )
+    drops = (
+        win.join(rep, "w", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + n - 1)
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    toks_pos = tk.select(
+        "doc_id", F.posexplode("tk").alias("p", "tok")
+    )
+    kept = toks_pos.join(drops, ["doc_id", "p"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            sep,
+        ).alias("text_clean"),
+    )
+    return spine.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+    )

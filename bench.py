@@ -477,6 +477,16 @@ def main() -> None:
 
     timed("lm_score", lambda: materialize(lm_bigram_score(documents)), warm=1)
 
+    # overlapping-window exact-substring scrub (Lee-et-al pass):
+    # n x corpus tokens through one window-keyed count + reassembly
+    from asag_spark.operators.dedup import ngram_span_scrub
+
+    timed(
+        "ngram_scrub",
+        lambda: materialize(ngram_span_scrub(documents)),
+        warm=1,
+    )
+
     # round-3 training-data additions: global prefix-sum packing,
     # winnow-fp decontamination join, time-bucketed range join
     from asag_spark.operators.events import range_join_counts

@@ -1542,3 +1542,47 @@ def test_pq_codes_partition_invariant(spark, sf_dir):
     b = {(r.query_id, r.neighbor_id, r.rank, r.adist)
          for r in pq_topk(e.repartition(17), q, k=5).collect()}
     assert a == b and len(a) == 25
+
+
+def test_ngram_scrub_misaligned_repeat(spark):
+    """The differentiator vs fixed-boundary chunking: the same 4-token
+    phrase planted at DIFFERENT offsets in two docs is caught by the
+    sliding window (and would never align to a shared chunk)."""
+    from asag_spark.operators.dedup import boilerplate_removal, ngram_span_scrub
+
+    phrase = "all rights reserved worldwide"
+    rows = [
+        (0, "u0 u1 " + phrase + " u2 u3"),          # phrase at offset 2
+        (1, "v0 " + phrase + " v1 v2 v3"),          # phrase at offset 1
+        (2, "w0 w1 w2 w3 w4 w5 w6 w7"),             # clean
+        (3, "x0"),                                  # shorter than n
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in
+         ngram_span_scrub(docs, n=4, min_count=2).collect()}
+    assert r[0]["text_clean"] == "u0 u1 u2 u3" and r[0]["n_dropped"] == 4
+    assert r[1]["text_clean"] == "v0 v1 v2 v3" and r[1]["n_dropped"] == 4
+    assert r[2]["n_dropped"] == 0 and r[2]["text_clean"] == rows[2][1]
+    assert r[3]["n_dropped"] == 0 and r[3]["text_clean"] == "x0"
+    # fixed 4-token chunking misses it: offsets 2 and 1 produce
+    # different chunk strings, so nothing reaches the min_docs gate
+    bp = {x["doc_id"]: x for x in
+          boilerplate_removal(docs, min_docs=2, chunk_tokens=4).collect()}
+    assert bp[0]["n_kept"] == bp[0]["n_chunks"]  # nothing dropped
+
+
+def test_ngram_scrub_overlap_cover_merges(spark):
+    """Overlapping repeated windows merge into one contiguous dropped
+    interval; a token covered by two windows drops once."""
+    from asag_spark.operators.dedup import ngram_span_scrub
+
+    # docs share a 5-token run -> two overlapping 4-windows each
+    rows = [
+        (0, "a b c d e p q"),
+        (1, "z a b c d e y"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in
+         ngram_span_scrub(docs, n=4, min_count=2).collect()}
+    assert r[0]["text_clean"] == "p q" and r[0]["n_dropped"] == 5
+    assert r[1]["text_clean"] == "z y" and r[1]["n_dropped"] == 5
