@@ -130,6 +130,23 @@ def _q_pip_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
                          fixture_zones(spark))
 
 
+def _g_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding of the fixture point features at precisions
+    6 and 8 (geo/xyz.geohash — closed-form Morton interleave, pure
+    codegen); golden-pinned, values verified against a textbook
+    bisection reference and the canonical public vectors in
+    tests/test_xyz.py."""
+    from asag_spark.geo.xyz import geohash
+    from asag_spark.operators.enrich import build_features
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return feats.filter(F.col("lat").isNotNull()).select(
+        "feature_id",
+        geohash(F.col("lon"), F.col("lat"), 6).alias("gh6"),
+        geohash(F.col("lon"), F.col("lat"), 8).alias("gh8"),
+    )
+
+
 def _g_boundary_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-boundary-edge snap over the fixture features x fixture
     zones (operators/pip.snap_to_boundary — the map-matching
@@ -1500,6 +1517,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted round 3 for t_ngram_scrub (the overlapping-window
         # superset); first-occurrence-wins chunk dedup keeps its oracle
         "t_paragraph_dedup": _t_paragraph_dedup,
+        # born-demoted round 3 (live set full at 50): geohash — the
+        # fourth spatial index family (hex, S2, quadkey, geohash)
+        "g_geohash": _g_geohash,
         # born-demoted round 3 (live set full at 50): nearest-edge
         # snap, golden-pinned + scalar-reference-verified in pytest
         "g_boundary_snap": _g_boundary_snap,
@@ -1648,6 +1668,21 @@ SELECT * FROM (VALUES
   ('NSR:StopPlace:1',   'MUNI:0301'),
   ('NSR:StopPlace:999', 'MUNI:0301')
 ) AS t(feature_id, zone_id)
+"""
+
+_GEOHASH_GOLDEN = """
+SELECT * FROM (VALUES
+  ('NSR:Parking:99', 'u5r8tx', 'u5r8txsp'),
+  ('NSR:Quay:8', 'u4w2nq', 'u4w2nq0s'),
+  ('NSR:StopPlace:1', 'u4xsuf', 'u4xsuf9g'),
+  ('NSR:StopPlace:10', 'u4kp6s', 'u4kp6ssv'),
+  ('NSR:StopPlace:1000', 'u4kp6s', 'u4kp6ssv'),
+  ('NSR:StopPlace:59879', 'u4rz93', 'u4rz9372'),
+  ('NSR:StopPlace:59880', 'u4rz93', 'u4rz9369'),
+  ('NSR:StopPlace:59881', 'u4rz93', 'u4rz934y'),
+  ('NSR:StopPlace:59883', 'u4rz93', 'u4rz936b'),
+  ('NSR:StopPlace:999', 'u4xsuf', 'u4xsuf9g')
+) AS t(feature_id, gh6, gh8)
 """
 
 _BOUNDARY_SNAP_GOLDEN = """
@@ -2763,6 +2798,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pip_partitioned_fixture": _PIP_GOLDEN,
         "g_pip_anti": _PIP_ANTI_GOLDEN,
         "g_boundary_snap": _BOUNDARY_SNAP_GOLDEN,
+        "g_geohash": _GEOHASH_GOLDEN,
         "g_snap_nearest_zone": _SNAP_GOLDEN,
         "g_tile_clip": _TILE_CLIP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,

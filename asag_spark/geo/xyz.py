@@ -477,3 +477,77 @@ def compact_tiles(tiles: DataFrame, zoom: int, min_zoom: int = 0,
     for lvl in levels[1:]:
         out = out.unionByName(lvl)
     return out
+
+
+GEOHASH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+# conv(n, 10, 32) digit alphabet (uppercase) -> geohash base32
+_CONV32 = "0123456789ABCDEFGHIJKLMNOPQRSTUV"
+
+
+def _morton_spread(v: Column) -> Column:
+    """Spread bits of v (< 2^32) so bit i lands at position 2i — the
+    classic 5-step magic-mask Morton dilation, O(1) expression size
+    (a per-bit extract chain blows the generated method past janino's
+    64 KiB limit and ejects the whole stage to interpreted mode)."""
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def geohash(lon: Column, lat: Column, precision: int = 6) -> Column:
+    """Standard geohash (Niemeyer base32) as a pure JVM expression —
+    the fourth spatial index family next to the hex grid, S2 and xyz
+    quadkeys (geohash prefixes are the join/prune key of choice in
+    Elasticsearch/Lucene-shaped systems, and prefix truncation gives
+    coarser cells for free, like quadkeys).
+
+    Closed form instead of the textbook bisection loop: with
+    b = 5·precision total bits, the first (most significant) bit
+    splits longitude and bits alternate lon/lat, so the code is the
+    bit-interleave of X = floor((lon+180)/360 · 2^ceil(b/2)) and
+    Y = floor((lat+90)/180 · 2^floor(b/2)). The interleave is the
+    5-step Morton magic-mask dilation (constant expression size —
+    whole-stage codegen survives every precision; a per-bit chain
+    compiled 660 extract terms at precision 11 and janino gave up),
+    and base32 rendering is one conv(10→32) + translate + lpad.
+    Verified against the canonical test vectors (ezs42, u4pruydqqvj)
+    and a pure-Python bisection reference. Inputs clamped to valid
+    ranges; null lon/lat → null. DuckDB mirrors the identical
+    integer arithmetic, so the operator is value-oracle-able.
+    """
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision must be in 1..12, got {precision}")
+    bits = 5 * precision
+    nlon = (bits + 1) // 2
+    nlat = bits // 2
+    X = F.least(
+        F.greatest(
+            F.floor((lon + 180.0) / 360.0 * float(1 << nlon)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit((1 << nlon) - 1),
+    )
+    Y = F.least(
+        F.greatest(
+            F.floor((lat + 90.0) / 180.0 * float(1 << nlat)).cast("long"),
+            F.lit(0),
+        ),
+        F.lit((1 << nlat) - 1),
+    )
+    # from the LSB, lon bits sit at odd positions when the bit count
+    # is even and at even positions when it is odd (MSB is always lon)
+    sx, sy = _morton_spread(X), _morton_spread(Y)
+    if bits % 2 == 0:
+        acc = F.shiftleft(sx, 1).bitwiseOR(sy)
+    else:
+        acc = sx.bitwiseOR(F.shiftleft(sy, 1))
+    code = F.lower(
+        F.lpad(F.conv(acc.cast("string"), 10, 32), precision, "0")
+    )
+    return F.when(
+        lon.isNotNull() & lat.isNotNull(),
+        F.translate(code, _CONV32.lower(), GEOHASH_BASE32),
+    )

@@ -407,3 +407,84 @@ def test_compact_tiles_quartets_and_roundtrip(spark):
     got_dup = sorted((r.z, r.x, r.y)
                      for r in compact_tiles(dup, zoom=2, min_zoom=0).collect())
     assert got_dup == [(2, 0, 0), (2, 0, 1), (2, 1, 0)]
+
+
+def _geohash_ref(lon, lat, precision):
+    """Textbook bisection reference (independent of the closed form)."""
+    b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+    bits, code, is_lon = [], [], True
+    while len(bits) < 5 * precision:
+        if is_lon:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                bits.append(1)
+                lo_lon = mid
+            else:
+                bits.append(0)
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                bits.append(1)
+                lo_lat = mid
+            else:
+                bits.append(0)
+                hi_lat = mid
+        is_lon = not is_lon
+    for g in range(precision):
+        idx = 0
+        for b in bits[5 * g:5 * g + 5]:
+            idx = idx * 2 + b
+        code.append(b32[idx])
+    return "".join(code)
+
+
+def test_geohash_known_vectors_and_reference(spark):
+    import random
+
+    from asag_spark.geo.xyz import geohash
+
+    rng = random.Random(42)
+    pts = [(-5.603, 42.605), (10.40744, 57.64911), (0.0, 0.0)] + [
+        (rng.uniform(-180, 180), rng.uniform(-90, 90)) for _ in range(40)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = df.select(
+        "lon", "lat",
+        geohash(F.col("lon"), F.col("lat"), 5).alias("g5"),
+        geohash(F.col("lon"), F.col("lat"), 7).alias("g7"),
+        geohash(F.col("lon"), F.col("lat"), 12).alias("g12"),
+    ).collect()
+    for r in out:
+        assert r["g5"] == _geohash_ref(r["lon"], r["lat"], 5)
+        assert r["g7"] == _geohash_ref(r["lon"], r["lat"], 7)
+        assert r["g12"] == _geohash_ref(r["lon"], r["lat"], 12)
+    by5 = {(round(r["lon"], 5), round(r["lat"], 5)): r["g5"] for r in out}
+    # canonical public vectors
+    assert by5[(-5.603, 42.605)] == "ezs42"
+    assert by5[(10.40744, 57.64911)] == "u4pru"
+    # prefix property: higher precision extends, never changes, the code
+    for r in out:
+        assert r["g12"].startswith(r["g7"]) and r["g7"].startswith(r["g5"])
+
+
+def test_geohash_codegen_compiles(spark, tmp_path):
+    """The Morton closed form must stay inside whole-stage codegen —
+    the per-bit chain compiled 660 extract terms and janino fell back
+    to interpreted mode for the entire stage."""
+    from asag_spark.geo.xyz import geohash
+
+    p = str(tmp_path / "pts")
+    spark.range(100).select(
+        (F.col("id") * 3.1 % 360 - 180).alias("lon"),
+        (F.col("id") * 1.7 % 180 - 90).alias("lat"),
+    ).write.parquet(p)
+    df = spark.read.parquet(p).select(
+        geohash(F.col("lon"), F.col("lat"), 11).alias("g")
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # "*(n)" marks whole-stage-codegen stages in the plan string; the
+    # interpreted fallback renders a bare "Project"
+    assert "*(1) Project" in plan
