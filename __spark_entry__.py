@@ -1152,6 +1152,15 @@ def _t_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
+def _t_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement of the PQ sub-codebooks
+    (operators/similarity.pq_train_step) — integer-exact assignment,
+    per-(subspace, centroid, dim) member means."""
+    from asag_spark.operators.similarity import pq_train_step
+
+    return pq_train_step(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
 def _t_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.similarity import cosine_topk_lsh
 
@@ -1575,6 +1584,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g_distance_join": _g_distance_join,
         # ANN quantizer refinement — ANN live via t_ivf_topk
         "t_ivf_train_step": _t_ivf_train,
+        # PQ sub-codebook Lloyd step, same discipline (PQ live via
+        # t_pq_topk)
+        "t_pq_train_step": _t_pq_train,
         # raster family live via rasterize/vectorize/polygon_raster
         "g_cell_smooth": _g_cell_smooth,
         # quality family live via t_quality / t_gopher_filter
@@ -2488,6 +2500,48 @@ def _pq_sql() -> str:
                                dsub=64 // PQ_M)
 
 
+_PQ_TRAIN_SQL = """
+WITH samp AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT {ksub}
+),
+cent AS (
+  SELECT cv, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cidx FROM samp
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (SELECT UNNEST(generate_series(0, {m_minus_1})) AS s),
+dist AS (
+  SELECT e.vec_id, sub.s, cent.cidx,
+         CAST(list_sum(list_transform(generate_series(1, {dsub}),
+           i -> CAST(floor(((v[s*{dsub}+i] - cv[s*{dsub}+i])
+                            * (v[s*{dsub}+i] - cv[s*{dsub}+i]))
+                           * 1e12 + 0.5) AS BIGINT))) AS BIGINT) AS dq
+  FROM e CROSS JOIN sub CROSS JOIN cent
+),
+code AS (
+  SELECT vec_id, s, cidx FROM (
+    SELECT vec_id, s, cidx,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                              ORDER BY dq ASC, cidx ASC) AS rn
+    FROM dist) WHERE rn = 1
+)
+SELECT CAST(c.s AS INTEGER) AS s, CAST(c.cidx AS INTEGER) AS cidx,
+       CAST(i - 1 AS INTEGER) AS dim,
+       ROUND(avg(e.v[c.s * {dsub} + i]), 6) AS m,
+       count(*) AS n_members
+FROM code c JOIN e USING (vec_id),
+     unnest(generate_series(1, {dsub})) AS g(i)
+GROUP BY c.s, c.cidx, i
+"""
+
+
+def _pq_train_sql() -> str:
+    from asag_spark.operators.similarity import PQ_K, PQ_M
+
+    return _PQ_TRAIN_SQL.format(ksub=PQ_K, m_minus_1=PQ_M - 1,
+                                dsub=64 // PQ_M)
+
+
 _SQ8_TOPK_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (
@@ -2790,6 +2844,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "g_compact_tiles": _compact_sql(),
         "t_sq8_topk": _SQ8_TOPK_SQL,
         "t_pq_topk": _pq_sql(),
+        "t_pq_train_step": _pq_train_sql(),
         "features_fixture": _FEATURES_GOLDEN,
         "validity_filter": _VALIDITY_GOLDEN,
         "adjacency_types": _ADJACENCY_GOLDEN,

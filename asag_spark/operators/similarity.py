@@ -1288,3 +1288,66 @@ def pq_topk_refined(emb: DataFrame, queries: DataFrame, k: int = 5,
             F.col("rank").cast("int").alias("rank"), "l2",
         )
     )
+
+
+def pq_train_step(emb: DataFrame, codebook=None) -> DataFrame:
+    """One distributed Lloyd refinement of the PQ sub-codebooks (the
+    per-subspace analogue of ivf_train_step — iterate for k-means,
+    one step is the nightly quantizer refresh): assign every vector's
+    m subvectors to their current nearest sub-centroids with the
+    integer-exact rule pq_topk encodes with, then emit each
+    (subspace, centroid, dim)'s member mean.
+
+    Plan shape (100 TB): assignment is the broadcast-codebook Arrow
+    kernel — zero shuffles; the kernel emits (s, cidx, dim, x) long
+    rows (m·dsub = d rows per vector, same fan-out as ivf_train_step's
+    posexplode) into ONE map-combined groupBy whose key space is
+    m × ksub × dsub (= 1024 at the defaults) — shuffle volume bounded
+    by partitions × keys, independent of corpus rows.
+
+    Output: (s, cidx, dim, m, n_members) — dim 0-based WITHIN the
+    subspace, m = round(avg, 6)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if codebook is None:
+        _, codebook = pq_codebook(emb)
+    CB = codebook
+    if CB is None:
+        raise ValueError("empty corpus: no codebook")
+    bcb = emb.sparkSession.sparkContext.broadcast(CB)
+    out_schema = T.StructType(
+        [
+            T.StructField("s", T.IntegerType()),
+            T.StructField("cidx", T.IntegerType()),
+            T.StructField("dim", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        CB_v = bcb.value
+        m, _, dsub = CB_v.shape
+        for batch in batches:
+            if not len(batch):
+                continue
+            X = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            codes = _pq_codes(X, CB_v)
+            n = len(X)
+            yield pd.DataFrame(
+                {
+                    "s": np.repeat(np.tile(np.arange(m, dtype=np.int32), n),
+                                   dsub),
+                    "cidx": np.repeat(codes.reshape(-1).astype(np.int32),
+                                      dsub),
+                    "dim": np.tile(np.arange(dsub, dtype=np.int32), n * m),
+                    "x": X.reshape(n, m, dsub).reshape(-1),
+                }
+            )
+
+    rows = emb.select("embedding").mapInPandas(assign, out_schema)
+    return rows.groupBy("s", "cidx", "dim").agg(
+        F.round(F.avg("x"), 6).alias("m"),
+        F.count(F.lit(1)).alias("n_members"),
+    )

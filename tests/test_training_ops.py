@@ -1586,3 +1586,44 @@ def test_ngram_scrub_overlap_cover_merges(spark):
          ngram_span_scrub(docs, n=4, min_count=2).collect()}
     assert r[0]["text_clean"] == "p q" and r[0]["n_dropped"] == 5
     assert r[1]["text_clean"] == "z y" and r[1]["n_dropped"] == 5
+
+
+def test_pq_train_step_improves_quantization(spark, sf_dir):
+    """Lloyd monotonicity: one refinement step strictly reduces total
+    quantization error vs the seeded sample codebook (k-means'
+    objective never increases; on this corpus it strictly drops)."""
+    import numpy as np
+
+    from asag_spark.operators.similarity import (
+        PQ_K, PQ_M, pq_codebook, pq_train_step,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, CB0 = pq_codebook(e)
+    rows = pq_train_step(e).collect()
+    CB1 = CB0.copy()
+    for r in rows:
+        CB1[r["s"], r["cidx"], r["dim"]] = r["m"]
+    X = np.stack([
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in e.select("embedding").collect()
+    ])
+    dsub = X.shape[1] // PQ_M
+
+    def err(CB):
+        tot = 0.0
+        for s in range(PQ_M):
+            sub = X[:, s * dsub:(s + 1) * dsub]
+            d = ((sub[:, None, :] - CB[s][None, :, :]) ** 2).sum(2)
+            tot += d.min(1).sum()
+        return tot
+
+    e0, e1 = err(CB0), err(CB1)
+    assert e1 < e0 * 0.95
+    # every (s, cidx) pair accounted once per dim; counts consistent
+    n = X.shape[0]
+    per_s = {}
+    for r in rows:
+        if r["dim"] == 0:
+            per_s[r["s"]] = per_s.get(r["s"], 0) + r["n_members"]
+    assert all(v == n for v in per_s.values())
