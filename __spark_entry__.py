@@ -812,6 +812,17 @@ def _t_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_span_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard assignment (text.rendezvous_shards) —
+    minimal-movement layout for growing corpora; the N→N+1 movement
+    property is pytest-pinned."""
+    from asag_spark.operators.text import rendezvous_shards
+
+    return rendezvous_shards(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_shards=8
+    )
+
+
 def _t_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination with the broadcast Bloom prefilter on the train
     side (operators/bloom.py + text.contamination_check_bloom) —
@@ -1526,6 +1537,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted round 3 for t_ngram_scrub (the overlapping-window
         # superset); first-occurrence-wins chunk dedup keeps its oracle
         "t_paragraph_dedup": _t_paragraph_dedup,
+        # born-demoted round 3: rendezvous sharding — the incremental
+        # corpus-maintenance layout (mod-N epoch sharding stays live
+        # via t_seq_pack's family; jump-vs-full-remap pinned in pytest)
+        "t_rendezvous_shards": _t_rendezvous,
         # born-demoted round 3 (live set full at 50): geohash — the
         # fourth spatial index family (hex, S2, quadkey, geohash)
         "g_geohash": _g_geohash,
@@ -1680,6 +1695,18 @@ SELECT * FROM (VALUES
   ('NSR:StopPlace:1',   'MUNI:0301'),
   ('NSR:StopPlace:999', 'MUNI:0301')
 ) AS t(feature_id, zone_id)
+"""
+
+_RENDEZVOUS_SQL = """
+WITH w AS (
+  SELECT doc_id, s,
+         ('0x' || substr(md5('rdz-0:' || s || ':' || doc_id), 1, 15))::BIGINT AS h
+  FROM documents, unnest(generate_series(0, 7)) AS g(s)
+)
+SELECT doc_id, CAST(s AS INTEGER) AS shard FROM (
+  SELECT doc_id, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h DESC, s ASC) AS rn
+  FROM w) WHERE rn = 1
 """
 
 _GEOHASH_GOLDEN = """
@@ -2854,6 +2881,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "g_pip_anti": _PIP_ANTI_GOLDEN,
         "g_boundary_snap": _BOUNDARY_SNAP_GOLDEN,
         "g_geohash": _GEOHASH_GOLDEN,
+        "t_rendezvous_shards": _RENDEZVOUS_SQL,
         "g_snap_nearest_zone": _SNAP_GOLDEN,
         "g_tile_clip": _TILE_CLIP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,

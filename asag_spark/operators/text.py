@@ -1074,3 +1074,47 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         "nll",
     )
+
+
+def rendezvous_shards(docs: DataFrame, n_shards: int = 8,
+                      id_col: str = "doc_id",
+                      seed: str = "rdz-0") -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — the
+    minimal-movement layout for a GROWING corpus: shard(doc) =
+    argmax over shards of md5(seed:shard:doc). Unlike mod-N hashing
+    (train_shuffle's epoch layout, where going N -> N+1 remaps
+    ~N/(N+1) of ALL docs), adding a shard moves EXACTLY the docs
+    whose new shard wins the argmax — ~1/(N+1) of the corpus, and
+    every mover lands IN the new shard (property-tested). That is the
+    difference between "nightly corpus-wide rewrite" and "backfill
+    one new shard" at 10^12 docs.
+
+    Plan shape: shard is a PURE ROW EXPRESSION — array_max over
+    n_shards (weight, -shard) structs (struct comparison is
+    lexicographic, so max weight wins and the NEGATED shard id breaks
+    ties toward the smaller shard), zero exchanges, no explode (an
+    explode × shards + window argmax formulation shuffles n_shards×
+    the corpus for the same answer). Each md5 term appears exactly
+    once in the expression — a running best-so-far CASE fold embeds
+    the accumulated subtree twice per step, goes exponential, and
+    janino ejects the stage to interpreted mode (observed before this
+    formulation). n_shards is the physical shard-file count.
+
+    Output: (<id_col>, shard).
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    def weight(s: int) -> Column:
+        return md5_long60(
+            F.concat(F.lit(f"{seed}:{s}:"), F.col(id_col).cast("string"))
+        )
+
+    entries = F.array(*[
+        F.struct(weight(s).alias("w"), F.lit(-s).alias("ns"))
+        for s in range(n_shards)
+    ])
+    best = F.array_max(entries)
+    return docs.select(
+        F.col(id_col), (-best["ns"]).cast("int").alias("shard")
+    )

@@ -1627,3 +1627,28 @@ def test_pq_train_step_improves_quantization(spark, sf_dir):
         if r["dim"] == 0:
             per_s[r["s"]] = per_s.get(r["s"], 0) + r["n_members"]
     assert all(v == n for v in per_s.values())
+
+
+def test_rendezvous_minimal_movement(spark, sf_dir):
+    """HRW property: going N -> N+1 shards moves ~1/(N+1) of docs and
+    every mover lands IN the new shard; mod-N (train_shuffle) remaps
+    ~N/(N+1) — the difference between backfilling one shard and
+    rewriting the corpus."""
+    from asag_spark.operators.text import rendezvous_shards, train_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {r["doc_id"]: r["shard"] for r in rendezvous_shards(docs, 8).collect()}
+    b = {r["doc_id"]: r["shard"] for r in rendezvous_shards(docs, 9).collect()}
+    moved = {d for d in a if a[d] != b[d]}
+    n = len(a)
+    assert n / 9 * 0.5 <= len(moved) <= n / 9 * 1.8
+    assert all(b[d] == 8 for d in moved)
+    # shards are reasonably balanced
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert len(c) == 8 and max(c.values()) <= 3 * min(c.values())
+    # contrast: mod-N remaps the majority
+    ta = {r["doc_id"]: r["shard"] for r in train_shuffle(docs, 8).collect()}
+    tb = {r["doc_id"]: r["shard"] for r in train_shuffle(docs, 9).collect()}
+    assert sum(1 for d in ta if ta[d] != tb[d]) > n * 0.6
