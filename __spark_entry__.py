@@ -812,6 +812,16 @@ def _t_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_span_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): exact cosine
+    shortlist anti-joined against the hyperplane-LSH near-dup pairs,
+    re-ranked — the contrastive-training sampler."""
+    from asag_spark.operators.similarity import hard_negatives
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hard_negatives(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
 def _t_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rendezvous (HRW) shard assignment (text.rendezvous_shards) —
     minimal-movement layout for growing corpora; the N→N+1 movement
@@ -1537,6 +1547,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted round 3 for t_ngram_scrub (the overlapping-window
         # superset); first-occurrence-wins chunk dedup keeps its oracle
         "t_paragraph_dedup": _t_paragraph_dedup,
+        # born-demoted round 3: hard-negative mining — composes the
+        # live ANN + near-dup primitives into the contrastive sampler
+        "t_hard_negatives": _t_hard_negatives,
         # born-demoted round 3: rendezvous sharding — the incremental
         # corpus-maintenance layout (mod-N epoch sharding stays live
         # via t_seq_pack's family; jump-vs-full-remap pinned in pytest)
@@ -2791,6 +2804,45 @@ WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
 """
 
 
+# hard negatives: brute shortlist (top-20 exact cosine) minus the
+# banded-hyperplane near-dup pairs (either orientation), re-ranked
+_HARD_NEG_SQL = f"""
+WITH {_emb_bk_cte()},
+nd AS (
+  SELECT va, vb FROM (
+    SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+    FROM bk x JOIN bk y ON x.bkey = y.bkey
+    WHERE x.vec_id < y.vec_id
+  ) p JOIN e a ON a.vec_id = p.va JOIN e b ON b.vec_id = p.vb
+  WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) >= 0.3
+),
+short AS (
+  SELECT query_id, neighbor_id, cosine FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cosine,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND(list_dot_product(q.v, c.v)
+                            / (q.norm * c.norm), 6) DESC,
+                      c.vec_id ASC) AS rn
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 5
+  ) WHERE rn <= 20
+),
+kept AS (
+  SELECT s.* FROM short s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM nd
+    WHERE (nd.va = s.query_id AND nd.vb = s.neighbor_id)
+       OR (nd.vb = s.query_id AND nd.va = s.neighbor_id))
+)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank,
+       cosine
+FROM kept QUALIFY rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracles for the driver-checked registry only (keys ⊆
     queries()); demoted_oracle_sql() carries the demoted demos'."""
@@ -2882,6 +2934,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "g_boundary_snap": _BOUNDARY_SNAP_GOLDEN,
         "g_geohash": _GEOHASH_GOLDEN,
         "t_rendezvous_shards": _RENDEZVOUS_SQL,
+        "t_hard_negatives": _HARD_NEG_SQL,
         "g_snap_nearest_zone": _SNAP_GOLDEN,
         "g_tile_clip": _TILE_CLIP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,

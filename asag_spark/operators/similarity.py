@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import EMB_LSH_BANDS, EMB_LSH_BITS, band_keys
+from .dedup import EMB_LSH_BANDS, EMB_LSH_BITS, band_keys, embedding_near_dups
 
 
 def _with_norm(emb: DataFrame, prefix: str) -> DataFrame:
@@ -1350,4 +1350,48 @@ def pq_train_step(emb: DataFrame, codebook=None) -> DataFrame:
     return rows.groupBy("s", "cidx", "dim").agg(
         F.round(F.avg("x"), 6).alias("m"),
         F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def hard_negatives(emb: DataFrame, queries: DataFrame, k: int = 5,
+                   shortlist: int = 20,
+                   dup_threshold: float = 0.3) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k most-similar corpus vectors that are NOT near-duplicates —
+    the highest-value negatives (hard because similar, safe because
+    verified non-dup). Composes the engine's own primitives: an exact
+    cosine shortlist (at 10^12 vectors: swap in ivf_topk/pq_refined —
+    same output contract) anti-joined against the banded-hyperplane
+    near-dup pairs, then re-ranked.
+
+    Plan shape: the shortlist op does the corpus work (broadcast
+    query matmul, candidates-only shuffle); the dup filter is an
+    anti-join of the ≤ n_q·shortlist candidate rows against the dup
+    pair set keyed (query, neighbor) — both orientations of the
+    undirected pairs are probed; the final window re-ranks candidate
+    rows only. Self-matches are already excluded by the shortlist.
+
+    Output: (query_id, neighbor_id, rank, cosine)."""
+    dups = embedding_near_dups(emb, threshold=dup_threshold)
+    both = dups.select(
+        F.col("vec_a").alias("x"), F.col("vec_b").alias("y")
+    ).unionByName(
+        dups.select(F.col("vec_b").alias("x"), F.col("vec_a").alias("y"))
+    )
+    cand = cosine_topk(emb, queries, k=shortlist)
+    kept = cand.join(
+        both,
+        (cand["query_id"] == both["x"]) & (cand["neighbor_id"] == both["y"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        kept.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "cosine",
+        )
     )

@@ -1652,3 +1652,29 @@ def test_rendezvous_minimal_movement(spark, sf_dir):
     ta = {r["doc_id"]: r["shard"] for r in train_shuffle(docs, 8).collect()}
     tb = {r["doc_id"]: r["shard"] for r in train_shuffle(docs, 9).collect()}
     assert sum(1 for d in ta if ta[d] != tb[d]) > n * 0.6
+
+
+def test_hard_negatives_excludes_dups(spark, sf_dir):
+    from asag_spark.operators.dedup import embedding_near_dups
+    from asag_spark.operators.similarity import cosine_topk, hard_negatives
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    hn = hard_negatives(e, q, k=5).collect()
+    dups = {
+        frozenset((r["vec_a"], r["vec_b"]))
+        for r in embedding_near_dups(e, threshold=0.3).collect()
+    }
+    # no mined negative is a near-dup of its query, ranks are 1..5
+    by_q = {}
+    for r in hn:
+        assert frozenset((r["query_id"], r["neighbor_id"])) not in dups
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+    # negatives are drawn from the top of the similarity range: every
+    # mined negative's cosine >= the brute top-20 floor for its query
+    floor = {
+        r["query_id"]: r["cosine"]
+        for r in cosine_topk(e, q, k=20).collect() if r["rank"] == 20
+    }
+    assert all(r["cosine"] >= floor[r["query_id"]] for r in hn)
