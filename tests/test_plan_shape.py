@@ -321,3 +321,54 @@ def test_write_training_shards_ordered_runs(spark, tmp_path):
         for f in glob.glob(f"{d}/*.parquet"):
             for did in pq.read_table(f).to_pydict()["doc_id"]:
                 assert seen[did] == shard
+
+
+def test_lm_score_tokenizes_once_per_keyspace(spark, sf_dir):
+    """lm_bigram_score's ReusedExchange alignments (SCALE.md §8): the
+    (doc,w1,w2) exchange feeds scoring AND corpus bigram counts, the
+    unigram exchange feeds the conditional AND V — so the final plan
+    carries exactly two ReusedExchange nodes and only THREE file
+    scans (docbg explode, uni explode, doc-spine left join)."""
+    from asag_spark.operators.text import lm_bigram_score
+
+    df = lm_bigram_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    df.collect()
+    plan = _plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") == 2
+    assert final.count("FileScan parquet") == 3
+
+
+def test_rendezvous_is_shuffle_free_codegen(spark, sf_dir):
+    from asag_spark.operators.text import rendezvous_shards
+
+    df = rendezvous_shards(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), n_shards=12
+    )
+    df.collect()
+    plan = _plan(df)
+    assert _shuffles(plan) == 0
+    assert "*(1) Project" in plan  # codegen survived (no janino bailout)
+
+
+def test_boundary_snap_is_shuffle_free(spark, pts):
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.pip import snap_to_boundary
+
+    df = snap_to_boundary(pts, fixture_zones(spark))
+    df.collect()
+    assert _shuffles(_plan(df)) == 0
+
+
+def test_ngram_scrub_shuffle_budget(spark, sf_dir):
+    """ngram_span_scrub: window-count exchange (map-combined), the
+    semi-join + distinct drop-set exchanges, and the per-doc
+    reassembly — all keyed by window or doc. The budget is pinned so
+    a refactor can't silently add a corpus-sized extra exchange."""
+    from asag_spark.operators.dedup import ngram_span_scrub
+
+    df = ngram_span_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    df.collect()
+    plan = _plan(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"Exchange (?:hash|range|rebalance|Single)",
+                          plan)) <= 7
