@@ -1395,3 +1395,223 @@ def hard_negatives(emb: DataFrame, queries: DataFrame, k: int = 5,
             F.col("rank").cast("int").alias("rank"), "cosine",
         )
     )
+
+
+def ivfpq_index_write(emb: DataFrame, path: str,
+                      n_cells: int = IVF_CELLS, codebook=None) -> None:
+    """Materialize the IVF-PQ layout — THE 10^12-vector serving shape
+    (FAISS IVFPQ): corpus coarse-partitioned by IVF cell (file-level
+    partition pruning at probe time, exactly like ivf_index_write) and
+    each row stored as PQ_M one-byte codes instead of floats, so a
+    probe reads nprobe/n_cells of the data AND each touched row is
+    ~64× narrower. Sidecars: the coarse centroids and the
+    sub-codebooks. Both quantizers are the deterministic seeded
+    samples (swap in trained ones — pq_train_step / ivf_train_step —
+    without changing any layout or probe code)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    spark = emb.sparkSession
+    c_ids, C = ivf_centroids(emb, n_cells)
+    if C is None:
+        raise ValueError("ivfpq_index_write: empty corpus")
+    if codebook is None:
+        _, codebook = pq_codebook(emb)
+    CB = codebook
+    if CB.shape[1] > 128:
+        raise ValueError("ksub > 128 does not fit the tinyint code layout")
+    assigned = ivf_assign(emb, n_cells=n_cells, centroids=(c_ids, C))
+    bcb = spark.sparkContext.broadcast(CB)
+    id_type = emb.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("codes", T.ArrayType(T.ByteType())),
+            T.StructField("ivf_cell", T.LongType()),
+        ]
+    )
+
+    def encode(batches):
+        import numpy as np
+
+        CB_v = bcb.value
+        for batch in batches:
+            if not len(batch):
+                continue
+            X = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            codes = _pq_codes(X, CB_v).astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"],
+                    "codes": list(codes),
+                    "ivf_cell": batch["ivf_cell"].astype("int64"),
+                }
+            )
+
+    (
+        assigned.select("vec_id", "embedding", "ivf_cell")
+        .mapInPandas(encode, out_schema)
+        .repartition(F.col("ivf_cell"))
+        .write.mode("overwrite")
+        .partitionBy("ivf_cell")
+        .parquet(f"{path}/index")
+    )
+    cent_rows = [(int(cid), [float(x) for x in vec])
+                 for cid, vec in zip(c_ids, C)]
+    spark.createDataFrame(
+        cent_rows, "c_id long, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cb_rows = [
+        (int(s), int(j), [float(x) for x in CB[s, j]])
+        for s in range(CB.shape[0])
+        for j in range(CB.shape[1])
+    ]
+    spark.createDataFrame(
+        cb_rows, "s int, cidx int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+
+
+def ivfpq_topk(spark, path: str, queries: DataFrame, k: int = 5,
+               nprobe: int = IVF_NPROBE,
+               refine_from: DataFrame | None = None,
+               refine_k: int | None = None) -> DataFrame:
+    """IVF-PQ probe: nprobe nearest cells per query (same rounded-
+    cosine probe order as ivf_topk_indexed — the cell filter compiles
+    to PartitionFilters, file-level pruning), then integer-LUT ADC
+    over the probed cells' CODE column only. With ``refine_from`` (the
+    float corpus table) the ADC shortlist of ``refine_k`` (default
+    4·k) candidates is re-ranked by exact float64 squared-L2 via a
+    broadcast candidate join — the IVFPQ+refine serving stack.
+
+    Output without refine: (query_id, neighbor_id, rank, adist);
+    with refine: (query_id, neighbor_id, rank, l2)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    c_ids, C = _load_centroids(spark, path)
+    cb_rows = spark.read.parquet(f"{path}/codebook").collect()
+    cb_rows.sort(key=lambda r: (r["s"], r["cidx"]))
+    m = 1 + max(r["s"] for r in cb_rows)
+    ksub = 1 + max(r["cidx"] for r in cb_rows)
+    dsub = len(cb_rows[0]["cv"])
+    CB = np.array([r["cv"] for r in cb_rows], dtype=np.float64).reshape(
+        m, ksub, dsub
+    )
+    corpus = spark.read.parquet(f"{path}/index")
+    id_type = corpus.schema["vec_id"].dataType
+    q = _collect_queries(queries)
+    if q is None:
+        return _empty_topk(spark, id_type).select(
+            "query_id", "neighbor_id", "rank",
+            F.lit(0).cast("long").alias("adist"),
+        )
+    q_ids, Q, qn = q
+    cn = np.sqrt((C * C).sum(axis=1))
+    M = _probe_sets(Q, qn, C, cn, nprobe)          # M[cell_col, query]
+    probed_cells = sorted(int(c_ids[ci]) for ci in np.nonzero(M.any(axis=1))[0])
+    cell_col_of = {int(cid): ci for ci, cid in enumerate(c_ids)}
+    LUT = np.stack([_pq_sqdist_q(Q, CB, s) for s in range(m)], axis=1)
+    kk = k if refine_from is None else (refine_k or 4 * k)
+    bq = spark.sparkContext.broadcast((q_ids, LUT, M, cell_col_of, m))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", id_type),
+            T.StructField("neighbor_id", id_type),
+            T.StructField("adist", T.LongType()),
+        ]
+    )
+
+    def part_topk(batches):
+        q_ids_v, LUT_v, M_v, col_of, m_v = bq.value
+        pool: list = []
+        for batch in batches:
+            if not len(batch):
+                continue
+            ids = batch["vec_id"].to_numpy()
+            codes = np.stack(batch["codes"].to_numpy()).astype(np.int64)
+            cells = batch["ivf_cell"].to_numpy()
+            adist = np.zeros((len(ids), len(q_ids_v)), dtype=np.int64)
+            for s in range(m_v):
+                adist += LUT_v[:, s, :].T[codes[:, s]]
+            cell_cols = np.array([col_of[int(c)] for c in cells])
+            allowed = M_v[cell_cols, :]            # (n, n_q)
+            allowed &= ids[:, None] != q_ids_v[None, :]
+            big = np.iinfo(np.int64).max
+            masked = np.where(allowed, adist, big)
+            if len(ids) > kk:
+                kth = np.partition(masked, kk - 1, axis=0)[kk - 1, :]
+                keep = (masked <= kth[None, :]) & allowed
+            else:
+                keep = allowed
+            rows, cols = np.nonzero(keep)
+            if len(rows):
+                pool.append((ids[rows], cols, adist[rows, cols]))
+        if not pool:
+            return
+        nid = np.concatenate([p[0] for p in pool])
+        qcol = np.concatenate([p[1] for p in pool])
+        sc = np.concatenate([p[2] for p in pool])
+        out = {"query_id": [], "neighbor_id": [], "adist": []}
+        for j in range(len(q_ids_v)):
+            sel = qcol == j
+            if not sel.any():
+                continue
+            nj, sj = nid[sel], sc[sel]
+            order = np.lexsort((nj, sj))[:kk]
+            out["query_id"].extend([q_ids_v[j]] * len(order))
+            out["neighbor_id"].extend(nj[order])
+            out["adist"].extend(sj[order])
+        yield pd.DataFrame(out)
+
+    cand = corpus.filter(F.col("ivf_cell").isin(probed_cells)).mapInPandas(
+        part_topk, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+    )
+    if refine_from is None:
+        return shortlist.select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "adist",
+        )
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    nv = refine_from.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("nv"),
+    )
+    scored = (
+        nv.join(F.broadcast(shortlist.select("query_id", "neighbor_id")),
+                "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("qv", "nv", lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("l2"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("l2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("int").alias("rank"), "l2",
+        )
+    )

@@ -409,6 +409,29 @@ def main() -> None:
         warm=1,
     )
     extras["pq_code_bytes"] = _dir_bytes(os.path.join(pq_path, "codes"))
+
+    # IVF-PQ composed index: cell-pruned probe over the codes-only
+    # layout (+ exact refine) — the 10^12-vector serving shape
+    from asag_spark.operators.similarity import ivfpq_index_write, ivfpq_topk
+
+    ivfpq_path = f"/tmp/asag_bench/ivfpq_{n_vecs}"
+    if not os.path.exists(os.path.join(ivfpq_path, "index", "_SUCCESS")):
+        t0 = time.perf_counter()
+        ivfpq_index_write(big_emb, ivfpq_path, n_cells=64, codebook=pq_cb)
+        extras["ivfpq_index_build_s"] = round(time.perf_counter() - t0, 3)
+    timed(
+        "ivfpq_topk_2m",
+        lambda: materialize(ivfpq_topk(spark, ivfpq_path, qbig, k=10)),
+        warm=1,
+    )
+    timed(
+        "ivfpq_refined_2m",
+        lambda: materialize(
+            ivfpq_topk(spark, ivfpq_path, qbig, k=10, refine_from=big_emb)
+        ),
+        warm=1,
+    )
+    extras["ivfpq_index_bytes"] = _dir_bytes(os.path.join(ivfpq_path, "index"))
     timed(
         "ivf_indexed_2m",
         lambda: materialize(ivf_topk_indexed(spark, ivf_path, qbig, k=10)),

@@ -1678,3 +1678,72 @@ def test_hard_negatives_excludes_dups(spark, sf_dir):
         for r in cosine_topk(e, q, k=20).collect() if r["rank"] == 20
     }
     assert all(r["cosine"] >= floor[r["query_id"]] for r in hn)
+
+
+def test_ivfpq_parity_and_pruning(spark, sf_dir, tmp_path):
+    """IVF-PQ composed index: (a) probe output equals an independent
+    numpy composition of the two quantizers (probe mask x ADC over
+    codes), (b) the probe plan carries the ivf_cell PartitionFilters
+    (file-level pruning, codes-only scan), (c) refine reranks by
+    exact L2 and never loses recall vs pure ADC."""
+    import numpy as np
+
+    from asag_spark.operators.similarity import (
+        IVF_NPROBE, _pq_codes, _pq_sqdist_q, _probe_sets, ivf_centroids,
+        ivfpq_index_write, ivfpq_topk, pq_codebook,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_index_write(e, path)
+    out_df = ivfpq_topk(spark, path, q, k=5)
+    out = out_df.collect()
+
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r[0] for r in rows])
+    X = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    c_ids, C = ivf_centroids(e)
+    _, CB = pq_codebook(e)
+    cn = np.sqrt((C * C).sum(1))
+    qm = ids < 5
+    Q, q_ids = X[qm], ids[qm]
+    M = _probe_sets(Q, np.sqrt((Q * Q).sum(1)), C, cn, IVF_NPROBE)
+    xn = np.sqrt((X * X).sum(1))
+    cell_col = np.argmax(
+        np.round((X @ C.T) / (xn[:, None] * cn[None, :]), 6), axis=1
+    )
+    codes = _pq_codes(X, CB)
+    m = CB.shape[0]
+    LUT = np.stack([_pq_sqdist_q(Q, CB, s) for s in range(m)], axis=1)
+    ref = set()
+    for j in range(len(q_ids)):
+        ad = np.zeros(len(ids), dtype=np.int64)
+        for s in range(m):
+            ad += LUT[j, s, :][codes[:, s]]
+        ok = M[cell_col, j] & (ids != q_ids[j])
+        cand = np.where(ok)[0]
+        order = cand[np.lexsort((ids[cand], ad[cand]))][:5]
+        for rk, i in enumerate(order, 1):
+            ref.add((q_ids[j], ids[i], rk, ad[i]))
+    assert {(r.query_id, r.neighbor_id, r.rank, r.adist)
+            for r in out} == ref
+
+    plan_str = out_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan_str and "ivf_cell" in plan_str
+
+    # refine: within the probed candidate set, the exact-L2 rerank's
+    # top-1 per query is at least as close as pure ADC's top-1
+    by_q_true = {}
+    for qi in np.where(qm)[0]:
+        d = ((X - X[qi]) ** 2).sum(1)
+        d[qi] = np.inf
+        by_q_true[ids[qi]] = d
+    adc1 = {r.query_id: r.neighbor_id for r in out if r.rank == 1}
+    ref1 = {r.query_id: r.neighbor_id
+            for r in ivfpq_topk(spark, path, q, k=5, refine_from=e).collect()
+            if r.rank == 1}
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+    for qid in ref1:
+        d = by_q_true[qid]
+        assert d[id_pos[ref1[qid]]] <= d[id_pos[adc1[qid]]] + 1e-12
