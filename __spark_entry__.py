@@ -812,6 +812,17 @@ def _t_ngram_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_span_scrub(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel view→click→purchase within 72 h
+    (operators/events.funnel_steps): earliest strictly-ordered
+    completion per user via one sorted-array fold; the oracle is the
+    chained-conditional-MIN relational formulation, so agreement
+    checks the fold against the join chain."""
+    from asag_spark.operators.events import funnel_steps
+
+    return funnel_steps(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _t_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (similarity.hard_negatives): exact cosine
     shortlist anti-joined against the hyperplane-LSH near-dup pairs,
@@ -1547,6 +1558,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # demoted round 3 for t_ngram_scrub (the overlapping-window
         # superset); first-occurrence-wins chunk dedup keeps its oracle
         "t_paragraph_dedup": _t_paragraph_dedup,
+        # born-demoted round 3: ordered-sequence funnel — the
+        # MATCH_RECOGNIZE-shaped events op (events family live via
+        # q_event_anomaly; sessionization live via
+        # s_sessionize_stateful)
+        "q_funnel": _q_funnel,
         # born-demoted round 3: hard-negative mining — composes the
         # live ANN + near-dup primitives into the contrastive sampler
         "t_hard_negatives": _t_hard_negatives,
@@ -2935,6 +2951,44 @@ def _all_oracle_sql() -> dict[str, str]:
         "g_geohash": _GEOHASH_GOLDEN,
         "t_rendezvous_shards": _RENDEZVOUS_SQL,
         "t_hard_negatives": _HARD_NEG_SQL,
+        "q_funnel": """
+WITH base AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s0 AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t1
+  FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+h AS (
+  SELECT b.user_id, s0.t0,
+         CASE WHEN s1.t1 <= s0.t0 + INTERVAL 72 HOUR THEN s1.t1 END AS t1h,
+         CASE WHEN s1.t1 <= s0.t0 + INTERVAL 72 HOUR
+              AND s2.t2 <= s0.t0 + INTERVAL 72 HOUR THEN s2.t2 END AS t2h
+  FROM base b LEFT JOIN s0 USING (user_id)
+  LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+)
+SELECT user_id,
+       CAST(CASE WHEN t2h IS NOT NULL THEN 3
+                 WHEN t1h IS NOT NULL THEN 2
+                 WHEN t0 IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS depth,
+       t0 AS t1,
+       COALESCE(t2h, t1h, t0) AS t_last
+FROM h
+        """,
         "g_snap_nearest_zone": _SNAP_GOLDEN,
         "g_tile_clip": _TILE_CLIP_GOLDEN,
         "knn_fixture": _KNN_GOLDEN,

@@ -227,3 +227,85 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             ).cast("int"),
         )
     )
+
+
+def funnel_steps(events: DataFrame,
+                 steps: tuple[str, ...] = ("view", "click", "purchase"),
+                 horizon_hours: int | None = 72) -> DataFrame:
+    """Ordered-sequence funnel (the MATCH_RECOGNIZE-shaped question
+    relational engines struggle with): per user, the EARLIEST
+    strictly-ordered completion of ``steps`` — t1 = first step-1
+    event, t_i = first step-i event strictly after t_{i-1} — with the
+    whole sequence inside ``horizon_hours`` of t1 when set. Earliest-
+    completion semantics (not any-completion): greedily advancing to
+    each step's first qualifying occurrence maximizes the reachable
+    depth, so depth is well-defined and deterministic.
+
+    Plan shape: ONE shuffle total. Per-step first-occurrence times
+    fold left-to-right as conditional MIN aggregates inside a single
+    groupBy(user_id)... except each t_i depends on t_{i-1}, which a
+    one-pass agg cannot see — so the engine instead aggregates the
+    per-user SORTED event array once (collect_list of (ts, type)
+    structs, array_sort — per-user event counts are bounded in
+    practice; the same contract as sessionization) and derives every
+    t_i with one array fold per step (pure codegen HOFs, no Python).
+    Equivalent chained-aggregation SQL (step-by-step conditional MINs
+    with correlated thresholds) is the DuckDB oracle — agreement
+    checks the fold against the relational formulation.
+
+    Output: (user_id, depth, t1, t_last) — depth = completed steps
+    (0 if the user never did step 1... such users still appear),
+    t1/t_last the completion envelope (null when depth = 0).
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ev = events.filter(F.col("event_type").isin(*steps)).select(
+        "user_id", F.struct("ts", "event_type").alias("e")
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("e")).alias("seq")
+    )
+    # t_i = min ts of events with type steps[i] and ts > t_{i-1}
+    # (strictly after; ties on identical ts do NOT advance the funnel)
+    def _first_of(step):
+        return lambda x: x["event_type"] == F.lit(step)
+
+    def _first_after(step, tp):
+        return lambda x: (x["event_type"] == F.lit(step)) & (x["ts"] > tp)
+
+    t_prev = None
+    for i, s in enumerate(steps):
+        pred = _first_of(s) if t_prev is None else _first_after(s, t_prev)
+        cand = F.filter(F.col("seq"), pred)
+        agg = agg.withColumn(
+            f"_t{i}", F.try_element_at(cand, F.lit(1))["ts"]
+        )
+        t_prev = F.col(f"_t{i}")
+    if horizon_hours is not None:
+        # completion clock starts at t1: step i counts only if within
+        # the horizon; a too-late step truncates the depth there
+        bound = F.col("_t0") + F.expr(f"INTERVAL {int(horizon_hours)} HOURS")
+        for i in range(1, len(steps)):
+            agg = agg.withColumn(
+                f"_t{i}",
+                F.when(F.col(f"_t{i}") <= bound, F.col(f"_t{i}")),
+            )
+            # re-truncate the chain: a null t_i kills every later step
+            for j in range(i + 1, len(steps)):
+                agg = agg.withColumn(
+                    f"_t{j}",
+                    F.when(F.col(f"_t{i}").isNotNull(), F.col(f"_t{j}")),
+                )
+    depth = F.lit(0)
+    t_last = F.lit(None).cast("timestamp")
+    for i in range(len(steps)):
+        depth = F.when(F.col(f"_t{i}").isNotNull(), i + 1).otherwise(depth)
+        t_last = F.when(
+            F.col(f"_t{i}").isNotNull(), F.col(f"_t{i}")
+        ).otherwise(t_last)
+    return agg.select(
+        "user_id",
+        depth.cast("int").alias("depth"),
+        F.col("_t0").alias("t1"),
+        t_last.alias("t_last"),
+    )

@@ -221,3 +221,39 @@ def test_retention_cohorts_constructed(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,
     }
+
+
+def test_funnel_steps_constructed(spark):
+    """Strict ordering, horizon truncation, chain kill, depth-0."""
+    from asag_spark.operators.events import funnel_steps
+
+    rows = [
+        # u1 completes in order within horizon
+        (1, "2024-01-01 00:00:00", 1, "view", 0.0, "{}"),
+        (2, "2024-01-01 01:00:00", 1, "click", 0.0, "{}"),
+        (3, "2024-01-01 02:00:00", 1, "purchase", 0.0, "{}"),
+        # u2: purchase BEFORE click -> depth 2 (strict order)
+        (4, "2024-01-01 00:00:00", 2, "view", 0.0, "{}"),
+        (5, "2024-01-01 00:30:00", 2, "purchase", 0.0, "{}"),
+        (6, "2024-01-01 01:00:00", 2, "click", 0.0, "{}"),
+        # u3: click outside the 72h horizon -> depth 1, and the LATER
+        # purchase is killed by the chain even though it exists
+        (7, "2024-01-01 00:00:00", 3, "view", 0.0, "{}"),
+        (8, "2024-01-05 00:00:00", 3, "click", 0.0, "{}"),
+        (9, "2024-01-05 01:00:00", 3, "purchase", 0.0, "{}"),
+        # u4: never did step 1 but is in the funnel population
+        (10, "2024-01-01 00:00:00", 4, "click", 0.0, "{}"),
+        # u5: only non-funnel events -> absent from output
+        (11, "2024-01-01 00:00:00", 5, "error", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = {x["user_id"]: x for x in funnel_steps(ev).collect()}
+    assert r[1]["depth"] == 3 and str(r[1]["t_last"]).startswith("2024-01-01 02")
+    assert r[2]["depth"] == 2  # purchase before click cannot count
+    assert r[3]["depth"] == 1 and r[3]["t_last"] == r[3]["t1"]
+    assert r[4]["depth"] == 0 and r[4]["t1"] is None
+    assert 5 not in r
