@@ -1747,3 +1747,32 @@ def test_ivfpq_parity_and_pruning(spark, sf_dir, tmp_path):
     for qid in ref1:
         d = by_q_true[qid]
         assert d[id_pos[ref1[qid]]] <= d[id_pos[adc1[qid]]] + 1e-12
+
+
+def test_ngram_scrub_identity_when_unique(spark):
+    """No repeated window -> text passes through whitespace-normalized
+    with n_dropped = 0 (the scrubber must never touch unique text)."""
+    from asag_spark.operators.dedup import ngram_span_scrub
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(20))) for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x["doc_id"]: x for x in ngram_span_scrub(docs, n=4).collect()}
+    for i, text in rows:
+        assert r[i]["n_dropped"] == 0 and r[i]["text_clean"] == text
+
+
+def test_ngram_scrub_full_duplicate_dies_everywhere(spark):
+    """An exact duplicate doc: every window repeats, so BOTH copies
+    scrub to empty (all-copies-die semantics at window granularity —
+    exact keeper selection is exact_dedup's job, run before this)."""
+    from asag_spark.operators.dedup import ngram_span_scrub
+
+    t = " ".join(f"t{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [(0, t), (1, t), (2, "solo " + " ".join(f"u{j}" for j in range(11)))],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x for x in ngram_span_scrub(docs, n=4).collect()}
+    assert r[0]["text_clean"] == "" and r[0]["n_dropped"] == 12
+    assert r[1]["text_clean"] == "" and r[1]["n_dropped"] == 12
+    assert r[2]["n_dropped"] == 0
