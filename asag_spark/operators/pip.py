@@ -450,10 +450,11 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
             t = np.clip((ap_sc * ab_sc[None, :, :]).sum(-1) / denom[None, :],
                         0.0, 1.0)                    # (n, E)
             proj = A_v[None, :, :] + t[..., None] * ab[None, :, :]
+            # (n,1) columns broadcast against (n,E) inside haversine —
+            # materializing them with np.repeat doubled the kernel's
+            # memory traffic and showed up as 2-3x wall at 1M points
             d = haversine_m(
-                np.repeat(P[:, 0:1], len(A_v), axis=1),
-                np.repeat(P[:, 1:2], len(A_v), axis=1),
-                proj[..., 0], proj[..., 1],
+                P[:, 0:1], P[:, 1:2], proj[..., 0], proj[..., 1]
             )
             best = d.argmin(axis=1)                  # edges sorted (zone, idx):
             rows = np.arange(len(P))                 # argmin first-min = tie rule
