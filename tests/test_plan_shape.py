@@ -372,3 +372,26 @@ def test_ngram_scrub_shuffle_budget(spark, sf_dir):
     plan = _plan(df).split("== Initial Plan ==")[0]
     assert len(re.findall(r"Exchange (?:hash|range|rebalance|Single)",
                           plan)) <= 7
+
+
+def test_compact_partitions_parity_and_file_counts(spark, tmp_path):
+    """Table maintenance: 40 small files per partition collapse to 1
+    (tiny data, huge target) with byte-identical rows, atomically; a
+    second compaction is a no-op in file count."""
+    from asag_spark.sources import compact_partitions
+
+    p = str(tmp_path / "t")
+    base = spark.range(5000).select(
+        F.col("id"), (F.col("id") % 4).alias("part"),
+        F.md5(F.col("id").cast("string")).alias("v"),
+    )
+    for i in range(5):
+        base.filter(F.col("id") % 5 == i).repartition(8).write.mode(
+            "append"
+        ).partitionBy("part").parquet(p)
+    before = spark.read.parquet(p).orderBy("id").collect()
+    stats = compact_partitions(spark, p, "part", target_bytes=1 << 30)
+    assert stats["files_after"] == 4 < stats["files_before"]
+    assert spark.read.parquet(p).orderBy("id").collect() == before
+    stats2 = compact_partitions(spark, p, "part", target_bytes=1 << 30)
+    assert stats2["files_before"] == stats2["files_after"] == 4
