@@ -191,7 +191,10 @@ def main() -> None:
     from asag_spark.operators.pip import snap_to_boundary
 
     snap = snap_to_boundary(feats_pts, zones)
-    timed("boundary_snap", lambda: materialize(snap), warm=1)
+    # warm=2: the (n x E) numpy kernel shows a long JIT/page-fault
+    # ramp (measured 27 -> 15 -> 3.3 s steady on identical input) —
+    # one warm pass is still inside the ramp
+    timed("boundary_snap", lambda: materialize(snap), warm=2)
 
     # 3. kNN on a deterministic 1-in-20 subsample (bounded-radius contract)
     sample = feats_pts.filter(F.pmod(F.xxhash64("feature_id"), F.lit(20)) == 0)
