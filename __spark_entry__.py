@@ -736,6 +736,15 @@ def _t_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling weights (text.dsir_weights) —
+    hashed unigram+bigram buckets, target = src0/src1, broadcast
+    log-ratio table, integer-exact quantized per-doc sum."""
+    from asag_spark.operators.text import dsir_weights
+
+    return dsir_weights(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _t_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (text.chunk_windows) —
     zero-exchange generator plan."""
@@ -1659,6 +1668,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by t_bpe_pairs — minhash family live via
         # t_minhash_lsh; jaccard verify also rides t_minhash_dedup
         "t_jaccard_pairs": _t_jaccard,
+        # this session, born demoted: DSIR importance-resampling
+        # weights (hashed-ngram target/raw log-likelihood ratio) —
+        # the selection family's live slots stay with
+        # t_stratified_sample / t_contamination
+        "t_dsir_weights": _t_dsir,
     }
 
 
@@ -3486,6 +3500,53 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
                    coalesce(k.n_kept, 0) AS n_kept,
                    coalesce(k.text_clean, '') AS text_clean
             FROM spine s LEFT JOIN kept k ON k.doc_id = s.doc_id
+        """,
+        # dsir_weights: hashed unigram+bigram buckets (md5_long60 % B,
+        # both operands non-negative so % == pmod), add-one-smoothed
+        # target/raw bucket distributions, per-bucket log-ratio
+        # quantized ONCE (floor(lr*1e6+0.5)::BIGINT — the
+        # lm_bigram_score idiom) so the per-doc sum is integer-exact
+        # and summation order can never move the value
+        "t_dsir_weights": r"""
+            WITH tk AS (
+              SELECT doc_id, source IN ('src0', 'src1') AS tgt,
+                     string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents
+            ),
+            uni AS (
+              SELECT doc_id, tgt, t AS g FROM tk, unnest(tk) AS u(t)
+            ),
+            big AS (
+              SELECT doc_id, tgt, tk[i] || ' ' || tk[i+1] AS g
+              FROM tk, unnest(generate_series(1, len(tk) - 1)) AS gs(i)
+              WHERE len(tk) >= 2
+            ),
+            ex AS (
+              SELECT doc_id, tgt,
+                     ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS b
+              FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+            ),
+            feat AS (
+              SELECT doc_id, tgt, b, count(*) AS cnt
+              FROM ex GROUP BY doc_id, tgt, b
+            ),
+            bt AS (SELECT b, sum(cnt) AS ct FROM feat WHERE tgt GROUP BY b),
+            br AS (SELECT b, sum(cnt) AS cr FROM feat WHERE NOT tgt GROUP BY b),
+            tt AS (SELECT sum(ct) AS tt FROM bt),
+            tr AS (SELECT sum(cr) AS tr FROM br),
+            ratio AS (
+              SELECT br.b,
+                     CAST(floor((ln((COALESCE(ct, 0) + 1) / (tt + 1024.0))
+                                 - ln((cr + 1) / (tr + 1024.0))) * 1e6 + 0.5)
+                          AS BIGINT) AS lrq
+              FROM br LEFT JOIN bt USING (b) CROSS JOIN tt CROSS JOIN tr
+            )
+            SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   ROUND(sum(cnt * lrq) / 1e6, 6) AS logw
+            FROM feat JOIN ratio USING (b)
+            WHERE NOT tgt
+            GROUP BY doc_id
         """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,

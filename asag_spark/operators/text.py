@@ -1118,3 +1118,115 @@ def rendezvous_shards(docs: DataFrame, n_shards: int = 8,
     return docs.select(
         F.col(id_col), (-best["ns"]).cast("int").alias("shard")
     )
+
+
+def dsir_weights(docs: DataFrame, target_sources: tuple[str, ...] = ("src0", "src1"),
+                 n_buckets: int = 1024, text_col: str = "text",
+                 source_col: str = "source", id_col: str = "doc_id") -> DataFrame:
+    """DSIR importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every RAW-pool document by how target-like its hashed n-gram
+    profile is,
+
+        logw(d) = SUM_b c_d(b) * [ ln p_t(b) - ln p_r(b) ]
+
+    over hashed unigram+bigram buckets b, where p_t / p_r are the
+    add-one-smoothed bucket distributions of the target corpus
+    (``source IN target_sources``) and the raw pool (everything else),
+    and c_d(b) is the doc's occurrence count in bucket b. High logw =
+    looks like the target; downstream selection composes with
+    quality_topq-style thresholding or temperature_resample.
+
+    Engine-portable math: bucket(g) = md5_long60(g) % n_buckets (both
+    operands non-negative, so % == pmod on any engine); the per-bucket
+    log-ratio is quantized ONCE — floor(lr * 1e6 + 0.5)::long, the
+    lm_bigram_score idiom — so the per-doc SUM is integer-exact and
+    aggregation order can never move the result. The only cross-engine
+    risk is ln() ulp parity at the 1e-6 quantization boundary, the
+    same accepted class as lm_bigram_score / the rounded cosines.
+
+    Plan shape (and why it scales to 100 TB):
+      1. the corpus-scale work is TWO map-combined shuffles: the
+         (doc, bucket) feature aggregation (key space ≤ docs ×
+         n_buckets, combiner collapses repeats executor-side) and the
+         final per-doc weight sum;
+      2. BOTH distributions re-aggregate the (doc, is_target, bucket)
+         feature frame — ≤ n_buckets rows each after their
+         map-combined agg, never a second corpus pass per
+         distribution;
+      3. the log-ratio table is ≤ n_buckets rows and joins the
+         feature frame under an explicit broadcast() — the corpus
+         side never shuffles to get its ratio terms;
+      4. hot buckets (Zipf grams all hashing into few buckets) are a
+         non-issue: the skew lives inside the map-combined feature
+         agg, which ships one row per (partition, doc, bucket).
+    A raw doc's every bucket appears in the raw distribution by
+    construction, so the ratio join is exact (no lost grams); buckets
+    the target never saw get the Laplace floor 1/(T_t + n_buckets).
+
+    Output: (doc_id, n_grams, logw) — one row per RAW-pool doc
+    (every doc has ≥ 1 gram: whitespace split of an empty string
+    yields the '' token, identically on DuckDB); logw rounded to 6 dp.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if not target_sources:
+        raise ValueError("target_sources must be non-empty")
+    tk = tokens(F.lower(F.col(text_col)))
+    tkf = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).isin(*target_sources).alias("tgt"),
+        tk.alias("tk"),
+    )
+    uni = tkf.select("doc_id", "tgt", F.explode("tk").alias("g"))
+    m = F.size("tk") - 1
+    big = (
+        tkf.filter(F.size("tk") >= 2)
+        .select(
+            "doc_id", "tgt",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tk", 1, m).alias("w1"),
+                    F.slice("tk", 2, m).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id", "tgt",
+            F.concat_ws(" ", F.col("p.w1"), F.col("p.w2")).alias("g"),
+        )
+    )
+    ex = uni.union(big).select(
+        "doc_id", "tgt", (md5_long60(F.col("g")) % n_buckets).alias("b")
+    )
+    feat = ex.groupBy("doc_id", "tgt", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    bt = feat.filter(F.col("tgt")).groupBy("b").agg(F.sum("cnt").alias("ct"))
+    br = feat.filter(~F.col("tgt")).groupBy("b").agg(F.sum("cnt").alias("cr"))
+    tt = bt.agg(F.sum("ct").alias("tt"))
+    tr = br.agg(F.sum("cr").alias("tr"))
+    lr = (
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
+              / (F.col("tt") + F.lit(float(n_buckets))))
+        - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(float(n_buckets))))
+    )
+    ratio = (
+        br.join(bt, "b", "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr))
+        .select(
+            "b",
+            F.floor(lr * F.lit(1e6) + F.lit(0.5)).cast("long").alias("lrq"),
+        )
+    )
+    return (
+        feat.filter(~F.col("tgt"))
+        .join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("cnt") * F.col("lrq")) / F.lit(1e6), 6)
+            .alias("logw"),
+        )
+    )

@@ -1776,3 +1776,33 @@ def test_ngram_scrub_full_duplicate_dies_everywhere(spark):
     assert r[0]["text_clean"] == "" and r[0]["n_dropped"] == 12
     assert r[1]["text_clean"] == "" and r[1]["n_dropped"] == 12
     assert r[2]["n_dropped"] == 0
+
+
+def test_dsir_target_like_scores_higher(spark):
+    """DSIR semantics: a raw doc sharing the target corpus's n-gram
+    profile outscores raw docs with disjoint vocabulary, every raw doc
+    gets exactly one row, and target docs get none (selection operates
+    on the raw pool only)."""
+    from asag_spark.operators.text import dsir_weights
+
+    tphrase = "alpha beta gamma delta"
+    rows = [(i, tphrase + " alpha beta", "en", "src0") for i in range(6)]
+    rows.append((100, tphrase, "en", "raw"))
+    rows += [
+        (i, " ".join(f"z{i}_{j}" for j in range(4)), "en", "raw")
+        for i in range(101, 106)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, target_sources=("src0",), n_buckets=256
+        ).collect()
+    }
+    assert set(out) == {100, 101, 102, 103, 104, 105}
+    # 4 unigrams + 3 bigrams
+    assert out[100]["n_grams"] == 7
+    for i in range(101, 106):
+        assert out[i]["logw"] < out[100]["logw"]
