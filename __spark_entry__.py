@@ -745,6 +745,19 @@ def _t_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _t_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-scoped semantic dedup (similarity.semdedup) —
+    IVF coarse cells bound the pairwise cosine; smaller-id keep rule.
+    Threshold 0.3 matches the synthetic corpus's similarity range
+    (its within-cell max cosine is ~0.47; the paper's 0.95 applies to
+    real near-duplicate embeddings)."""
+    from asag_spark.operators.similarity import semdedup
+
+    return semdedup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.3
+    )
+
+
 def _t_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (text.chunk_windows) —
     zero-exchange generator plan."""
@@ -1673,6 +1686,11 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the selection family's live slots stay with
         # t_stratified_sample / t_contamination
         "t_dsir_weights": _t_dsir,
+        # this session, born demoted: SemDeDup cluster-scoped semantic
+        # dedup — the embedding-dedup family's live slot stays with
+        # t_emb_near_dups (banded-LSH pairs); this adds the
+        # IVF-cell-bounded variant with the keep decision inline
+        "t_semdedup": _t_semdedup,
     }
 
 
@@ -3561,6 +3579,27 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
         """,
         "t_cosine_topk": _COSINE_TOPK_SQL,
         "t_cosine_topk_lsh": _COSINE_TOPK_LSH_SQL,
+        # semdedup: reuses the shared IVF assignment CTE (same centroid
+        # sample + rounded-cosine argmax); hits = within-cell pairs
+        # >= threshold keyed to the LARGER id, keep = no hit row
+        "t_semdedup": f"""
+WITH {_ivf_assign_cte()},
+hits AS (
+  SELECT y.vec_id AS vec_id,
+         max(ROUND(list_dot_product(xe.v, ye.v) / (xe.norm * ye.norm), 6))
+           AS max_sim_smaller
+  FROM assign x
+  JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+  JOIN e xe ON xe.vec_id = x.vec_id
+  JOIN e ye ON ye.vec_id = y.vec_id
+  WHERE ROUND(list_dot_product(xe.v, ye.v) / (xe.norm * ye.norm), 6) >= 0.3
+  GROUP BY y.vec_id
+)
+SELECT a.vec_id, a.c_id AS ivf_cell,
+       CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+       h.max_sim_smaller
+FROM assign a LEFT JOIN hits h ON h.vec_id = a.vec_id
+""",
         "t_ivf_topk": _ivf_sql(),
         "t_ivf_train_step": _ivf_train_sql(),
         "t_emb_near_dups": _EMB_ND_SQL,

@@ -1615,3 +1615,82 @@ def ivfpq_topk(spark, path: str, queries: DataFrame, k: int = 5,
             F.col("rank").cast("int").alias("rank"), "l2",
         )
     )
+
+
+def semdedup(emb: DataFrame, threshold: float = 0.95,
+             n_cells: int = IVF_CELLS, centroids=None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster-scoped
+    semantic dedup — embeddings are coarse-clustered (the shared IVF
+    quantizer), pairwise cosine runs ONLY within a cluster, and a
+    vector is dropped when a ≥ threshold neighbor with a SMALLER id
+    shares its cluster. The smaller-id keep rule is the paper's
+    one-representative-per-duplicate-group pruning made deterministic
+    by a total order (id ASC) — engine-portable, parallelism-
+    invariant, append-unstable only in the ids themselves.
+
+    Plan shape (why this is the web-scale semantic-dedup design):
+      1. cluster assignment is ivf_assign's zero-shuffle broadcast
+         matmul (map-only Arrow pass, bit-identical to the oracle's
+         rounded-cosine argmax with ties to the smaller centroid id);
+      2. ONE shuffle keys the within-cell self-join by ivf_cell; the
+         quadratic lives INSIDE a cell — the whole point of SemDeDup's
+         clustering is bounding pairwise work to E[|cell|] = N/k per
+         cell (N²/k total pair evaluations instead of N²); at 10^12
+         vectors raise n_cells so cells stay ~10^5 rows, exactly the
+         paper's k scaling, and AQE splits any skewed cell key across
+         tasks (a join key is splittable; a window partition is not —
+         same reasoning as boilerplate_removal);
+      3. the ≥ threshold hits aggregate map-combined to one row per
+         dropped vector; the keep flag is a left join against that
+         tiny frame.
+    Cosines round to 6 dp (the engine-wide float-parity idiom).
+
+    Output: (vec_id, ivf_cell, keep, max_sim_smaller) — one row per
+    input vector; keep = 1 iff no same-cell ≥ threshold neighbor with
+    a smaller id exists; max_sim_smaller = the strongest such
+    neighbor's cosine (NULL when keep = 1).
+    """
+    assigned = ivf_assign(
+        emb.select("vec_id", "embedding"), n_cells, centroids
+    )
+    e = assigned.select(
+        "vec_id", "ivf_cell",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ).alias("norm"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, p: acc + p,
+    )
+    cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
+    hits = (
+        a.join(
+            b,
+            (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_sim_smaller"))
+    )
+    return (
+        assigned.select("vec_id", "ivf_cell")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id", "ivf_cell",
+            F.when(F.col("max_sim_smaller").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("keep"),
+            "max_sim_smaller",
+        )
+    )

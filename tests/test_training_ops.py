@@ -1806,3 +1806,30 @@ def test_dsir_target_like_scores_higher(spark):
     assert out[100]["n_grams"] == 7
     for i in range(101, 106):
         assert out[i]["logw"] < out[100]["logw"]
+
+
+def test_semdedup_identical_vectors_keep_smallest(spark):
+    """Two identical vectors always share an IVF cell (identical
+    rounded cosines to every centroid, same argmax tie-break), so
+    semdedup keeps the smaller id and drops the larger with
+    max_sim_smaller = 1.0; distinct-direction vectors all survive."""
+    import math
+
+    from asag_spark.operators.similarity import semdedup
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [(i, unit(0.4 * i)) for i in range(6)]
+    rows.append((10, unit(0.0)))  # exact duplicate direction of vec 0
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = {r["vec_id"]: r for r in semdedup(emb, threshold=0.999,
+                                            n_cells=2).collect()}
+    assert len(out) == 7
+    assert out[10]["keep"] == 0 and out[10]["max_sim_smaller"] == 1.0
+    assert out[0]["keep"] == 1
+    assert out[0]["ivf_cell"] == out[10]["ivf_cell"]
+    for i in range(1, 6):
+        assert out[i]["keep"] == 1 and out[i]["max_sim_smaller"] is None
