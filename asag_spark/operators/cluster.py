@@ -233,8 +233,43 @@ def _local_union_find(pdf, eps: float):
     return pd.DataFrame({"point_id": ids, "label": lab})
 
 
+# Boundary-label closure strategy gate: below this many merge edges
+# the label graph is closed DRIVER-SIDE with the same numpy
+# hook-and-jump CC the local stage uses (one collect of (id, id) longs
+# — 2M edges ~ 32 MB — then a broadcast relabel join), because the
+# distributed iterative closure pays 2 shuffles + a driver count PER
+# ROUND even when the graph is a few thousand edges (measured: 2.0 s
+# for a 14.6k-edge graph at local[32] vs ~0.1 s driver-side). Above
+# the gate, the distributed dedup_clusters path runs unchanged — the
+# same runtime size-based strategy switch AQE applies to join
+# selection, decided from an exact count of an already-persisted
+# frame, never a guess.
+CLOSURE_COLLECT_MAX_EDGES = 2_000_000
+
+
+def _driver_closure(spark, edge_rows):
+    """Exact min-label closure of a small edge list on the driver:
+    node index = rank in the ASCENDING sorted id array, so the numpy
+    CC's min-index fixpoint is exactly the min-id convention
+    dedup_clusters guarantees. Returns a broadcast-ready
+    (doc_id, cluster_id) DataFrame."""
+    import numpy as np
+
+    ea = np.array([r[0] for r in edge_rows], dtype=np.int64)
+    eb = np.array([r[1] for r in edge_rows], dtype=np.int64)
+    ids = np.unique(np.concatenate([ea, eb]))
+    ii = np.searchsorted(ids, ea)
+    jj = np.searchsorted(ids, eb)
+    comp = _cc_min_labels(len(ids), ii, jj)
+    labels = ids[comp]
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in zip(ids, labels)],
+        "doc_id long, cluster_id long",
+    )
+
+
 def spatial_clusters_partitioned(points: DataFrame, eps: float,
-                                 block_cells: int = 64,
+                                 block_cells: int = 256,
                                  id_col: str = "point_id",
                                  lon_col: str = "lon",
                                  lat_col: str = "lat") -> DataFrame:
@@ -270,7 +305,17 @@ def spatial_clusters_partitioned(points: DataFrame, eps: float,
     the final cluster_id convention (min reachable point id) is
     preserved. block_cells dials skew: a hot block (a metro inside one
     block) is one Arrow task — shrink block_cells to split it, the
-    halo cost rises as 4/block_cells."""
+    halo cost rises as 4/block_cells. The 256 default comes from a
+    measured A/B at 1M points (64 → 7.1 s, 256 → 3.9 s, 1024 → 3.7 s,
+    identical labels): small blocks multiply per-group Arrow/pandas
+    fixed costs across thousands of tiny groups long before skew is a
+    concern.
+
+    The boundary-label closure picks its strategy at runtime from the
+    exact merge-edge count (per_point is persisted, so the count is a
+    cheap scan): graphs under CLOSURE_COLLECT_MAX_EDGES close on the
+    driver with the same numpy CC kernel the local stage uses; larger
+    graphs run the distributed iterative closure."""
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     if block_cells < 2:
@@ -317,15 +362,31 @@ def spatial_clusters_partitioned(points: DataFrame, eps: float,
             .select(F.col("_l0").alias("doc_a"), F.explode("_ls").alias("doc_b"))
             .filter(F.col("doc_a") != F.col("doc_b"))
         )
-        roots = dedup_clusters(merge_edges).withColumnRenamed("doc_id", "_l0")
-        labeled = (
-            per_point.join(roots, "_l0", "left")
-            .select(
-                "point_id",
-                F.coalesce(F.col("cluster_id"), F.col("_l0")).alias("cluster_id"),
+        n_edges = merge_edges.count()
+        if n_edges == 0:
+            labeled = per_point.select(
+                "point_id", F.col("_l0").alias("cluster_id")
+            ).localCheckpoint()
+        else:
+            if n_edges <= CLOSURE_COLLECT_MAX_EDGES:
+                roots = _driver_closure(
+                    points.sparkSession, merge_edges.collect()
+                )
+                roots = F.broadcast(roots).withColumnRenamed("doc_id", "_l0")
+            else:
+                roots = dedup_clusters(merge_edges).withColumnRenamed(
+                    "doc_id", "_l0"
+                )
+            labeled = (
+                per_point.join(roots, "_l0", "left")
+                .select(
+                    "point_id",
+                    F.coalesce(
+                        F.col("cluster_id"), F.col("_l0")
+                    ).alias("cluster_id"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
     finally:
         per_point.unpersist()
     return _with_sizes(labeled)
