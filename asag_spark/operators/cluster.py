@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from asag_spark.operators.dedup import dedup_clusters
+from asag_spark.operators.dedup import _cc_min_labels, dedup_clusters
 
 
 def eps_pairs(points: DataFrame, eps: float, id_col: str = "point_id",
@@ -136,32 +136,6 @@ _FWD_OFFSETS = tuple(
 )
 
 
-def _cc_min_labels(n: int, ii, jj):
-    """Vectorized connected components over edge arrays (ii, jj) on n
-    nodes: hook-and-jump min propagation (Shiloach-Vishkin shape —
-    minimum.at over edges, then pointer jumping until trees collapse).
-    comp is monotone nonincreasing and integer-bounded so termination
-    is guaranteed; at the fixpoint edge endpoints hold equal values
-    and values never leave their component, hence per-component
-    constants, distinct across components."""
-    import numpy as np
-
-    comp = np.arange(n)
-    if len(ii):
-        while True:
-            before = comp.copy()
-            np.minimum.at(comp, ii, comp[jj])
-            np.minimum.at(comp, jj, comp[ii])
-            while True:
-                nxt = comp[comp]
-                if np.array_equal(nxt, comp):
-                    break
-                comp = nxt
-            if np.array_equal(comp, before):
-                break
-    return comp
-
-
 def _local_union_find(pdf, eps: float):
     """Executor-side exact single-linkage over one block's points
     (home + halo), numpy-vectorized AND density-proof, so a HOT block
@@ -233,41 +207,6 @@ def _local_union_find(pdf, eps: float):
     return pd.DataFrame({"point_id": ids, "label": lab})
 
 
-# Boundary-label closure strategy gate: below this many merge edges
-# the label graph is closed DRIVER-SIDE with the same numpy
-# hook-and-jump CC the local stage uses (one collect of (id, id) longs
-# — 2M edges ~ 32 MB — then a broadcast relabel join), because the
-# distributed iterative closure pays 2 shuffles + a driver count PER
-# ROUND even when the graph is a few thousand edges (measured: 2.0 s
-# for a 14.6k-edge graph at local[32] vs ~0.1 s driver-side). Above
-# the gate, the distributed dedup_clusters path runs unchanged — the
-# same runtime size-based strategy switch AQE applies to join
-# selection, decided from an exact count of an already-persisted
-# frame, never a guess.
-CLOSURE_COLLECT_MAX_EDGES = 2_000_000
-
-
-def _driver_closure(spark, edge_rows):
-    """Exact min-label closure of a small edge list on the driver:
-    node index = rank in the ASCENDING sorted id array, so the numpy
-    CC's min-index fixpoint is exactly the min-id convention
-    dedup_clusters guarantees. Returns a broadcast-ready
-    (doc_id, cluster_id) DataFrame."""
-    import numpy as np
-
-    ea = np.array([r[0] for r in edge_rows], dtype=np.int64)
-    eb = np.array([r[1] for r in edge_rows], dtype=np.int64)
-    ids = np.unique(np.concatenate([ea, eb]))
-    ii = np.searchsorted(ids, ea)
-    jj = np.searchsorted(ids, eb)
-    comp = _cc_min_labels(len(ids), ii, jj)
-    labels = ids[comp]
-    return spark.createDataFrame(
-        [(int(a), int(b)) for a, b in zip(ids, labels)],
-        "doc_id long, cluster_id long",
-    )
-
-
 def spatial_clusters_partitioned(points: DataFrame, eps: float,
                                  block_cells: int = 256,
                                  id_col: str = "point_id",
@@ -311,11 +250,11 @@ def spatial_clusters_partitioned(points: DataFrame, eps: float,
     fixed costs across thousands of tiny groups long before skew is a
     concern.
 
-    The boundary-label closure picks its strategy at runtime from the
-    exact merge-edge count (per_point is persisted, so the count is a
-    cheap scan): graphs under CLOSURE_COLLECT_MAX_EDGES close on the
-    driver with the same numpy CC kernel the local stage uses; larger
-    graphs run the distributed iterative closure."""
+    The boundary-label closure (dedup_clusters) picks its strategy at
+    runtime from the exact edge count (CLOSURE_COLLECT_MAX_EDGES in
+    operators/dedup.py): small graphs close on the driver with the
+    same numpy CC kernel the local stage uses; larger graphs run the
+    distributed iterative closure."""
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     if block_cells < 2:
@@ -362,31 +301,25 @@ def spatial_clusters_partitioned(points: DataFrame, eps: float,
             .select(F.col("_l0").alias("doc_a"), F.explode("_ls").alias("doc_b"))
             .filter(F.col("doc_a") != F.col("doc_b"))
         )
-        n_edges = merge_edges.count()
-        if n_edges == 0:
-            labeled = per_point.select(
-                "point_id", F.col("_l0").alias("cluster_id")
-            ).localCheckpoint()
-        else:
-            if n_edges <= CLOSURE_COLLECT_MAX_EDGES:
-                roots = _driver_closure(
-                    points.sparkSession, merge_edges.collect()
-                )
-                roots = F.broadcast(roots).withColumnRenamed("doc_id", "_l0")
-            else:
-                roots = dedup_clusters(merge_edges).withColumnRenamed(
-                    "doc_id", "_l0"
-                )
-            labeled = (
-                per_point.join(roots, "_l0", "left")
-                .select(
-                    "point_id",
-                    F.coalesce(
-                        F.col("cluster_id"), F.col("_l0")
-                    ).alias("cluster_id"),
-                )
-                .localCheckpoint()
+        # dedup_clusters gates its own closure strategy at runtime
+        # (CLOSURE_COLLECT_MAX_EDGES in operators/dedup.py): small
+        # boundary-label graphs close driver-side with the numpy CC
+        # kernel and come back broadcast-sized, large ones run the
+        # distributed propagation — one decision point for every
+        # consumer of the closure
+        roots = dedup_clusters(merge_edges).withColumnRenamed(
+            "doc_id", "_l0"
+        )
+        labeled = (
+            per_point.join(roots, "_l0", "left")
+            .select(
+                "point_id",
+                F.coalesce(
+                    F.col("cluster_id"), F.col("_l0")
+                ).alias("cluster_id"),
             )
+            .localCheckpoint()
+        )
     finally:
         per_point.unpersist()
     return _with_sizes(labeled)

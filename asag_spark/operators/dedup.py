@@ -507,7 +507,76 @@ def embedding_near_dups(emb: DataFrame, threshold: float = 0.95,
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+# Closure strategy gate shared by dedup_clusters and the spatial
+# clustering merge (operators/cluster.py): at or below this many edge
+# rows the component closure runs DRIVER-SIDE on the collected edge
+# list (2M rows of two longs ~ 32 MB) with the vectorized numpy kernel
+# below, because the distributed iterative closure pays 2 shuffles + a
+# driver count PER ROUND even when the graph is a few hundred edges
+# (measured 2.0 s for 14.6k edges at local[32] vs ~0.1 s driver-side).
+# Above the gate the distributed propagation runs unchanged. The
+# decision reads an EXACT count of the already-persisted edge frame —
+# the same runtime size-based strategy switch AQE applies to join
+# selection, never an estimate.
+CLOSURE_COLLECT_MAX_EDGES = 2_000_000
+
+
+def _cc_min_labels(n: int, ii, jj):
+    """Vectorized connected components over edge index arrays (ii, jj)
+    on n nodes: hook-and-jump min propagation (Shiloach-Vishkin shape —
+    minimum.at over edges, then pointer jumping until trees collapse).
+    comp is monotone nonincreasing and integer-bounded so termination
+    is guaranteed; at the fixpoint edge endpoints hold equal values
+    and values never leave their component, hence per-component
+    constants, distinct across components."""
+    import numpy as np
+
+    comp = np.arange(n)
+    if len(ii):
+        while True:
+            before = comp.copy()
+            np.minimum.at(comp, ii, comp[jj])
+            np.minimum.at(comp, jj, comp[ii])
+            while True:
+                nxt = comp[comp]
+                if np.array_equal(nxt, comp):
+                    break
+                comp = nxt
+            if np.array_equal(comp, before):
+                break
+    return comp
+
+
+def _closure_collect(spark, edge_rows, id_type) -> DataFrame:
+    """Exact min-label closure of a small collected edge list on the
+    driver: node index = rank in the ASCENDING sorted node array, so
+    the numpy kernel's min-index fixpoint is exactly the min-id label
+    convention (for strings, Python's code-point sort order equals
+    Spark's binary UTF-8 ordering — UTF-8 preserves code-point order —
+    so min agrees across the two paths). Returns a (doc_id,
+    cluster_id) DataFrame typed like the input ids."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    a = [r[0] for r in edge_rows]
+    b = [r[1] for r in edge_rows]
+    ids = sorted(set(a) | set(b))
+    idx = {v: i for i, v in enumerate(ids)}
+    ii = np.fromiter((idx[v] for v in a), dtype=np.int64, count=len(a))
+    jj = np.fromiter((idx[v] for v in b), dtype=np.int64, count=len(b))
+    comp = _cc_min_labels(len(ids), ii, jj)
+    schema = T.StructType([
+        T.StructField("doc_id", id_type),
+        T.StructField("cluster_id", id_type),
+    ])
+    return spark.createDataFrame(
+        [(v, ids[c]) for v, c in zip(ids, comp)], schema
+    )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25,
+                   collect_max_edges: int = CLOSURE_COLLECT_MAX_EDGES
+                   ) -> DataFrame:
     """Connected components over near-dup pairs — the last stage of
     every dedup pipeline (pairs alone don't dedup anything: a keeper
     must be chosen PER COMPONENT, or transitive dups A~B~C survive as
@@ -518,6 +587,15 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     (doc_id, cluster_id) for every doc in the pair graph, cluster_id =
     the MINIMUM doc id reachable — so the keeper convention "keep the
     smallest id" is the row cluster_id == doc_id.
+
+    Strategy gate: the symmetrized edge set is counted first (the
+    count doubles as the persisted frame's materialization); at or
+    below ``collect_max_edges`` (default CLOSURE_COLLECT_MAX_EDGES)
+    the closure runs driver-side on the collected edges with the
+    vectorized numpy kernel — identical labels, none of the per-round
+    distributed fixed costs, and ``max_iter`` does not apply (the
+    kernel's termination is unconditional). Pass collect_max_edges=0
+    to force the distributed path. Above the gate:
 
     Algorithm: min-label propagation. Each round every node takes the
     min of its own label and its neighbors' labels (one join + one
@@ -542,6 +620,18 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .distinct()
         .persist()
     )
+    # strategy gate (see CLOSURE_COLLECT_MAX_EDGES): the count doubles
+    # as round 1's materialization of the persisted edge set, so a
+    # graph that stays distributed pays nothing extra for the probe
+    n_edges = edges.count()
+    if n_edges <= collect_max_edges:
+        try:
+            rows = edges.collect()
+        finally:
+            edges.unpersist()
+        return _closure_collect(
+            pairs.sparkSession, rows, pairs.schema["doc_a"].dataType
+        )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()

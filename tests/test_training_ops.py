@@ -652,8 +652,13 @@ def test_dedup_clusters_transitive(spark):
     out7 = {r.doc_id: r.cluster_id
             for r in dedup_clusters(pairs.repartition(7)).collect()}
     assert out7 == out
+    # distributed path (gate forced off): identical labels, and
+    # non-convergence raises instead of returning wrong labels
+    outd = {r.doc_id: r.cluster_id
+            for r in dedup_clusters(pairs, collect_max_edges=0).collect()}
+    assert outd == out
     with pytest.raises(RuntimeError, match="not converged"):
-        dedup_clusters(pairs, max_iter=1)
+        dedup_clusters(pairs, max_iter=1, collect_max_edges=0)
 
 
 def test_tfidf_and_corpus_stats(spark):
