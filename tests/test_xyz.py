@@ -488,3 +488,28 @@ def test_geohash_codegen_compiles(spark, tmp_path):
     # "*(n)" marks whole-stage-codegen stages in the plan string; the
     # interpreted fallback renders a bare "Project"
     assert "*(1) Project" in plan
+
+
+def test_compact_tiles_driver_distributed_parity(spark):
+    """The size-gated driver-side compaction and the distributed
+    per-level chain produce the identical minimal cover (same rule,
+    two executions); empty input yields an empty typed frame."""
+    import random
+
+    from asag_spark.geo.xyz import compact_tiles
+
+    rng = random.Random(7)
+    base = {(rng.randrange(16), rng.randrange(16)) for _ in range(150)}
+    base |= {(x, y) for x in range(4) for y in range(4)}  # a full block
+    df = spark.createDataFrame(sorted(base), "x int, y int")
+    fast = sorted((r.z, r.x, r.y)
+                  for r in compact_tiles(df, zoom=4, min_zoom=0).collect())
+    dist = sorted((r.z, r.x, r.y)
+                  for r in compact_tiles(df, zoom=4, min_zoom=0,
+                                         collect_max_tiles=0).collect())
+    assert fast == dist and len(fast) > 0
+    empty = compact_tiles(
+        spark.createDataFrame([], "x int, y int"), zoom=3
+    )
+    assert empty.collect() == []
+    assert [f.name for f in empty.schema.fields] == ["z", "x", "y"]
