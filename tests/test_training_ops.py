@@ -1838,3 +1838,32 @@ def test_semdedup_identical_vectors_keep_smallest(spark):
     assert out[0]["ivf_cell"] == out[10]["ivf_cell"]
     for i in range(1, 6):
         assert out[i]["keep"] == 1 and out[i]["max_sim_smaller"] is None
+
+
+def test_dedup_clusters_gate_parity_random_graphs(spark):
+    """Driver-side and distributed closures produce identical labels
+    on seeded random graphs (chains, cliques, isolated self-pairs,
+    string ids) — the strategy gate must be invisible in the output."""
+    import random
+
+    from asag_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    edges += [(100 + i, 100 + i + 1) for i in range(12)]   # long chain
+    edges += [(200, 200)]                                  # self-pair
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    dist = {r.doc_id: r.cluster_id
+            for r in dedup_clusters(pairs, collect_max_edges=0).collect()}
+    assert fast == dist and len(fast) > 0
+    # string ids: UTF-8 binary min == Python min for these keys
+    spairs = spark.createDataFrame(
+        [("b", "c"), ("c", "a"), ("x", "x"), ("Z", "a")],
+        "doc_a string, doc_b string",
+    )
+    sfast = {r.doc_id: r.cluster_id for r in dedup_clusters(spairs).collect()}
+    sdist = {r.doc_id: r.cluster_id
+             for r in dedup_clusters(spairs, collect_max_edges=0).collect()}
+    assert sfast == sdist
+    assert sfast["b"] == "Z"  # 'Z' < 'a' in both orderings
