@@ -758,6 +758,27 @@ def _t_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality contract (operators/checks.py) over
+    the documents table — six rules, one aggregation pass. The range
+    rule's max of 400 is deliberately below the corpus max (553) so
+    the output exercises BOTH passed=1 and passed=0 rows."""
+    from asag_spark.operators.checks import table_checks
+
+    return table_checks(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        [
+            {"rule": "not_null", "col": "doc_id"},
+            {"rule": "unique", "col": "doc_id"},
+            {"rule": "range", "col": "n_chars", "min": 0, "max": 400},
+            {"rule": "accepted_values", "col": "lang",
+             "values": ["en", "es", "de", "fr", "zh"]},
+            {"rule": "matches", "col": "source", "regex": r"^src\d+$"},
+            {"rule": "min_rows", "n": 100},
+        ],
+    )
+
+
 def _t_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (text.chunk_windows) —
     zero-exchange generator plan."""
@@ -1691,6 +1712,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_emb_near_dups (banded-LSH pairs); this adds the
         # IVF-cell-bounded variant with the keep decision inline
         "t_semdedup": _t_semdedup,
+        # this session, born demoted: Deequ-style data-quality contract
+        # (single-pass conditional aggregates; the content-level
+        # validation stage between landing and curation)
+        "t_table_checks": _t_table_checks,
     }
 
 
@@ -3565,6 +3590,46 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
             FROM feat JOIN ratio USING (b)
             WHERE NOT tgt
             GROUP BY doc_id
+        """,
+        # table_checks: the six-rule contract as one aggregate CTE +
+        # a VALUES-shaped readout; "column" quoted (reserved word)
+        "t_table_checks": r"""
+            WITH a AS (
+              SELECT count(*) AS n,
+                     count(CASE WHEN doc_id IS NULL THEN 1 END) AS v0,
+                     count(DISTINCT doc_id) AS d1,
+                     count(doc_id) AS c1,
+                     count(CASE WHEN n_chars < 0 OR n_chars > 400
+                                THEN 1 END) AS v2,
+                     count(CASE WHEN lang IS NULL
+                                  OR lang NOT IN ('en','es','de','fr','zh')
+                                THEN 1 END) AS v3,
+                     count(CASE WHEN source IS NULL
+                                  OR NOT regexp_matches(source, '^src\d+$')
+                                THEN 1 END) AS v4
+              FROM documents
+            )
+            SELECT CAST(0 AS INTEGER) AS rule_id, 'not_null' AS rule,
+                   'doc_id' AS "column", v0::DOUBLE AS observed,
+                   0::DOUBLE AS expected,
+                   CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                     AS passed
+            FROM a
+            UNION ALL
+            SELECT 1, 'unique', 'doc_id', d1::DOUBLE, c1::DOUBLE,
+                   CASE WHEN d1 = c1 THEN 1 ELSE 0 END FROM a
+            UNION ALL
+            SELECT 2, 'range', 'n_chars', v2::DOUBLE, 0::DOUBLE,
+                   CASE WHEN v2 = 0 THEN 1 ELSE 0 END FROM a
+            UNION ALL
+            SELECT 3, 'accepted_values', 'lang', v3::DOUBLE, 0::DOUBLE,
+                   CASE WHEN v3 = 0 THEN 1 ELSE 0 END FROM a
+            UNION ALL
+            SELECT 4, 'matches', 'source', v4::DOUBLE, 0::DOUBLE,
+                   CASE WHEN v4 = 0 THEN 1 ELSE 0 END FROM a
+            UNION ALL
+            SELECT 5, 'min_rows', NULL, n::DOUBLE, 100::DOUBLE,
+                   CASE WHEN n >= 100 THEN 1 ELSE 0 END FROM a
         """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,
