@@ -1376,6 +1376,37 @@ def _s_tile_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM s_tile_stream_tbl")
 
 
+_CHECKS_STREAM_RULES = [
+    {"rule": "not_null", "col": "user_id"},
+    {"rule": "range", "col": "value", "min": 0, "max": 400},
+    {"rule": "accepted_values", "col": "event_type",
+     "values": ["click", "view", "purchase", "signup"]},
+    {"rule": "min_rows", "n": 14},
+]
+
+
+def _s_checks_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window data-quality monitor (availableNow) —
+    the table_checks contract per hourly window; rules chosen so both
+    passed=1 and passed=0 rows occur ('error' events violate
+    accepted_values, value tops out at 490 > 400, and the 14-row
+    volume floor splits the hourly distribution near its median)."""
+    import shutil
+
+    from asag_spark.streaming import (
+        checks_stream, read_events_stream, run_available_now,
+    )
+
+    work, stream_dir = _stage_events_stream(sf_dir)
+    try:
+        ev = read_events_stream(spark, stream_dir)
+        agg = checks_stream(ev, _CHECKS_STREAM_RULES)
+        run_available_now(agg, f"{work}/ckpt", "s_checks_stream_tbl")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.sql("SELECT * FROM s_checks_stream_tbl")
+
+
 def _t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import split_assign
 
@@ -1716,6 +1747,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (single-pass conditional aggregates; the content-level
         # validation stage between landing and curation)
         "t_table_checks": _t_table_checks,
+        # this session, born demoted: the same contract per hourly
+        # event-time window as a streaming monitor (availableNow
+        # batch-parity oracle, like the rest of the streaming family)
+        "s_checks_stream": _s_checks_stream,
     }
 
 
@@ -3630,6 +3665,40 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
             UNION ALL
             SELECT 5, 'min_rows', NULL, n::DOUBLE, 100::DOUBLE,
                    CASE WHEN n >= 100 THEN 1 ELSE 0 END FROM a
+        """,
+        # checks_stream: the hourly-window contract in SQL — tumbling
+        # 1h windows align to epoch, so date_trunc('hour') reproduces
+        # Spark's window starts; rule order mirrors
+        # _CHECKS_STREAM_RULES
+        "s_checks_stream": r"""
+            WITH a AS (
+              SELECT date_trunc('hour', ts) AS hour_start,
+                     count(*) AS n,
+                     count(CASE WHEN user_id IS NULL THEN 1 END) AS v0,
+                     count(CASE WHEN value < 0 OR value > 400
+                                THEN 1 END) AS v1,
+                     count(CASE WHEN event_type IS NULL
+                                  OR event_type NOT IN
+                                     ('click','view','purchase','signup')
+                                THEN 1 END) AS v2
+              FROM events GROUP BY 1
+            )
+            SELECT hour_start, CAST(0 AS INTEGER) AS rule_id,
+                   'not_null' AS rule, 'user_id' AS "column",
+                   v0::DOUBLE AS observed, 0::DOUBLE AS expected,
+                   CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                     AS passed
+            FROM a
+            UNION ALL
+            SELECT hour_start, 1, 'range', 'value', v1::DOUBLE, 0::DOUBLE,
+                   CASE WHEN v1 = 0 THEN 1 ELSE 0 END FROM a
+            UNION ALL
+            SELECT hour_start, 2, 'accepted_values', 'event_type',
+                   v2::DOUBLE, 0::DOUBLE,
+                   CASE WHEN v2 = 0 THEN 1 ELSE 0 END FROM a
+            UNION ALL
+            SELECT hour_start, 3, 'min_rows', NULL, n::DOUBLE, 14::DOUBLE,
+                   CASE WHEN n >= 14 THEN 1 ELSE 0 END FROM a
         """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,

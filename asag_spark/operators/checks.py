@@ -75,9 +75,7 @@ def _violations(rule: dict) -> Column:
     return None
 
 
-def table_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
-    """Evaluate ``rules`` against ``df`` in one aggregation job; see
-    module docstring for the rule grammar and output contract."""
+def _validate_rules(rules: list[dict], exact_unique_ok: bool = True) -> None:
     if not rules:
         raise ValueError("table_checks: rules must be non-empty")
     for i, r in enumerate(rules):
@@ -94,7 +92,19 @@ def table_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
             raise ValueError("table_checks: accepted_values needs 'values'")
         if r["rule"] == "matches" and not r.get("regex"):
             raise ValueError("table_checks: matches needs 'regex'")
+        if r["rule"] == "unique" and not exact_unique_ok:
+            raise ValueError(
+                "checks_stream: exact 'unique' needs a distinct aggregate, "
+                "which streaming aggregation does not support — use "
+                "'approx_unique'"
+            )
 
+
+def _rule_aggs(rules: list[dict]) -> list[Column]:
+    """One conditional-aggregate column set for the whole contract —
+    shared by the batch single-pass and the streaming per-window
+    variants (the compilation IS the operator; only the grouping
+    differs)."""
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, r in enumerate(rules):
         kind = r["rule"]
@@ -111,8 +121,13 @@ def table_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
             aggs.append(F.count(c).alias(f"_c{i}"))
         elif kind != "min_rows":
             aggs.append(_violations(r).alias(f"_v{i}"))
-    agg = df.agg(*aggs)
+    return aggs
 
+
+def _readout(rules: list[dict]) -> list[Column]:
+    """Per-rule result structs over the aggregate columns _rule_aggs
+    emits — exploded as a plan-time array so rule count never
+    multiplies jobs."""
     out_rows = []
     for i, r in enumerate(rules):
         kind = r["rule"]
@@ -139,10 +154,18 @@ def table_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
             F.when(passed, F.lit(1)).otherwise(F.lit(0)).cast("int")
             .alias("passed"),
         ))
+    return out_rows
+
+
+def table_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
+    """Evaluate ``rules`` against ``df`` in one aggregation job; see
+    module docstring for the rule grammar and output contract."""
+    _validate_rules(rules)
+    agg = df.agg(*_rule_aggs(rules))
     # one row in, |rules| rows out: explode the plan-time struct array
     # over the single aggregate row — no second pass, no union of jobs
     return agg.select(
-        F.explode(F.array(*out_rows)).alias("r")
+        F.explode(F.array(*_readout(rules))).alias("r")
     ).select("r.*")
 
 

@@ -333,3 +333,39 @@ def gap_density_stream(
         .agg(F.count(F.lit(1)).alias("n_uncovered"))
         .select(F.col("w.start").alias("hour_start"), "x", "y", "n_uncovered")
     )
+
+
+def checks_stream(events: DataFrame, rules: list[dict],
+                  watermark: str = "2 hours",
+                  ts_col: str = "ts") -> DataFrame:
+    """Streaming data-quality monitor: the table_checks contract
+    (operators/checks.py) evaluated PER HOURLY EVENT-TIME WINDOW —
+    the live surface for "null user_ids started appearing at 14:00" /
+    "event volume dropped below the floor this hour". The rule
+    compilation is shared verbatim with the batch operator
+    (_rule_aggs/_readout); only the grouping differs: conditional
+    aggregates are stateless per-row expressions, so the only
+    stateful piece is the same (window)-keyed agg + watermark bound
+    every windowed count here uses. min_rows becomes a PER-WINDOW
+    volume floor. The exact 'unique' rule is rejected loudly
+    (streaming aggregation cannot plan a distinct aggregate);
+    'approx_unique' (HLL, mergeable, streaming-legal) is first-class.
+
+    Output: (hour_start, rule_id, rule, column, observed, expected,
+    passed) — one row per (window, rule). Batch parity: availableNow
+    over a static directory equals the batch groupBy(window) on the
+    same rows (test-gated), so the monitor carries the same oracle
+    discipline as the other streaming operators.
+    """
+    from ..operators.checks import _readout, _rule_aggs, _validate_rules
+
+    _validate_rules(rules, exact_unique_ok=False)
+    agg = (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 hour").alias("w"))
+        .agg(*_rule_aggs(rules))
+    )
+    return agg.select(
+        F.col("w.start").alias("hour_start"),
+        F.explode(F.array(*_readout(rules))).alias("r"),
+    ).select("hour_start", "r.*")

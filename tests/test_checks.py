@@ -68,3 +68,14 @@ def test_table_checks_single_pass_plan(spark):
     ])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Range (0, 100") == 1
+
+
+def test_checks_stream_rejects_exact_unique(spark, tmp_path):
+    """Streaming aggregation cannot plan a distinct aggregate — the
+    exact 'unique' rule must be rejected loudly at build time, before
+    any query starts."""
+    from asag_spark.streaming import checks_stream, read_events_stream
+
+    ev = read_events_stream(spark, str(tmp_path))
+    with pytest.raises(ValueError, match="approx_unique"):
+        checks_stream(ev, [{"rule": "unique", "col": "event_id"}])
