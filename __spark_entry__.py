@@ -1407,6 +1407,21 @@ def _s_checks_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("SELECT * FROM s_checks_stream_tbl")
 
 
+def _t_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between the events value distribution and a
+    deterministically shifted snapshot (+120 on even event_ids —
+    half the mass moves up ~2.4 bins, PSI lands in the 'shifted'
+    band); bins/bounds derive from the reference min/max."""
+    from asag_spark.operators.checks import psi_drift
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cur = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.col("value") + 120)
+        .otherwise(F.col("value")).alias("value")
+    )
+    return psi_drift(ev, cur, "value", bins=10)
+
+
 def _t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import split_assign
 
@@ -1751,6 +1766,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-time window as a streaming monitor (availableNow
         # batch-parity oracle, like the rest of the streaming family)
         "s_checks_stream": _s_checks_stream,
+        # this session, born demoted: PSI distribution-drift monitor
+        # (two map-combined bin aggs + a <=bins+1-row join; quantized
+        # per-bin terms so the total is an integer sum)
+        "t_psi_drift": _t_psi_drift,
     }
 
 
@@ -3699,6 +3718,56 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
             UNION ALL
             SELECT hour_start, 3, 'min_rows', NULL, n::DOUBLE, 14::DOUBLE,
                    CASE WHEN n >= 14 THEN 1 ELSE 0 END FROM a
+        """,
+        # psi_drift: bounds from the reference min/max (identical IEEE
+        # double ops both engines), edge-clamped fixed-width bins, the
+        # null bin unused here (value is NOT NULL in the fixture),
+        # add-one smoothing over bins+1, per-bin term quantized to
+        # 1e6 so the total is an integer sum
+        "t_psi_drift": """
+            WITH ref AS (SELECT value AS v FROM events),
+            cur AS (
+              SELECT CASE WHEN event_id % 2 = 0 THEN value + 120
+                          ELSE value END AS v
+              FROM events
+            ),
+            b AS (SELECT min(v) AS lo, max(v) AS hi FROM ref),
+            rb AS (
+              SELECT CASE WHEN v IS NULL THEN 10
+                          ELSE LEAST(GREATEST(CAST(floor(
+                                 (v - lo) / ((hi - lo) / 10)
+                               ) AS BIGINT), 0), 9) END AS bin,
+                     count(*) AS n_ref
+              FROM ref CROSS JOIN b GROUP BY 1
+            ),
+            cb AS (
+              SELECT CASE WHEN v IS NULL THEN 10
+                          ELSE LEAST(GREATEST(CAST(floor(
+                                 (v - lo) / ((hi - lo) / 10)
+                               ) AS BIGINT), 0), 9) END AS bin,
+                     count(*) AS n_cur
+              FROM cur CROSS JOIN b GROUP BY 1
+            ),
+            j AS (
+              SELECT COALESCE(rb.bin, cb.bin) AS bin,
+                     COALESCE(n_ref, 0) AS n_ref,
+                     COALESCE(n_cur, 0) AS n_cur
+              FROM rb FULL JOIN cb ON rb.bin = cb.bin
+            ),
+            t AS (
+              SELECT bin, n_ref, n_cur,
+                     CAST(floor(
+                       ((n_cur + 1) / (sum(n_cur) OVER () + 11.0)
+                        - (n_ref + 1) / (sum(n_ref) OVER () + 11.0))
+                       * ln(((n_cur + 1) / (sum(n_cur) OVER () + 11.0))
+                            / ((n_ref + 1) / (sum(n_ref) OVER () + 11.0)))
+                       * 1e6 + 0.5) AS BIGINT) AS tq
+              FROM j
+            )
+            SELECT bin, n_ref, n_cur,
+                   ROUND(tq / 1e6, 6) AS term,
+                   ROUND(sum(tq) OVER () / 1e6, 6) AS psi
+            FROM t
         """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,

@@ -185,3 +185,95 @@ def assert_checks(df: DataFrame, rules: list[dict]) -> DataFrame:
         )
         raise ValueError(f"table_checks failed: {detail}")
     return out
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
+              bins: int = 10, lo: float | None = None,
+              hi: float | None = None) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard production drift monitor ("did this
+    feature's distribution move between last week's corpus and
+    today's"). PSI = Σ_b (p_cur(b) − p_ref(b)) · ln(p_cur(b)/p_ref(b))
+    over fixed-width bins; the conventional alert bands are ~0.1
+    (drifting) and ~0.25 (shifted).
+
+    Binning: ``bins`` equal-width bins over [lo, hi] — bounds default
+    to the REFERENCE snapshot's min/max (one tiny agg, collected
+    driver-side: two scalars, the broadcast-threshold class of
+    collect); values outside clamp into the edge bins so a shifted
+    current snapshot lands visibly in bin 0 / bins−1 instead of
+    disappearing; nulls get their own bin (id = ``bins``) so null-rate
+    drift is part of the same number. Add-one smoothing keeps every
+    ln() finite regardless of empty bins.
+
+    Engine-portable math: bin ids are exact integer arithmetic; the
+    per-bin PSI term is quantized ONCE (floor(term·1e6 + 0.5), the
+    lm_bigram_score idiom) so the total is an integer sum — identical
+    under any aggregation order, DuckDB-reproducible.
+
+    Plan shape at 100 TB: each snapshot contributes ONE map-combined
+    keyless-then-bin aggregation (wire = bins+1 rows per partition);
+    the bin join and the PSI window run on ≤ bins+1 rows. Nothing is
+    data-dependent except the two scans.
+
+    Output: one row per occupied-or-smoothed bin —
+    (bin, n_ref, n_cur, term, psi) — ``term`` the bin's smoothed PSI
+    contribution and ``psi`` the total (identical on every row, so a
+    single-row gate reads it without a second pass); both 6 dp.
+    """
+    from pyspark.sql import Window
+
+    if bins < 2:
+        raise ValueError(f"psi_drift: bins must be >= 2, got {bins}")
+    c = F.col(col).cast("double")
+    if lo is None or hi is None:
+        row = ref.agg(
+            F.min(c).alias("lo"), F.max(c).alias("hi")
+        ).collect()[0]
+        lo = row["lo"] if lo is None else lo
+        hi = row["hi"] if hi is None else hi
+        if lo is None:
+            raise ValueError(f"psi_drift: reference column {col!r} is all null")
+    if not hi > lo:
+        raise ValueError(f"psi_drift: need hi > lo, got [{lo}, {hi}]")
+    w = (float(hi) - float(lo)) / bins
+
+    def binned(df, alias):
+        b = F.when(
+            c.isNull(), F.lit(bins)
+        ).otherwise(
+            F.least(
+                F.greatest(
+                    F.floor((c - F.lit(float(lo))) / F.lit(w)), F.lit(0)
+                ),
+                F.lit(bins - 1),
+            )
+        ).cast("int")
+        return df.select(b.alias("bin")).groupBy("bin").agg(
+            F.count(F.lit(1)).alias(alias)
+        )
+
+    r = binned(ref, "n_ref")
+    u = binned(cur, "n_cur")
+    joined = r.join(u, "bin", "full").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+    )
+    tiny = Window.partitionBy()  # ≤ bins+1 rows — single-task by design
+    tr = F.sum("n_ref").over(tiny)
+    tu = F.sum("n_cur").over(tiny)
+    B = bins + 1
+    pr = (F.col("n_ref") + 1) / (tr + F.lit(float(B)))
+    pu = (F.col("n_cur") + 1) / (tu + F.lit(float(B)))
+    term_q = F.floor((pu - pr) * F.log(pu / pr) * F.lit(1e6) + F.lit(0.5))
+    out = joined.select(
+        "bin", "n_ref", "n_cur", term_q.cast("long").alias("_tq")
+    )
+    return out.select(
+        "bin", "n_ref", "n_cur",
+        F.round(F.col("_tq") / F.lit(1e6), 6).alias("term"),
+        F.round(
+            F.sum("_tq").over(Window.partitionBy()) / F.lit(1e6), 6
+        ).alias("psi"),
+    )

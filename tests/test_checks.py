@@ -79,3 +79,37 @@ def test_checks_stream_rejects_exact_unique(spark, tmp_path):
     ev = read_events_stream(spark, str(tmp_path))
     with pytest.raises(ValueError, match="approx_unique"):
         checks_stream(ev, [{"rule": "unique", "col": "event_id"}])
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """PSI of a distribution against itself is ~0 (smoothing only);
+    a hard shift concentrates current mass in the top edge bin and
+    pushes PSI far past the 0.25 'shifted' band; nulls occupy their
+    own bin so null-rate drift is visible."""
+    from asag_spark.operators.checks import psi_drift
+
+    ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+    same = psi_drift(ref, ref, "v", bins=10).collect()
+    assert all(abs(r.psi) < 0.01 for r in same)
+    shifted = spark.range(1000).selectExpr(
+        "CAST(id % 100 + 500 AS DOUBLE) AS v"
+    )
+    out = psi_drift(ref, shifted, "v", bins=10).collect()
+    psi = out[0].psi
+    assert psi > 0.25
+    by_bin = {r.bin: r for r in out}
+    assert by_bin[9].n_cur == 1000  # everything clamps into the edge bin
+    # null drift: current snapshot goes half-null
+    nul = spark.range(1000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN CAST(id % 100 AS DOUBLE) END AS v"
+    )
+    outn = {r.bin: r for r in psi_drift(ref, nul, "v", bins=10).collect()}
+    assert outn[10].n_cur == 500 and outn[10].n_ref == 0
+    assert outn[10].psi > 0.1
+    with pytest.raises(ValueError, match="hi > lo"):
+        psi_drift(ref, ref, "v", bins=10, lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="all null"):
+        psi_drift(
+            spark.range(3).selectExpr("CAST(NULL AS DOUBLE) AS v"),
+            ref, "v",
+        )
