@@ -1422,6 +1422,17 @@ def _t_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return psi_drift(ev, cur, "value", bins=10)
 
 
+def _t_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the documents table (exact
+    distincts — the expand cost is the documented trade)."""
+    from asag_spark.operators.checks import profile_table
+
+    return profile_table(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        ["doc_id", "lang", "source", "n_chars"],
+    )
+
+
 def _t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import split_assign
 
@@ -1770,6 +1781,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (two map-combined bin aggs + a <=bins+1-row join; quantized
         # per-bin terms so the total is an integer sum)
         "t_psi_drift": _t_psi_drift,
+        # this session, born demoted: single-pass column profiler (the
+        # observe side of the checks family)
+        "t_profile": _t_profile,
     }
 
 
@@ -3768,6 +3782,40 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
                    ROUND(tq / 1e6, 6) AS term,
                    ROUND(sum(tq) OVER () / 1e6, 6) AS psi
             FROM t
+        """,
+        # profile_table: per-column stats in one pass; min/max
+        # stringified for type portability (BIGINT -> VARCHAR renders
+        # identically both engines), mean only for numerics
+        "t_profile": """
+            WITH a AS (
+              SELECT count(*) AS n,
+                     count(CASE WHEN doc_id IS NULL THEN 1 END) AS nul0,
+                     count(DISTINCT doc_id) AS d0,
+                     CAST(min(doc_id) AS VARCHAR) AS mn0,
+                     CAST(max(doc_id) AS VARCHAR) AS mx0,
+                     ROUND(avg(doc_id::DOUBLE), 6) AS av0,
+                     count(CASE WHEN lang IS NULL THEN 1 END) AS nul1,
+                     count(DISTINCT lang) AS d1,
+                     min(lang) AS mn1, max(lang) AS mx1,
+                     count(CASE WHEN source IS NULL THEN 1 END) AS nul2,
+                     count(DISTINCT source) AS d2,
+                     min(source) AS mn2, max(source) AS mx2,
+                     count(CASE WHEN n_chars IS NULL THEN 1 END) AS nul3,
+                     count(DISTINCT n_chars) AS d3,
+                     CAST(min(n_chars) AS VARCHAR) AS mn3,
+                     CAST(max(n_chars) AS VARCHAR) AS mx3,
+                     ROUND(avg(n_chars::DOUBLE), 6) AS av3
+              FROM documents
+            )
+            SELECT 'doc_id' AS "column", n AS n_rows, nul0 AS n_nulls,
+                   d0 AS n_distinct, mn0 AS min_value, mx0 AS max_value,
+                   av0 AS mean FROM a
+            UNION ALL
+            SELECT 'lang', n, nul1, d1, mn1, mx1, NULL FROM a
+            UNION ALL
+            SELECT 'source', n, nul2, d2, mn2, mx2, NULL FROM a
+            UNION ALL
+            SELECT 'n_chars', n, nul3, d3, mn3, mx3, av3 FROM a
         """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,

@@ -277,3 +277,69 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
             F.sum("_tq").over(Window.partitionBy()) / F.lit(1e6), 6
         ).alias("psi"),
     )
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None,
+                  exact_distinct: bool = True) -> DataFrame:
+    """Column profile — the OBSERVE side of the checks family (what
+    you look at before writing a table_checks contract or a psi_drift
+    bound): per column, row/null/distinct counts, stringified min and
+    max (portable across types), and the numeric mean where the type
+    is numeric.
+
+    One aggregation pass for the whole profile: every statistic is an
+    aggregate expression over the same scan. With ``exact_distinct``
+    each column adds a count_distinct, which Spark plans via ONE
+    expand over the scan (rows × profiled columns on the map side,
+    still combined before the exchange) — the honest cost of exact
+    cardinalities; ``exact_distinct=False`` swaps in
+    approx_count_distinct (HLL: no expand, constant state) for the
+    10^12-row profile, the same explicit trade the `unique` /
+    `approx_unique` rules expose.
+
+    Output: one row per profiled column —
+    (column, n_rows, n_nulls, n_distinct, min_value, max_value, mean)
+    with min/max cast to string (NULL for all-null columns), mean NULL
+    for non-numeric columns, and 6-dp rounding on mean.
+    """
+    import pyspark.sql.types as T
+
+    cols = columns if columns is not None else df.columns
+    if not cols:
+        raise ValueError("profile_table: no columns to profile")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"profile_table: unknown columns {missing}")
+    numeric = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType)
+    }
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.count(F.when(col.isNull(), F.lit(1))).alias(f"_nul{i}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(col).alias(f"_d{i}"))
+        else:
+            aggs.append(F.approx_count_distinct(col).alias(f"_d{i}"))
+        aggs.append(F.min(col).cast("string").alias(f"_min{i}"))
+        aggs.append(F.max(col).cast("string").alias(f"_max{i}"))
+        if c in numeric:
+            aggs.append(
+                F.round(F.avg(col.cast("double")), 6).alias(f"_avg{i}")
+            )
+    agg = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"_nul{i}").alias("n_nulls"),
+            F.col(f"_d{i}").alias("n_distinct"),
+            F.col(f"_min{i}").alias("min_value"),
+            F.col(f"_max{i}").alias("max_value"),
+            (F.col(f"_avg{i}") if c in numeric
+             else F.lit(None).cast("double")).alias("mean"),
+        )
+        for i, c in enumerate(cols)
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

@@ -149,6 +149,27 @@ def main() -> None:
         # plan and under-measures the pipeline >5x.
         df.write.format("noop").mode("overwrite").save()
 
+    def _membw_probe_ms() -> float:
+        # Host memory-bandwidth self-calibration: best-of-3 sum over a
+        # 400 MB double array. Steal-from-/proc/stat misses NEIGHBOR
+        # bandwidth contention entirely (observed: 3-6x query-wall
+        # inflation at 0.000 steal) — this single number makes such a
+        # run self-describing the same way steal_at_min does. Quiet
+        # baseline on this guest ~25-35 ms; 55-70 ms reads as ~2x
+        # degraded memory bandwidth and inflated timings.
+        import numpy as np
+
+        a = np.random.rand(50_000_000)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            a.sum()
+            best = min(best, time.perf_counter() - t0)
+        del a
+        return round(best * 1000, 1)
+
+    extras["host_membw_ms_start"] = _membw_probe_ms()
+
     # 1. flagship: docs → features → tile assignment (the north-rule metric)
     feats = build_features(docs, as_of=AS_OF)
     tiled = assign_tiles(feats)
@@ -594,6 +615,7 @@ def main() -> None:
         warm=1,
     )
 
+    extras["host_membw_ms_end"] = _membw_probe_ms()
     extras["steal_at_min"] = steal_at_min
     total = round(sum(timings.values()), 3)
     print(

@@ -113,3 +113,25 @@ def test_psi_drift_identical_and_shifted(spark):
             spark.range(3).selectExpr("CAST(NULL AS DOUBLE) AS v"),
             ref, "v",
         )
+
+
+def test_profile_table_stats(spark):
+    """Profile values: exact counts, stringified min/max, numeric-only
+    mean, all-null column profile, unknown-column raise."""
+    from asag_spark.operators.checks import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (2, None, None)],
+        "id long, s string, z string",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert out["id"].n_rows == 3 and out["id"].n_distinct == 2
+    assert out["id"].min_value == "1" and out["id"].max_value == "2"
+    assert abs(out["id"].mean - round(5 / 3, 6)) < 1e-9
+    assert out["s"].n_nulls == 1 and out["s"].mean is None
+    assert out["z"].n_distinct == 0 and out["z"].min_value is None
+    approx = {r.column: r for r in
+              profile_table(df, ["id"], exact_distinct=False).collect()}
+    assert approx["id"].n_distinct >= 1  # HLL estimate, small-n exact-ish
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_table(df, ["nope"])
