@@ -1433,6 +1433,27 @@ def _t_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff (sources.snapshot_diff) between documents and a
+    deterministically mutated snapshot exercising all four classes:
+    doc_id%10==3 removed, doc_id%13==0 cloned to +1M ids (added),
+    doc_id%5==1 n_chars bumped (changed), rest unchanged. The oracle
+    compares VALUES with IS NOT DISTINCT FROM — deliberately not the
+    hash — so the gate checks the semantics, not the implementation."""
+    from asag_spark.sources import snapshot_diff
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mutated = base.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 5 == 1, F.col("n_chars") + 1)
+        .otherwise(F.col("n_chars")),
+    )
+    added = base.filter(F.col("doc_id") % 13 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    return snapshot_diff(base, mutated.unionByName(added), ["doc_id"])
+
+
 def _t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import split_assign
 
@@ -1784,6 +1805,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this session, born demoted: single-pass column profiler (the
         # observe side of the checks family)
         "t_profile": _t_profile,
+        # this session, born demoted: key-level snapshot CDC diff
+        # (map-side row hashes, one key-bucketed full outer join;
+        # value-comparison oracle, stronger than the hash)
+        "t_snapshot_diff": _t_snapshot_diff,
     }
 
 
@@ -3816,6 +3841,34 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
             SELECT 'source', n, nul2, d2, mn2, mx2, NULL FROM a
             UNION ALL
             SELECT 'n_chars', n, nul3, d3, mn3, mx3, av3 FROM a
+        """,
+        # snapshot_diff: the oracle classifies by VALUE comparison
+        # (IS NOT DISTINCT FROM per compared column) while the engine
+        # compares xxhash64 row hashes — agreement checks the diff
+        # semantics end-to-end, stronger than restating the hash
+        "t_snapshot_diff": """
+            WITH o AS (
+              SELECT doc_id, text, lang, source, n_chars FROM documents
+            ),
+            n AS (
+              SELECT doc_id, text, lang, source,
+                     CASE WHEN doc_id % 5 = 1 THEN n_chars + 1
+                          ELSE n_chars END AS n_chars
+              FROM documents WHERE doc_id % 10 <> 3
+              UNION ALL
+              SELECT doc_id + 1000000, text, lang, source, n_chars
+              FROM documents WHERE doc_id % 13 = 0
+            )
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text IS NOT DISTINCT FROM n.text
+                         AND o.lang IS NOT DISTINCT FROM n.lang
+                         AND o.source IS NOT DISTINCT FROM n.source
+                         AND o.n_chars IS NOT DISTINCT FROM n.n_chars
+                        THEN 'unchanged'
+                        ELSE 'changed' END AS change
+            FROM o FULL JOIN n ON o.doc_id = n.doc_id
         """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,

@@ -135,3 +135,32 @@ def test_profile_table_stats(spark):
     assert approx["id"].n_distinct >= 1  # HLL estimate, small-n exact-ish
     with pytest.raises(ValueError, match="unknown columns"):
         profile_table(df, ["nope"])
+
+
+def test_snapshot_diff_classes_and_dup_raise(spark):
+    """All four change classes from a constructed pair; NULL vs value
+    counts as changed; duplicate keys raise at action time."""
+    from asag_spark.sources import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (3, "now", 30), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    out = {r.k: r.change for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "removed", 5: "added"}
+    # restricted compare set: s excluded -> row 2 becomes unchanged
+    out2 = {r.k: r.change
+            for r in snapshot_diff(old, new, ["k"],
+                                   compare_cols=["v"]).collect()}
+    assert out2[2] == "unchanged" and out2[3] == "unchanged"
+    dup = spark.createDataFrame([(1, "x", 1), (1, "y", 2)],
+                                "k long, s string, v long")
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(dup, new, ["k"]).collect()
+    with pytest.raises(ValueError, match="key_cols"):
+        snapshot_diff(old, new, [])
