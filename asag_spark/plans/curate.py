@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--quality-gate", choices=["gopher", "topq", "none"],
                     default="gopher")
     ap.add_argument("--quality-share", type=float, default=0.8)
+    # input contract (operators/checks.py): stop-the-line before any
+    # curation compute is spent on a malformed corpus snapshot
+    ap.add_argument("--contract", choices=["assert", "off"],
+                    default="assert")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -69,8 +73,21 @@ def main(argv: list[str] | None = None) -> None:
     pipe = CheckpointedPipeline(spark, args.workdir, input_fp)
 
     docs = spark.read.parquet(args.input)
+    counts: dict[str, int] = {}
+    if args.contract == "assert":
+        from asag_spark.operators.checks import assert_checks
+
+        # raises listing every failed rule BEFORE any curation stage
+        # spends compute on a malformed snapshot; one aggregation pass
+        contract = assert_checks(docs, [
+            {"rule": "not_null", "col": "doc_id"},
+            {"rule": "unique", "col": "doc_id"},
+            {"rule": "not_null", "col": "text"},
+            {"rule": "min_rows", "n": 1},
+        ])
+        counts["contract_rules"] = contract.count()
     n_in = docs.count()
-    counts: dict[str, int] = {"input": n_in}
+    counts["input"] = n_in
 
     def gated():
         if args.quality_gate == "none":
