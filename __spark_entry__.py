@@ -1454,6 +1454,18 @@ def _t_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(base, mutated.unionByName(added), ["doc_id"])
 
 
+def _t_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample (text.weighted_sample),
+    k=100 of the documents weighted by n_chars — longer docs win
+    proportionally more slots; keys 9-dp-rounded, ties by id."""
+    from asag_spark.operators.text import weighted_sample
+
+    return weighted_sample(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        k=100, weight_col="n_chars",
+    )
+
+
 def _t_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from asag_spark.operators.text import split_assign
 
@@ -1809,6 +1821,10 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (map-side row hashes, one key-bucketed full outer join;
         # value-comparison oracle, stronger than the hash)
         "t_snapshot_diff": _t_snapshot_diff,
+        # this session, born demoted: Efraimidis–Spirakis weighted
+        # sample (exponential race; TakeOrderedAndProject, no full
+        # sort) — the weighted complement of t_stratified_sample
+        "t_weighted_sample": _t_weighted_sample,
     }
 
 
@@ -3869,6 +3885,19 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
                         THEN 'unchanged'
                         ELSE 'changed' END AS change
             FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        """,
+        # weighted_sample: same hash_unit u, same 9-dp key rounding,
+        # same (skey, id) total order
+        "t_weighted_sample": """
+            SELECT doc_id, n_chars,
+                   ROUND(-ln(((('0x' || substr(md5('wsamp-v1:'
+                                  || doc_id::VARCHAR), 1, 15))::BIGINT + 1)
+                              / 1152921504606846976.0))
+                         / n_chars::DOUBLE, 9) AS skey
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            ORDER BY skey ASC, doc_id ASC
+            LIMIT 100
         """,
         "t_tfidf_top": _TFIDF_SQL,
         "t_corpus_stats": _CORPUS_STATS_SQL,

@@ -1230,3 +1230,48 @@ def dsir_weights(docs: DataFrame, target_sources: tuple[str, ...] = ("src0", "sr
             .alias("logw"),
         )
     )
+
+
+def weighted_sample(docs: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id",
+                    seed: str = "wsamp-v1") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis via
+    the exponential race): keep the k rows with the smallest
+    key = −ln(u)/w, u = hash_unit(seed, id) — each row's key is an
+    Exp(w) draw, so inclusion probabilities follow the classic A-ES
+    successive-sampling design (a row with twice the weight is twice
+    as likely to win each slot). The deterministic-u construction
+    makes the draw a pure function of (seed, id): append-stable,
+    engine-portable, no RNG state — the weighted complement to
+    stratified_sample's rate filter and temperature_resample's
+    with-replacement mixing (quality-score-weighted corpus
+    subsampling is this operator with w = quality).
+
+    Portability contract: keys round to 9 dp BEFORE selection and
+    ties break on id ascending, so the selected set is identical on
+    any engine whose ln() agrees to within the quantum — the same
+    accepted class as every other rounded-transcendental operator
+    here. Rows with NULL or non-positive weight never qualify
+    (documented, not an error: a zero-weight row has zero inclusion
+    probability by definition).
+
+    Plan shape: the key is a pure row expression; selection is
+    orderBy(key, id).limit(k), which Spark plans as
+    TakeOrderedAndProject — per-partition top-k heaps, one k-row
+    merge, NO full sort and NO wide exchange. k is assumed
+    driver-mergeable (≤ ~10^6); for larger samples compose the
+    stratum_cap two-phase threshold pattern instead.
+
+    Output: (<id_col>, <weight_col>, skey) for the k winners.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = hash_unit(id_col, seed)
+    key = F.round(-F.log(u) / w, 9)
+    return (
+        docs.filter(w.isNotNull() & (w > 0))
+        .select(F.col(id_col), F.col(weight_col), key.alias("skey"))
+        .orderBy(F.col("skey").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

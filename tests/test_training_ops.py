@@ -1867,3 +1867,28 @@ def test_dedup_clusters_gate_parity_random_graphs(spark):
              for r in dedup_clusters(spairs, collect_max_edges=0).collect()}
     assert sfast == sdist
     assert sfast["b"] == "Z"  # 'Z' < 'a' in both orderings
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """Heavier rows win more slots (statistical bias check over a
+    deterministic draw), the selection is a pure function of (seed,
+    id) at any parallelism, non-positive/null weights never qualify,
+    and the plan is TakeOrderedAndProject (no full sort exchange)."""
+    from asag_spark.operators.text import weighted_sample
+
+    rows = [(i, 10.0 if i < 500 else 1.0) for i in range(1000)]
+    rows += [(2000, 0.0), (2001, -3.0), (2002, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(docs, k=200, weight_col="w")
+    ids = {r.doc_id for r in out.collect()}
+    assert len(ids) == 200
+    assert not ids & {2000, 2001, 2002}
+    heavy = sum(1 for i in ids if i < 500)
+    # E[heavy] ~ 180 of 200 under 10:1 weights; far from uniform's 100
+    assert heavy > 140
+    ids7 = {r.doc_id
+            for r in weighted_sample(docs.repartition(7), k=200,
+                                     weight_col="w").collect()}
+    assert ids7 == ids
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
