@@ -3661,8 +3661,10 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
         # and summation order can never move the value
         "t_dsir_weights": r"""
             WITH tk AS (
-              SELECT doc_id, source IN ('src0', 'src1') AS tgt,
-                     string_split_regex(trim(lower(text)), '\s+') AS tk
+              SELECT doc_id,
+                     COALESCE(source IN ('src0', 'src1'), FALSE) AS tgt,
+                     string_split_regex(trim(lower(COALESCE(text, ''))),
+                                        '\s+') AS tk
               FROM documents
             ),
             uni AS (

@@ -432,33 +432,44 @@ def clip_polygons_to_tiles(polys: DataFrame, zoom: int = 9,
 COMPACT_COLLECT_MAX_TILES = 4_000_000
 
 
-def _compact_driver(rows, zoom: int, min_zoom: int):
-    """Driver-side quadtree compaction of a collected tile list —
-    the same per-level promotion rule as the distributed chain
-    (np.unique on packed parent keys stands in for the window count;
-    dedupe is the initial np.unique). Returns [(z, x, y), ...]."""
+def _compact_driver(tile_pdf, zoom: int, min_zoom: int):
+    """Driver-side quadtree compaction of an Arrow-collected tile
+    frame — fully vectorized (no per-row Python objects anywhere,
+    review r3): the same per-level promotion rule as the distributed
+    chain (np.unique on packed parent keys stands in for the window
+    count; dedupe is the initial np.unique). Returns a pandas frame
+    (z, x, y) of int32."""
     import numpy as np
+    import pandas as pd
 
-    if not rows:
-        return []
-    k = np.unique(np.array(
-        [(int(r[0]) << 32) | int(r[1]) for r in rows], dtype=np.int64
-    ))
-    out = []
-    for z in range(zoom, min_zoom, -1):
+    zs, xs, ys = [], [], []
+    if len(tile_pdf):
+        k = np.unique(
+            (tile_pdf["x"].to_numpy(np.int64) << 32)
+            | tile_pdf["y"].to_numpy(np.int64)
+        )
+        for z in range(zoom, min_zoom, -1):
+            x = k >> 32
+            y = k & 0xFFFFFFFF
+            pk = ((x >> 1) << 32) | (y >> 1)
+            up, inv, cnt = np.unique(
+                pk, return_inverse=True, return_counts=True
+            )
+            keep = cnt[inv] < 4
+            zs.append(np.full(int(keep.sum()), z, dtype=np.int32))
+            xs.append(x[keep])
+            ys.append(y[keep])
+            k = up[cnt == 4]
         x = k >> 32
         y = k & 0xFFFFFFFF
-        pk = ((x >> 1) << 32) | (y >> 1)
-        up, inv, cnt = np.unique(pk, return_inverse=True, return_counts=True)
-        keep = cnt[inv] < 4
-        out.extend(
-            (z, int(xx), int(yy)) for xx, yy in zip(x[keep], y[keep])
-        )
-        k = up[cnt == 4]
-    x = k >> 32
-    y = k & 0xFFFFFFFF
-    out.extend((min_zoom, int(xx), int(yy)) for xx, yy in zip(x, y))
-    return out
+        zs.append(np.full(len(k), min_zoom, dtype=np.int32))
+        xs.append(x)
+        ys.append(y)
+    return pd.DataFrame({
+        "z": np.concatenate(zs) if zs else np.array([], dtype=np.int32),
+        "x": (np.concatenate(xs) if xs else np.array([])).astype(np.int32),
+        "y": (np.concatenate(ys) if ys else np.array([])).astype(np.int32),
+    })
 
 
 def compact_tiles(tiles: DataFrame, zoom: int, min_zoom: int = 0,
@@ -506,9 +517,9 @@ def compact_tiles(tiles: DataFrame, zoom: int, min_zoom: int = 0,
         try:
             n_tiles = cur_p.count()
             if n_tiles <= collect_max_tiles:
-                rows = cur_p.collect()
+                pdf = cur_p.toPandas()  # Arrow path: columnar, no Rows
                 return tiles.sparkSession.createDataFrame(
-                    _compact_driver(rows, zoom, min_zoom),
+                    _compact_driver(pdf, zoom, min_zoom),
                     "z int, x int, y int",
                 )
         finally:

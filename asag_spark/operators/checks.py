@@ -25,8 +25,10 @@ float accumulation.
 Rules (dicts, validated loudly):
   {"rule": "not_null",        "col": c}
   {"rule": "unique",          "col": c}                 # exact
-  {"rule": "approx_unique",   "col": c, "rsd": 0.05}    # HLL; no oracle
-  {"rule": "range",           "col": c, "min": x, "max": y}  # null passes
+  {"rule": "approx_unique",   "col": c, "rsd": 0.05}    # HLL; passes
+                                        # within a 2·rsd band; no oracle
+  {"rule": "range",           "col": c, "min": x, "max": y}  # null passes;
+                                        # at least one bound required
   {"rule": "accepted_values", "col": c, "values": [...]}     # null fails
   {"rule": "matches",         "col": c, "regex": r}          # null fails
   {"rule": "min_rows",        "n": k}
@@ -88,6 +90,12 @@ def _validate_rules(rules: list[dict], exact_unique_ok: bool = True) -> None:
             raise ValueError(f"table_checks: rule #{i} needs 'col'")
         if r["rule"] == "min_rows" and "n" not in r:
             raise ValueError("table_checks: min_rows needs 'n'")
+        if r["rule"] == "range" and r.get("min") is None \
+                and r.get("max") is None:
+            raise ValueError(
+                "table_checks: range needs 'min' and/or 'max' (a "
+                "boundless range asserts nothing)"
+            )
         if r["rule"] == "accepted_values" and not r.get("values"):
             raise ValueError("table_checks: accepted_values needs 'values'")
         if r["rule"] == "matches" and not r.get("regex"):
@@ -132,10 +140,23 @@ def _readout(rules: list[dict]) -> list[Column]:
     for i, r in enumerate(rules):
         kind = r["rule"]
         col = r.get("col")
-        if kind in ("unique", "approx_unique"):
+        if kind == "unique":
             observed = F.col(f"_d{i}")
             expected = F.col(f"_c{i}")
             passed = observed == expected
+        elif kind == "approx_unique":
+            # HLL is exact only in its small-cardinality sparse mode;
+            # at real cardinalities the estimate carries ~rsd relative
+            # error, so exact equality would false-alarm on perfectly
+            # unique data (review r3). Pass within a 2·rsd band — the
+            # ~95% interval of the HLL error distribution.
+            observed = F.col(f"_d{i}")
+            expected = F.col(f"_c{i}")
+            tol = 2.0 * float(r.get("rsd", 0.05))
+            passed = (
+                F.abs(observed - expected)
+                <= F.lit(tol) * F.greatest(expected, F.lit(1))
+            )
         elif kind == "min_rows":
             observed = F.col("_n")
             expected = F.lit(int(r["n"])).cast("long")
@@ -232,7 +253,7 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
         ).collect()[0]
         lo = row["lo"] if lo is None else lo
         hi = row["hi"] if hi is None else hi
-        if lo is None:
+        if lo is None or hi is None:
             raise ValueError(f"psi_drift: reference column {col!r} is all null")
     if not hi > lo:
         raise ValueError(f"psi_drift: need hi > lo, got [{lo}, {hi}]")

@@ -547,30 +547,37 @@ def _cc_min_labels(n: int, ii, jj):
     return comp
 
 
-def _closure_collect(spark, edge_rows, id_type) -> DataFrame:
-    """Exact min-label closure of a small collected edge list on the
-    driver: node index = rank in the ASCENDING sorted node array, so
-    the numpy kernel's min-index fixpoint is exactly the min-id label
-    convention (for strings, Python's code-point sort order equals
+def _closure_collect(spark, edge_pdf, id_type) -> DataFrame:
+    """Exact min-label closure of a small edge set on the driver —
+    the edges arrive as an Arrow-transferred pandas frame (columnar:
+    no per-row Row objects, review r3) and all index work is numpy:
+    node index = rank in the ASCENDING np.unique node array, so the
+    kernel's min-index fixpoint is exactly the min-id label
+    convention (for strings, numpy's code-point sort order equals
     Spark's binary UTF-8 ordering — UTF-8 preserves code-point order —
     so min agrees across the two paths). Returns a (doc_id,
     cluster_id) DataFrame typed like the input ids."""
     import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
-    a = [r[0] for r in edge_rows]
-    b = [r[1] for r in edge_rows]
-    ids = sorted(set(a) | set(b))
-    idx = {v: i for i, v in enumerate(ids)}
-    ii = np.fromiter((idx[v] for v in a), dtype=np.int64, count=len(a))
-    jj = np.fromiter((idx[v] for v in b), dtype=np.int64, count=len(b))
-    comp = _cc_min_labels(len(ids), ii, jj)
+    a = edge_pdf.iloc[:, 0].to_numpy()
+    b = edge_pdf.iloc[:, 1].to_numpy()
+    if len(a):
+        ids = np.unique(np.concatenate([a, b]))
+        ii = np.searchsorted(ids, a)
+        jj = np.searchsorted(ids, b)
+        comp = _cc_min_labels(len(ids), ii, jj)
+        labels = ids[comp]
+    else:
+        ids = a
+        labels = a
     schema = T.StructType([
         T.StructField("doc_id", id_type),
         T.StructField("cluster_id", id_type),
     ])
     return spark.createDataFrame(
-        [(v, ids[c]) for v, c in zip(ids, comp)], schema
+        pd.DataFrame({"doc_id": ids, "cluster_id": labels}), schema
     )
 
 
@@ -626,11 +633,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25,
     n_edges = edges.count()
     if n_edges <= collect_max_edges:
         try:
-            rows = edges.collect()
+            pdf = edges.toPandas()  # Arrow path: columnar, no Rows
         finally:
             edges.unpersist()
         return _closure_collect(
-            pairs.sparkSession, rows, pairs.schema["doc_a"].dataType
+            pairs.sparkSession, pdf, pairs.schema["doc_a"].dataType
         )
     labels = (
         edges.select(F.col("src").alias("doc_id"))

@@ -1665,6 +1665,13 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
             )
         ).alias("norm"),
     )
+    # the assignment matmul is map-only (no exchange for Catalyst to
+    # reuse) and e feeds THREE consumers (both self-join sides + the
+    # final keep-flag spine) — without materialization the Arrow
+    # assignment pass runs 3x per action (review r3). localCheckpoint
+    # computes it once; at index scale the same role is played by the
+    # persisted ivf_index_write layout.
+    e = e.localCheckpoint()
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(
@@ -1685,7 +1692,7 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
         .agg(F.max("cos").alias("max_sim_smaller"))
     )
     return (
-        assigned.select("vec_id", "ivf_cell")
+        e.select("vec_id", "ivf_cell")
         .join(hits, "vec_id", "left")
         .select(
             "vec_id", "ivf_cell",

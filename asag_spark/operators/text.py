@@ -1165,17 +1165,27 @@ def dsir_weights(docs: DataFrame, target_sources: tuple[str, ...] = ("src0", "sr
     the target never saw get the Laplace floor 1/(T_t + n_buckets).
 
     Output: (doc_id, n_grams, logw) — one row per RAW-pool doc
-    (every doc has ≥ 1 gram: whitespace split of an empty string
-    yields the '' token, identically on DuckDB); logw rounded to 6 dp.
+    (every doc has ≥ 1 gram: whitespace split of an empty string —
+    NULL text included, via coalesce — yields the '' token,
+    identically on DuckDB; a NULL source is raw); logw rounded to
+    6 dp. An empty target corpus raises rather than returning all-NULL
+    weights.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     if not target_sources:
         raise ValueError("target_sources must be non-empty")
-    tk = tokens(F.lower(F.col(text_col)))
+    # null-robust contract (review r3): NULL text tokenizes as the
+    # empty string (one '' gram — the doc keeps its output row), and a
+    # NULL source is raw by definition (isin(NULL) is NULL, which
+    # would otherwise exclude the doc from BOTH distributions and
+    # silently drop it from the output)
+    tk = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     tkf = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col(source_col).isin(*target_sources).alias("tgt"),
+        F.coalesce(
+            F.col(source_col).isin(*target_sources), F.lit(False)
+        ).alias("tgt"),
         tk.alias("tk"),
     )
     uni = tkf.select("doc_id", "tgt", F.explode("tk").alias("g"))
@@ -1206,9 +1216,18 @@ def dsir_weights(docs: DataFrame, target_sources: tuple[str, ...] = ("src0", "sr
     br = feat.filter(~F.col("tgt")).groupBy("b").agg(F.sum("cnt").alias("cr"))
     tt = bt.agg(F.sum("ct").alias("tt"))
     tr = br.agg(F.sum("cr").alias("tr"))
+    # tt is NULL ⟺ the target matched zero docs — every logw would be
+    # silently NULL; raise through the expression instead (review r3)
+    tt_checked = F.when(
+        F.col("tt").isNull(),
+        F.raise_error(F.lit(
+            "dsir_weights: target corpus is empty (no doc matched "
+            "target_sources)"
+        )).cast("long"),
+    ).otherwise(F.col("tt"))
     lr = (
         F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1)
-              / (F.col("tt") + F.lit(float(n_buckets))))
+              / (tt_checked + F.lit(float(n_buckets))))
         - F.log((F.col("cr") + 1) / (F.col("tr") + F.lit(float(n_buckets))))
     )
     ratio = (

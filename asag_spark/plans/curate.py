@@ -79,13 +79,16 @@ def main(argv: list[str] | None = None) -> None:
 
         # raises listing every failed rule BEFORE any curation stage
         # spends compute on a malformed snapshot; one aggregation pass
-        contract = assert_checks(docs, [
+        # (the rule count is static — re-counting the returned frame
+        # would re-run the whole aggregation, review r3)
+        contract_rules = [
             {"rule": "not_null", "col": "doc_id"},
             {"rule": "unique", "col": "doc_id"},
             {"rule": "not_null", "col": "text"},
             {"rule": "min_rows", "n": 1},
-        ])
-        counts["contract_rules"] = contract.count()
+        ]
+        assert_checks(docs, contract_rules)
+        counts["contract_rules"] = len(contract_rules)
     n_in = docs.count()
     counts["input"] = n_in
 

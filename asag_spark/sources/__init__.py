@@ -10,6 +10,7 @@ explicit running-sum offsets) — JVM-side, no lambdas.
 
 from __future__ import annotations
 
+import functools
 import os
 import shutil
 
@@ -432,8 +433,21 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
         F.lit("snapshot_diff: duplicate key within a snapshot: "),
         F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]),
     )
+    # NULL keys never match across snapshots in an equi-join, so the
+    # same null-keyed row would surface as removed AND added — an
+    # ill-defined diff; reject loudly through the same lazy branch
+    null_key = functools.reduce(
+        lambda a, b: a | b, [F.col(c).isNull() for c in key_cols]
+    )
     change = (
-        F.when(dup, F.raise_error(dup_msg).cast("string"))
+        F.when(
+            null_key,
+            F.raise_error(F.lit(
+                "snapshot_diff: NULL in a key column (keys must be "
+                "non-null for a well-defined diff)"
+            )).cast("string"),
+        )
+        .when(dup, F.raise_error(dup_msg).cast("string"))
         .when(F.col("_h_old").isNull(), F.lit("added"))
         .when(F.col("_h_new").isNull(), F.lit("removed"))
         .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))

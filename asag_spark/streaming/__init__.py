@@ -356,6 +356,14 @@ def checks_stream(events: DataFrame, rules: list[dict],
     over a static directory equals the batch groupBy(window) on the
     same rows (test-gated), so the monitor carries the same oracle
     discipline as the other streaming operators.
+
+    Known limit (inherent to event-time grouping, documented rather
+    than papered over): a window with ZERO events emits NO row — so
+    total silence upstream produces no min_rows failure row for the
+    silent hour. Absent-window detection needs a clock the data does
+    not carry: run a heartbeat source unioned into the stream, or a
+    downstream gap check over hour_start (events.funnel/anomaly
+    family), which this operator deliberately does not smuggle in.
     """
     from ..operators.checks import _readout, _rule_aggs, _validate_rules
 

@@ -164,3 +164,47 @@ def test_snapshot_diff_classes_and_dup_raise(spark):
         snapshot_diff(dup, new, ["k"]).collect()
     with pytest.raises(ValueError, match="key_cols"):
         snapshot_diff(old, new, [])
+
+
+def test_review_r3_fixes(spark):
+    """Regression battery for the round-3 review findings: approx
+    uniqueness passes within its HLL tolerance on clean data, a
+    boundless range rule is rejected, psi_drift raises the intended
+    error when lo is caller-supplied but the reference is all null,
+    snapshot_diff rejects NULL keys loudly, and dsir handles null
+    text/source without dropping rows."""
+    from asag_spark.operators.checks import psi_drift, table_checks
+    from asag_spark.operators.text import dsir_weights
+    from asag_spark.sources import snapshot_diff
+
+    # approx_unique on a perfectly unique 50k-row column must PASS
+    big = spark.range(50_000).selectExpr("id AS k")
+    out = table_checks(big, [{"rule": "approx_unique", "col": "k"}])
+    assert out.collect()[0].passed == 1
+
+    with pytest.raises(ValueError, match="boundless"):
+        table_checks(big, [{"rule": "range", "col": "k"}])
+
+    allnull = spark.range(3).selectExpr("CAST(NULL AS DOUBLE) AS v")
+    with pytest.raises(ValueError, match="all null"):
+        psi_drift(allnull, big.selectExpr("CAST(k AS DOUBLE) AS v"),
+                  "v", lo=0.0)
+
+    o = spark.createDataFrame([(None, "a")], "k string, s string")
+    n = spark.createDataFrame([(None, "a")], "k string, s string")
+    with pytest.raises(Exception, match="NULL in a key column"):
+        snapshot_diff(o, n, ["k"]).collect()
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta", "en", "t"), (1, None, "en", "r"),
+         (2, "alpha", "en", None)],
+        "doc_id long, text string, lang string, source string",
+    )
+    w = {r.doc_id: r for r in
+         dsir_weights(docs, target_sources=("t",), n_buckets=64).collect()}
+    assert set(w) == {1, 2}  # null text AND null source docs present
+    assert w[1].n_grams == 1  # the '' gram
+
+    with pytest.raises(Exception, match="target corpus is empty"):
+        dsir_weights(docs, target_sources=("nope",),
+                     n_buckets=64).collect()
