@@ -208,3 +208,21 @@ def test_review_r3_fixes(spark):
     with pytest.raises(Exception, match="target corpus is empty"):
         dsir_weights(docs, target_sources=("nope",),
                      n_buckets=64).collect()
+
+
+def test_snapshot_diff_involution(spark):
+    """Swapping the snapshots swaps added<->removed and preserves
+    changed/unchanged — the diff is an involution on roles."""
+    from asag_spark.sources import snapshot_diff
+
+    o = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string"
+    )
+    n = spark.createDataFrame(
+        [(2, "B"), (3, "c"), (4, "d")], "k long, s string"
+    )
+    fwd = {r.k: r.change for r in snapshot_diff(o, n, ["k"]).collect()}
+    rev = {r.k: r.change for r in snapshot_diff(n, o, ["k"]).collect()}
+    swap = {"added": "removed", "removed": "added",
+            "changed": "changed", "unchanged": "unchanged"}
+    assert rev == {k: swap[v] for k, v in fwd.items()}

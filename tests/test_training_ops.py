@@ -1892,3 +1892,19 @@ def test_weighted_sample_bias_and_determinism(spark):
     assert ids7 == ids
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_weighted_sample_prefix_monotone(spark):
+    """The k winners are a prefix of one fixed total order, so
+    weighted_sample(k=50) is a subset of weighted_sample(k=120) on
+    the same corpus and seed."""
+    from asag_spark.operators.text import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, float(1 + i % 9)) for i in range(600)], "doc_id long, w double"
+    )
+    small = {r.doc_id for r in
+             weighted_sample(docs, k=50, weight_col="w").collect()}
+    big = {r.doc_id for r in
+           weighted_sample(docs, k=120, weight_col="w").collect()}
+    assert small < big and len(small) == 50 and len(big) == 120
