@@ -3777,10 +3777,11 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
                    CASE WHEN n >= 14 THEN 1 ELSE 0 END FROM a
         """,
         # psi_drift: bounds from the reference min/max (identical IEEE
-        # double ops both engines), edge-clamped fixed-width bins, the
-        # null bin unused here (value is NOT NULL in the fixture),
-        # add-one smoothing over bins+1, per-bin term quantized to
-        # 1e6 so the total is an integer sum
+        # double ops both engines), edge-clamped fixed-width bins, an
+        # ALL-BIN spine 0..10 (incl. the null bin — never-occupied
+        # bins still carry their add-one-smoothed terms, standard
+        # smoothed PSI), per-bin term quantized to 1e6 so the total
+        # is an integer sum
         "t_psi_drift": """
             WITH ref AS (SELECT value AS v FROM events),
             cur AS (
@@ -3806,10 +3807,13 @@ FROM tk s LEFT JOIN agg a ON a.doc_id = s.doc_id
               FROM cur CROSS JOIN b GROUP BY 1
             ),
             j AS (
-              SELECT COALESCE(rb.bin, cb.bin) AS bin,
+              SELECT s.bin AS bin,
                      COALESCE(n_ref, 0) AS n_ref,
                      COALESCE(n_cur, 0) AS n_cur
-              FROM rb FULL JOIN cb ON rb.bin = cb.bin
+              FROM (SELECT CAST(range AS INTEGER) AS bin
+                    FROM range(0, 11)) s
+              LEFT JOIN rb ON rb.bin = s.bin
+              LEFT JOIN cb ON cb.bin = s.bin
             ),
             t AS (
               SELECT bin, n_ref, n_cur,

@@ -107,6 +107,25 @@ def grid_disk(q: int, r: int, k: int) -> list[tuple[int, int]]:
     return out
 
 
+def grid_ring(q: int, r: int, k: int) -> list[tuple[int, int]]:
+    """Axial cells at EXACTLY hex-distance k (H3 gridRing equivalent) —
+    the O(k) walk grid_disk's incremental consumers need (snapping's
+    ring-expansion search adds one ring at a time; re-enumerating the
+    whole disk per step would be O(k^2) each). Property-tested equal to
+    set(grid_disk(k)) - set(grid_disk(k-1))."""
+    if k == 0:
+        return [(q, r)]
+    dirs = ((1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1))
+    out = []
+    cq, cr = q + dirs[4][0] * k, r + dirs[4][1] * k
+    for i in range(6):
+        for _ in range(k):
+            out.append((cq, cr))
+            cq += dirs[i][0]
+            cr += dirs[i][1]
+    return out
+
+
 def parse_cell(cell: str) -> tuple[int, int, int]:
     """'h{res}_{q}_{r}' → (res, q, r)."""
     res_s, q_s, r_s = cell[1:].split("_")

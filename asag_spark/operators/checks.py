@@ -237,10 +237,13 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
     the bin join and the PSI window run on ≤ bins+1 rows. Nothing is
     data-dependent except the two scans.
 
-    Output: one row per occupied-or-smoothed bin —
-    (bin, n_ref, n_cur, term, psi) — ``term`` the bin's smoothed PSI
-    contribution and ``psi`` the total (identical on every row, so a
-    single-row gate reads it without a second pass); both 6 dp.
+    Output: one row per bin, ALL bins 0..``bins`` (the last is the
+    null bin) whether occupied or not — never-occupied bins still
+    contribute their add-one-smoothed terms, the standard all-bin
+    smoothed PSI — as (bin, n_ref, n_cur, term, psi): ``term`` the
+    bin's smoothed PSI contribution and ``psi`` the total (identical
+    on every row, so a single-row gate reads it without a second
+    pass); both 6 dp.
     """
     from pyspark.sql import Window
 
@@ -276,7 +279,15 @@ def psi_drift(ref: DataFrame, cur: DataFrame, col: str,
 
     r = binned(ref, "n_ref")
     u = binned(cur, "n_cur")
-    joined = r.join(u, "bin", "full").select(
+    # all-bin spine (0..bins incl. the null bin — ≤ bins+1 rows from a
+    # driver-side range): bins occupied in NEITHER snapshot still carry
+    # nonzero add-one-smoothed terms whenever the two totals differ, so
+    # joining only occupied bins made the total depend on which bins
+    # happened to be hit — standard smoothed PSI sums over ALL bins
+    spine = ref.sparkSession.range(0, bins + 1).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    joined = spine.join(r, "bin", "left").join(u, "bin", "left").select(
         "bin",
         F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
         F.coalesce("n_cur", F.lit(0)).alias("n_cur"),

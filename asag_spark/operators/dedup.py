@@ -602,7 +602,9 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25,
     vectorized numpy kernel — identical labels, none of the per-round
     distributed fixed costs, and ``max_iter`` does not apply (the
     kernel's termination is unconditional). Pass collect_max_edges=0
-    to force the distributed path. Above the gate:
+    to force the distributed path for any non-empty graph (an empty
+    pair set always short-circuits to the identically-empty closure
+    result — there is nothing to distribute). Above the gate:
 
     Algorithm: min-label propagation. Each round every node takes the
     min of its own label and its neighbors' labels (one join + one
@@ -631,6 +633,19 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25,
     # as round 1's materialization of the persisted edge set, so a
     # graph that stays distributed pays nothing extra for the probe
     n_edges = edges.count()
+    if n_edges == 0:
+        # empty graph: identically-empty output from either strategy —
+        # return straight from the closure helper instead of spinning
+        # propagation rounds (and so collect_max_edges=0 genuinely
+        # forces the distributed path only for NON-empty graphs, as
+        # documented)
+        try:
+            pdf = edges.toPandas()
+        finally:
+            edges.unpersist()
+        return _closure_collect(
+            pairs.sparkSession, pdf, pairs.schema["doc_a"].dataType
+        )
     if n_edges <= collect_max_edges:
         try:
             pdf = edges.toPandas()  # Arrow path: columnar, no Rows

@@ -364,9 +364,59 @@ def pip_flag_join(points: DataFrame, zones: DataFrame,
     return points.mapInPandas(refine, schema=out_schema)
 
 
+SNAP_RES = 7
+SNAP_DENSE_MAX_EDGES = 4096
+SNAP_D_CAP_M = 400_000.0   # pruned-path search-radius validity cap
+_SNAP_JUMP_G = 16          # empty rings scanned before the vectorized jump
+
+
+def _edge_buckets(A: np.ndarray, B: np.ndarray,
+                  res: int) -> dict[tuple[int, int], np.ndarray]:
+    """cell (q, r) → sorted edge indices whose segment may intersect
+    the cell — the snap prune's candidate index (the edge-set analogue
+    of _zone_index's cover dict). Long edges are SPLIT into ~cell-size
+    pieces before covering so a diagonal segment indexes O(length/s)
+    cells, not the O(length²/s²) cells of its full bbox; each piece's
+    bbox rides cover_bbox's pad-1 guarantee (every cell containing any
+    part of the piece is within the rounded corner range ± 1), so the
+    union over pieces covers every cell the edge touches — the
+    contrapositive the prune's correctness rests on: an edge absent
+    from all buckets within hex-distance g lies entirely in cells at
+    distance ≥ g."""
+    from ..geo.hexgrid import EDGE_M, _project, cover_bbox
+
+    s = EDGE_M[res]
+    ax_m, ay_m = _project(A[:, 0], A[:, 1])
+    bx_m, by_m = _project(B[:, 0], B[:, 1])
+    n_sub = np.maximum(
+        1, np.ceil(np.hypot(bx_m - ax_m, by_m - ay_m) / s).astype(np.int64)
+    )
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i in range(len(A)):
+        m = int(n_sub[i])
+        ts = np.linspace(0.0, 1.0, m + 1)
+        px = A[i, 0] + ts * (B[i, 0] - A[i, 0])
+        py = A[i, 1] + ts * (B[i, 1] - A[i, 1])
+        cells_i: set[tuple[int, int]] = set()
+        for j in range(m):
+            cells_i.update(cover_bbox(
+                min(px[j], px[j + 1]), min(py[j], py[j + 1]),
+                max(px[j], px[j + 1]), max(py[j], py[j + 1]),
+                res=res,
+            ))
+        for c in cells_i:
+            buckets.setdefault(c, []).append(i)
+    # appended in ascending i → already sorted (the argmin tie rule
+    # needs candidate sets in global (zone_id, edge_idx) order)
+    return {c: np.asarray(ix, dtype=np.int64) for c, ix in buckets.items()}
+
+
 def snap_to_boundary(points: DataFrame, zones: DataFrame,
                      id_col: str = "feature_id",
-                     lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+                     lon_col: str = "lon", lat_col: str = "lat",
+                     mode: str = "auto",
+                     res: int = SNAP_RES,
+                     dense_max_edges: int = SNAP_DENSE_MAX_EDGES) -> DataFrame:
     """Nearest-boundary-edge snap (the map-matching primitive): for
     every point, the closest point ON any zone's exterior-ring edge —
     projection onto the segment, clamped to its endpoints — plus the
@@ -381,18 +431,45 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
     winner is chosen by true metric distance among the per-edge
     projections. Ties break (zone_id ASC, edge_idx ASC).
 
-    Scale shape (mirrors pip_join's broadcast side): zone edges are
-    registry-scale — parsed once driver-side and broadcast as dense
-    numpy arrays; the point side is a single Arrow mapInPandas pass
-    with an (n_batch × n_edges) vectorized distance computation and
-    NO shuffle at all (no join, no window — the argmin is per-row).
-    Dense urban skew is irrelevant: per-point cost is uniform. With a
-    non-registry-scale edge set, the same kernel runs behind a
-    cell-pre-join prune exactly like pip_join_partitioned.
+    Two physical strategies behind one result (gated like
+    dedup_clusters' closure: ``mode="auto"`` picks ``"pruned"`` iff
+    the edge count exceeds ``dense_max_edges``):
+
+    * dense — registry-scale edge sets (the reference's ~50-zone
+      world): edges broadcast as dense numpy arrays, one Arrow
+      mapInPandas pass, a chunked (n × E) vectorized kernel, NO
+      shuffle. Per-point cost is uniform, so urban skew is irrelevant.
+    * pruned — the continent-scale cadastral escape hatch (10^6+
+      edges): edges are additionally bucketed per hex cell at ``res``
+      (``_edge_buckets``; long edges split so they index O(length)
+      cells), and each Arrow batch groups its points by cell
+      (`_batch_candidates`' unique-cell trick) and ring-expands
+      (hexgrid.grid_ring) until candidates appear — with a vectorized
+      nearest-occupied-cell jump after ``_SNAP_JUMP_G`` empty rings —
+      then keeps expanding until every unexplored cell is provably
+      farther than the worst tentative snap: an edge absent from all
+      buckets within hex-distance g lies entirely in cells at
+      distance ≥ g, whose projected distance to anything in the
+      point's cell is ≥ (1.5·g − 2)·s exactly (lattice geometry:
+      center spacing ≥ 1.5·s·g, minus two circumradii), deflated to
+      true meters by the same projection-shear operator norm
+      _cell_bound uses — evaluated with the shear inflated to its
+      maximum over the whole SNAP_D_CAP_M search disk, and a cell
+      whose snap distance would exceed 0.9×cap falls back to the
+      dense kernel outright, so the bound never relies on the local
+      Jacobian beyond its validity region. The exact kernel then runs
+      on the candidate subset only — float-identical to dense
+      (elementwise math on subset arrays), same first-min tie rule
+      (candidate ids stay in ascending global order), parity-swept in
+      tests/test_spatial.py. Still one mapInPandas pass, NO shuffle;
+      the only new driver-side cost is the bucket build, O(total edge
+      length / cell size).
 
     Output: (feature_id, zone_id, edge_idx, snap_lon, snap_lat,
     dist_m) — snap coords rounded to 7 dp, dist_m to 3 dp.
     """
+    if mode not in ("auto", "dense", "pruned"):
+        raise ValueError(f"snap_to_boundary: unknown mode {mode!r}")
     spark = points.sparkSession
     zrows = zones.select("zone_id", "geom_wkt").collect()
     rings, _ = _zone_index(zrows)
@@ -412,7 +489,11 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
     zid_arr = np.asarray(zids)
     eidx_arr = np.asarray(eidx, dtype=np.int32)
     coslat = np.cos(np.radians((A[:, 1] + B[:, 1]) / 2.0))
-    bc = spark.sparkContext.broadcast((zid_arr, eidx_arr, A, B, coslat))
+    pruned = mode == "pruned" or (mode == "auto" and len(A) > dense_max_edges)
+    buckets = _edge_buckets(A, B, res) if pruned else None
+    bc = spark.sparkContext.broadcast(
+        (zid_arr, eidx_arr, A, B, coslat, buckets)
+    )
 
     id_type = points.schema[id_col].dataType
     out_schema = T.StructType(
@@ -427,53 +508,192 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
     )
 
     def snap(batches):
+        from ..geo import hexgrid
         from ..geo.wkt import haversine_m
 
-        zid_v, eidx_v, A_v, B_v, cl = bc.value
+        zid_v, eidx_v, A_v, B_v, cl, bkt = bc.value
         ab = B_v - A_v                               # (E, 2)
         # scaled-degree squared edge lengths for the projection param
         ab_sc = ab.copy()
         ab_sc[:, 0] *= cl
         denom = (ab_sc * ab_sc).sum(axis=1)
         denom[denom == 0.0] = 1.0                    # degenerate edge -> t=0
-        # chunk so the (n_chunk x E) intermediates stay ~tens of MB
-        # regardless of the edge-set size
-        chunk = max(1, 2_000_000 // max(1, len(A_v)))
 
-        def snap_chunk(pdf):
-            P = np.stack(
-                [pdf[lon_col].to_numpy(), pdf[lat_col].to_numpy()], axis=1
-            )
-            ap = P[:, None, :] - A_v[None, :, :]     # (n, E, 2)
+        def best_of(sel, plon, plat):
+            """Exact argmin over the edge subset ``sel`` (None = all).
+            Float-identical to the full kernel: all ops elementwise
+            per edge; sel ascending keeps argmin's first-min tie rule
+            equal to the global one whenever sel contains every global
+            minimum."""
+            if sel is None:
+                As, absub, absc, den, cls = A_v, ab, ab_sc, denom, cl
+            else:
+                As, absub, absc = A_v[sel], ab[sel], ab_sc[sel]
+                den, cls = denom[sel], cl[sel]
+            P = np.stack([plon, plat], axis=1)
+            ap = P[:, None, :] - As[None, :, :]      # (n, E', 2)
             ap_sc = ap.copy()
-            ap_sc[..., 0] *= cl[None, :]
-            t = np.clip((ap_sc * ab_sc[None, :, :]).sum(-1) / denom[None, :],
-                        0.0, 1.0)                    # (n, E)
-            proj = A_v[None, :, :] + t[..., None] * ab[None, :, :]
+            ap_sc[..., 0] *= cls[None, :]
+            t = np.clip((ap_sc * absc[None, :, :]).sum(-1) / den[None, :],
+                        0.0, 1.0)                    # (n, E')
+            proj = As[None, :, :] + t[..., None] * absub[None, :, :]
             # (n,1) columns broadcast against (n,E) inside haversine —
             # materializing them with np.repeat doubled the kernel's
             # memory traffic and showed up as 2-3x wall at 1M points
             d = haversine_m(
                 P[:, 0:1], P[:, 1:2], proj[..., 0], proj[..., 1]
             )
-            best = d.argmin(axis=1)                  # edges sorted (zone, idx):
+            bl = d.argmin(axis=1)                    # edges sorted (zone, idx):
             rows = np.arange(len(P))                 # argmin first-min = tie rule
+            gi = bl if sel is None else sel[bl]
+            return gi, proj[rows, bl, 0], proj[rows, bl, 1], d[rows, bl]
+
+        def assemble(ids, gi, slon, slat, dist):
             return pd.DataFrame(
                 {
-                    "feature_id": pdf[id_col],
-                    "zone_id": zid_v[best],
-                    "edge_idx": eidx_v[best],
-                    "snap_lon": np.round(proj[rows, best, 0], 7),
-                    "snap_lat": np.round(proj[rows, best, 1], 7),
-                    "dist_m": np.round(d[rows, best], 3),
+                    "feature_id": ids,
+                    "zone_id": zid_v[gi],
+                    "edge_idx": eidx_v[gi],
+                    "snap_lon": np.round(slon, 7),
+                    "snap_lat": np.round(slat, 7),
+                    "dist_m": np.round(dist, 3),
                 }
             )
 
-        for pdf0 in batches:
-            for lo in range(0, len(pdf0), chunk):
-                pdf = pdf0.iloc[lo:lo + chunk]
-                if len(pdf):
-                    yield snap_chunk(pdf)
+        if bkt is None:
+            # dense: chunk so the (n_chunk x E) intermediates stay
+            # ~tens of MB regardless of the edge-set size
+            chunk = max(1, 2_000_000 // max(1, len(A_v)))
+            for pdf0 in batches:
+                for lo in range(0, len(pdf0), chunk):
+                    pdf = pdf0.iloc[lo:lo + chunk]
+                    if len(pdf):
+                        yield assemble(
+                            pdf[id_col].to_numpy(dtype=object),
+                            *best_of(None, pdf[lon_col].to_numpy(),
+                                     pdf[lat_col].to_numpy()),
+                        )
+            return
+
+        # pruned path
+        s = hexgrid.EDGE_M[res]
+        keys = np.asarray(list(bkt.keys()), dtype=np.int64)  # (K, 2)
+
+        def best_chunked(sel, plon, plat, out=None, pts=None):
+            """best_of in point chunks sized to the candidate count;
+            returns max dist when out is None, else writes results."""
+            n_cand = len(A_v) if sel is None else len(sel)
+            step = max(1, 2_000_000 // max(1, n_cand))
+            d_max = 0.0
+            for lo in range(0, len(plon), step):
+                hi = lo + step
+                gi, sx, sy, d = best_of(sel, plon[lo:hi], plat[lo:hi])
+                if out is None:
+                    d_max = max(d_max, float(d.max()))
+                else:
+                    gi_o, sx_o, sy_o, d_o = out
+                    gi_o[pts[lo:hi]] = gi
+                    sx_o[pts[lo:hi]] = sx
+                    sy_o[pts[lo:hi]] = sy
+                    d_o[pts[lo:hi]] = d
+            return d_max
+
+        for pdf in batches:
+            n = len(pdf)
+            lon = pdf[lon_col].to_numpy(dtype="float64", na_value=np.nan)
+            lat = pdf[lat_col].to_numpy(dtype="float64", na_value=np.nan)
+            gi_o = np.zeros(n, dtype=np.int64)
+            sx_o = np.full(n, np.nan)
+            sy_o = np.full(n, np.nan)
+            d_o = np.full(n, np.nan)
+            ok = np.isfinite(lon) & np.isfinite(lat)
+            # non-finite coords mirror the dense kernel bit-for-bit:
+            # all-NaN distances make argmin return edge 0 with NaN
+            # snap/dist — initialized above, nothing else to do
+            if ok.any():
+                lon_f, lat_f = lon[ok], lat[ok]
+                fidx = np.nonzero(ok)[0]
+                q, r = hexgrid.cell_qr(lon_f, lat_f, res)
+                key = (q << 32) ^ (r & 0xFFFFFFFF)
+                uniq, rep, inv = np.unique(
+                    key, return_index=True, return_inverse=True
+                )
+                order = np.argsort(inv, kind="stable")
+                bounds = np.searchsorted(
+                    inv[order], np.arange(len(uniq) + 1)
+                )
+                out = (gi_o, sx_o, sy_o, d_o)
+                for ci in range(len(uniq)):
+                    pts_l = order[bounds[ci]:bounds[ci + 1]]
+                    pts = fidx[pts_l]
+                    cq, cr = int(q[rep[ci]]), int(r[rep[ci]])
+                    plon, plat = lon_f[pts_l], lat_f[pts_l]
+                    # shear operator norm inflated to its max over the
+                    # SNAP_D_CAP_M disk around the cell's points — the
+                    # bound must hold at the far edge's location, not
+                    # just at the point (same Jacobian argument as
+                    # _cell_bound, whose one-cell haircut is too local
+                    # for a multi-ring search)
+                    R = hexgrid.EARTH_RADIUS_M
+                    dphi = SNAP_D_CAP_M / R
+                    lat_mx = min(np.radians(np.abs(plat).max()) + dphi,
+                                 np.radians(89.0))
+                    dlam = SNAP_D_CAP_M / (R * max(0.05, np.cos(lat_mx)))
+                    sh = (np.radians(np.abs(plon).max()) + dlam) * min(
+                        1.0, np.sin(lat_mx)
+                    )
+                    opn = np.sqrt(
+                        (2.0 + sh * sh + sh * np.sqrt(sh * sh + 4.0)) / 2.0
+                    )
+
+                    def lb(gg, _opn=opn):
+                        return max(0.0, 1.5 * gg - 2.0) * s * 0.995 / _opn
+
+                    # phase 1: expand rings until any candidate appears
+                    cand_parts = []
+                    g = -1
+                    while not cand_parts:
+                        g += 1
+                        if g >= _SNAP_JUMP_G:
+                            # vectorized jump to the nearest occupied
+                            # cell — empty-region points pay O(K), not
+                            # O(rings²) dict misses
+                            dq = keys[:, 0] - cq
+                            dr = keys[:, 1] - cr
+                            hd = (np.abs(dq) + np.abs(dr)
+                                  + np.abs(dq + dr)) // 2
+                            g = int(hd.min())
+                            for ki in np.nonzero(hd == g)[0]:
+                                cand_parts.append(
+                                    bkt[(int(keys[ki, 0]),
+                                         int(keys[ki, 1]))]
+                                )
+                            break
+                        for c2 in hexgrid.grid_ring(cq, cr, g):
+                            arr = bkt.get(c2)
+                            if arr is not None:
+                                cand_parts.append(arr)
+                    # phase 2: tentative best, then expand until every
+                    # unexplored ring is provably farther
+                    sel = np.unique(np.concatenate(cand_parts))
+                    d_max = best_chunked(sel, plon, plat)
+                    if d_max > 0.9 * SNAP_D_CAP_M:
+                        # beyond the shear bound's validity disk —
+                        # dense fallback for this cell (rare: a cell
+                        # ~400 km from every zone edge)
+                        best_chunked(None, plon, plat, out=out, pts=pts)
+                        continue
+                    while lb(g + 1) <= d_max:
+                        g += 1
+                        for c2 in hexgrid.grid_ring(cq, cr, g):
+                            arr = bkt.get(c2)
+                            if arr is not None:
+                                cand_parts.append(arr)
+                    sel = np.unique(np.concatenate(cand_parts))
+                    best_chunked(sel, plon, plat, out=out, pts=pts)
+            yield assemble(
+                pdf[id_col].to_numpy(dtype=object), gi_o, sx_o, sy_o, d_o
+            )
 
     return points.select(id_col, lon_col, lat_col).mapInPandas(
         snap, schema=out_schema

@@ -34,10 +34,13 @@ def _with_norm(emb: DataFrame, prefix: str) -> DataFrame:
 
 
 def _cosine(av, bv, an, bn):
+    # try_divide: cosine is undefined for a zero-norm vector (an empty-
+    # document embedding) — NULL it instead of letting ANSI mode abort
+    # the whole stage with DIVIDE_BY_ZERO; desc ranking puts NULLs last
     dot = F.aggregate(
         F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    return F.round(dot / (an * bn), 6)
+    return F.round(F.try_divide(dot, an * bn), 6)
 
 
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -1649,7 +1652,8 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
     Output: (vec_id, ivf_cell, keep, max_sim_smaller) — one row per
     input vector; keep = 1 iff no same-cell ≥ threshold neighbor with
     a smaller id exists; max_sim_smaller = the strongest such
-    neighbor's cosine (NULL when keep = 1).
+    neighbor's cosine (NULL when keep = 1). Zero-norm vectors have no
+    defined cosine and so join no pairs: they always come back keep=1.
     """
     assigned = ivf_assign(
         emb.select("vec_id", "embedding"), n_cells, centroids
@@ -1672,8 +1676,14 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
     # computes it once; at index scale the same role is played by the
     # persisted ivf_index_write layout.
     e = e.localCheckpoint()
-    a = e.alias("a")
-    b = e.alias("b")
+    # zero-norm vectors (empty-document embeddings) have no defined
+    # cosine: exclude them from BOTH pairwise sides — under the ANSI
+    # runtime a single zero vector otherwise aborts the stage with
+    # DIVIDE_BY_ZERO — and let the left-join spine keep them (keep=1,
+    # max_sim_smaller NULL), the only semantics that can't drop data
+    pos = e.filter(F.col("norm") > 0)
+    a = pos.alias("a")
+    b = pos.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.v"), F.col("b.v"), lambda p, q: p * q),
         F.lit(0.0),

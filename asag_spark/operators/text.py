@@ -1024,6 +1024,8 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # corpus gets re-tokenized for a single scalar. Keying the count
     # on c1 keeps the (w, partial_count) exchange byte-identical, so
     # ReusedExchange feeds uni's shuffle to both consumers
+    # broadcast pinned HERE and re-hinted at the crossJoin site below:
+    # a 1-row aggregate must never be left to stats-dependent planning
     vocab = F.broadcast(
         uni.agg(F.count(F.when(F.col("c1") > 0, F.lit(1))).alias("v"))
     )
@@ -1057,7 +1059,7 @@ def lm_bigram_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scored = (
         docbg.join(big, ["w1", "w2"])
         .join(uni.withColumnRenamed("w", "w1"), "w1")
-        .crossJoin(vocab)
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
             F.sum(F.col("cnt") * term_q).alias("sq"),

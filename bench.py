@@ -159,14 +159,28 @@ def main() -> None:
         # degraded memory bandwidth and inflated timings.
         import numpy as np
 
-        a = np.random.rand(50_000_000)
+        # deterministic fill (np.ones, not unseeded rand: generation
+        # time is irrelevant noise before the timed sum) sized off
+        # MemAvailable so a memory-tight host isn't pushed into swap
+        # by the probe itself; the reported ms is normalized to the
+        # 400 MB reference size so thresholds stay comparable
+        n = 50_000_000
+        try:
+            with open("/proc/meminfo") as f:
+                mem = {ln.split(":")[0]: int(ln.split()[1])
+                       for ln in f if ":" in ln}
+            avail_b = mem.get("MemAvailable", 1 << 62) * 1024
+            n = int(min(n, max(1_000_000, avail_b // 64)))
+        except (OSError, ValueError):
+            pass
+        a = np.ones(n)
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
             a.sum()
             best = min(best, time.perf_counter() - t0)
         del a
-        return round(best * 1000, 1)
+        return round(best * 1000 * (50_000_000 / n), 1)
 
     extras["host_membw_ms_start"] = _membw_probe_ms()
 

@@ -91,6 +91,9 @@ def test_psi_drift_identical_and_shifted(spark):
     ref = spark.range(1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
     same = psi_drift(ref, ref, "v", bins=10).collect()
     assert all(abs(r.psi) < 0.01 for r in same)
+    # all-bin spine: every bin 0..bins appears whether occupied or not
+    # (never-occupied bins still carry their smoothed terms)
+    assert sorted(r.bin for r in same) == list(range(11))
     shifted = spark.range(1000).selectExpr(
         "CAST(id % 100 + 500 AS DOUBLE) AS v"
     )

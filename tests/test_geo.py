@@ -104,6 +104,34 @@ def test_hexgrid_disk_and_parse():
     assert hexgrid.parse_cell("h7_5_-3") == (7, 5, -3)
 
 
+def test_hexgrid_ring_equals_disk_difference():
+    # grid_ring(k) must be exactly the k-th shell of grid_disk — the
+    # incremental-expansion contract the pruned snap search relies on
+    for k in range(0, 6):
+        ring = hexgrid.grid_ring(7, -2, k)
+        assert len(ring) == (1 if k == 0 else 6 * k)
+        assert len(set(ring)) == len(ring)
+        expect = set(hexgrid.grid_disk(7, -2, k)) - (
+            set(hexgrid.grid_disk(7, -2, k - 1)) if k else set()
+        )
+        assert set(ring) == expect
+
+
+def test_hexgrid_ring_center_distance_lower_bound():
+    """The pruned snap bound rests on: centers of cells at hex
+    distance g are >= 1.5*s*g apart in the projected plane. Verify
+    numerically over rings 1..8 (lattice geometry — positions are
+    x = s*sqrt3*(q + r/2), y = s*1.5*r)."""
+    s = 1.0
+    sq3 = np.sqrt(3.0)
+    for g in range(1, 9):
+        dmin = min(
+            np.hypot(s * sq3 * (q + r / 2.0), s * 1.5 * r)
+            for q, r in hexgrid.grid_ring(0, 0, g)
+        )
+        assert dmin >= 1.5 * s * g - 1e-9, (g, dmin)
+
+
 def test_hexgrid_cover_contains_point_cell():
     q, r = hexgrid.cell_qr(np.array([10.5]), np.array([59.2]), 7)
     cover = hexgrid.cover_bbox(10.4, 59.1, 10.6, 59.3, 7)

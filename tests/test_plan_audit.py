@@ -24,13 +24,13 @@ _spec.loader.exec_module(entry_mod)
 # streaming queries execute on registration (availableNow drain);
 # exclude them from the plan-only audit (their operators are covered
 # by the s_* parity gates)
-_SKIP = {"s_hourly_stream", "s_tile_stream", "s_sessionize_stateful"}
+_SKIP = {"s_hourly_stream", "s_tile_stream", "s_sessionize_stateful",
+         "s_dedup_stream", "s_checks_stream"}
 
 FORBIDDEN = ("BatchEvalPython", "CartesianProduct")
 
 
-def test_no_per_row_python_or_cartesian_in_any_query_plan(spark, sf_dir):
-    qs = entry_mod.queries()
+def _audit(qs, spark, sf_dir):
     offenders = {}
     for name, fn in qs.items():
         if name in _SKIP:
@@ -40,6 +40,17 @@ def test_no_per_row_python_or_cartesian_in_any_query_plan(spark, sf_dir):
         if hits:
             offenders[name] = hits
     assert not offenders, f"per-row Python / cartesian operators: {offenders}"
+
+
+def test_no_per_row_python_or_cartesian_in_any_query_plan(spark, sf_dir):
+    _audit(entry_mod.queries(), spark, sf_dir)
+
+
+def test_no_per_row_python_or_cartesian_in_demoted_plans(spark, sf_dir):
+    # the demoted registry holds the NEWEST operators (SemDeDup, DSIR,
+    # IVF-PQ, boilerplate, funnel, ...) — exactly where a per-row-
+    # Python or cartesian regression would land first
+    _audit(entry_mod.demoted_queries(), spark, sf_dir)
 
 
 def test_entry_plan_is_arrow_only(spark):

@@ -402,6 +402,65 @@ def test_snap_to_boundary_constructed(spark):
     assert r["P:east"]["dist_m"] == pytest.approx(expect, abs=0.001)
 
 
+def test_snap_to_boundary_pruned_parity(spark):
+    """Pruned (cell-bucketed ring-expansion) vs dense kernel on a
+    dense zone cloud: identical rows — same winner, same tie-breaks,
+    same floats (the subset kernel is elementwise-identical). The
+    point set exercises every pruned code path: in-cloud points
+    (bounded expansion), a mid-range point (>_SNAP_JUMP_G empty rings
+    → the vectorized nearest-bucket jump), far points beyond the
+    SNAP_D_CAP_M shear-validity disk (dense per-cell fallback), and a
+    null-coordinate row (edge-0/NaN mirror of the dense all-NaN
+    argmin)."""
+    import math
+
+    import numpy as np
+
+    from asag_spark.operators.pip import snap_to_boundary
+
+    zs = []
+    for gy in range(10):
+        for gx in range(10):
+            x0 = 10.0 + gx * 0.12
+            y0 = 59.5 + gy * 0.07
+            x1, y1 = x0 + 0.06, y0 + 0.035
+            zs.append((
+                f"Z:{gy:02d}{gx:02d}",
+                f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, "
+                f"{x0} {y1}, {x0} {y0}))",
+            ))
+    zones = spark.createDataFrame(zs, "zone_id string, geom_wkt string")
+    rng = np.random.default_rng(71)
+    n = 400
+    lon = rng.uniform(9.7, 11.6, n)
+    lat = rng.uniform(59.3, 60.4, n)
+    rows = [(f"P:{i:03d}", float(lon[i]), float(lat[i])) for i in range(n)]
+    rows += [
+        ("P:mid", 13.2, 60.9),        # ~150 km out: jump + bounded expand
+        ("P:far1", 25.0, 70.5),       # >400 km: per-cell dense fallback
+        ("P:far2", 5.2, 58.1),
+        ("P:null", None, None),
+    ]
+    pts = spark.createDataFrame(
+        rows, "feature_id string, lon double, lat double"
+    )
+
+    def canon(df):
+        return sorted(
+            tuple("nan" if isinstance(v, float) and math.isnan(v) else v
+                  for v in row)
+            for row in df.collect()
+        )
+
+    dense = canon(snap_to_boundary(pts, zones, mode="dense"))
+    pruned = canon(snap_to_boundary(pts, zones, mode="pruned"))
+    assert pruned == dense
+    # the auto gate flips to pruned when edges exceed dense_max_edges
+    # (100 zones x 4 edges = 400 > 100) and must stay row-identical
+    auto = canon(snap_to_boundary(pts, zones, dense_max_edges=100))
+    assert auto == dense
+
+
 def test_snap_to_boundary_scalar_reference(spark):
     """Vectorized kernel vs an independent per-point/per-edge scalar
     loop over the fixture features x fixture zones."""
