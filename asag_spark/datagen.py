@@ -325,6 +325,31 @@ def generate_zones(spark: SparkSession, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, schema=ZONES)
 
 
+def generate_dense_zone_grid(spark: SparkSession, nx: int = 50,
+                             ny: int = 50) -> DataFrame:
+    """A dense regular cloud of small square zones tiling the Norway
+    bbox — nx*ny zones / 4*nx*ny edges. The continent-scale-cadastre
+    SHAPE for snap/PIP benchmarks: enough edges that any dense
+    (points x edges) kernel is off the table and a cell-pruned plan is
+    mandatory. Deterministic pure function of (nx, ny)."""
+    lon0, lon1, lat0, lat1 = 4.5, 31.0, 57.9, 71.2
+    dx = (lon1 - lon0) / nx
+    dy = (lat1 - lat0) / ny
+    rows = []
+    for gy in range(ny):
+        for gx in range(nx):
+            x0 = lon0 + gx * dx
+            y0 = lat0 + gy * dy
+            # 70% fill: gaps between zones so snaps cross cell borders
+            x1, y1 = x0 + 0.7 * dx, y0 + 0.7 * dy
+            wkt = (f"POLYGON(({x0:.7f} {y0:.7f}, {x1:.7f} {y0:.7f}, "
+                   f"{x1:.7f} {y1:.7f}, {x0:.7f} {y1:.7f}, "
+                   f"{x0:.7f} {y0:.7f}))")
+            rows.append((f"CAD:{gy:03d}:{gx:03d}", "cadastre",
+                         f"Cell {gy}/{gx}", wkt))
+    return spark.createDataFrame(rows, schema=ZONES)
+
+
 def generate_embeddings(spark: SparkSession, n_vecs: int, dim: int = 64,
                         n_clusters: int = 64, seed: int = 42,
                         partitions: int | None = None) -> DataFrame:

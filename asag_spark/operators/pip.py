@@ -365,7 +365,13 @@ def pip_flag_join(points: DataFrame, zones: DataFrame,
 
 
 SNAP_RES = 7
-SNAP_DENSE_MAX_EDGES = 4096
+# auto-gate: measured on the bench workload (931k points x the
+# 50-zone/300-edge registry, local[32], steady-state): pruned 5.4-5.6 s
+# vs dense 7.4-12.5 s — per-point cost tracks LOCAL edge density under
+# the prune, so it wins well below registry scale; dense only pays off
+# when the per-unique-cell Python overhead dominates (small edge sets
+# AND small/scattered point sets, where both strategies are trivial)
+SNAP_DENSE_MAX_EDGES = 256
 SNAP_D_CAP_M = 400_000.0   # pruned-path search-radius validity cap
 _SNAP_JUMP_G = 16          # empty rings scanned before the vectorized jump
 

@@ -226,10 +226,23 @@ def main() -> None:
     from asag_spark.operators.pip import snap_to_boundary
 
     snap = snap_to_boundary(feats_pts, zones)
-    # warm=2: the (n x E) numpy kernel shows a long JIT/page-fault
-    # ramp (measured 27 -> 15 -> 3.3 s steady on identical input) —
-    # one warm pass is still inside the ramp
+    # warm=2: the snap kernel shows a long JIT/page-fault ramp
+    # (measured 27 -> 15 -> 3.3 s steady on identical input) — one
+    # warm pass is still inside the ramp. Since r4 the auto gate picks
+    # the PRUNED strategy here (300 edges > SNAP_DENSE_MAX_EDGES):
+    # cell-bucketed candidates instead of the dense (n x E) cross.
     timed("boundary_snap", lambda: materialize(snap), warm=2)
+
+    # 2d. the same snap against a DENSE zone cloud (~2.5k zones /
+    # ~15k edges — the continent-scale-cadastre shape): per-point cost
+    # under the prune tracks LOCAL edge density, so this stays in the
+    # boundary_snap class instead of scaling 50x with the edge count
+    from asag_spark.datagen import generate_dense_zone_grid
+
+    dense_zones = generate_dense_zone_grid(spark, nx=50, ny=50)
+    extras["dense_cloud_edges"] = 4 * 50 * 50
+    snap_cloud = snap_to_boundary(feats_pts, dense_zones)
+    timed("boundary_snap_cloud", lambda: materialize(snap_cloud), warm=2)
 
     # 3. kNN on a deterministic 1-in-20 subsample (bounded-radius contract)
     sample = feats_pts.filter(F.pmod(F.xxhash64("feature_id"), F.lit(20)) == 0)
