@@ -758,6 +758,27 @@ def _t_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t_semdedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's keep-best representative
+    (similarity.semdedup_keep_best): the shared pair stage feeds
+    dedup_clusters' components, keeper = argmax(quality) instead of
+    smallest id. Quality is a deterministic md5_long60-derived
+    pseudo-score so the oracle can mirror it exactly (the engine-wide
+    portable-hash idiom)."""
+    from asag_spark.operators.similarity import semdedup_keep_best
+    from asag_spark.operators.text import md5_long60
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    scores = emb.select(
+        "vec_id",
+        F.pmod(
+            md5_long60(F.concat(F.lit("sdkb:"), F.col("vec_id").cast("string"))),
+            F.lit(1000),
+        ).alias("quality"),
+    )
+    return semdedup_keep_best(emb, scores, threshold=0.3)
+
+
 def _t_table_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deequ-style data-quality contract (operators/checks.py) over
     the documents table — six rules, one aggregation pass. The range
@@ -1802,6 +1823,7 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t_emb_near_dups (banded-LSH pairs); this adds the
         # IVF-cell-bounded variant with the keep decision inline
         "t_semdedup": _t_semdedup,
+        "t_semdedup_keep_best": _t_semdedup_keep_best,
         # this session, born demoted: Deequ-style data-quality contract
         # (single-pass conditional aggregates; the content-level
         # validation stage between landing and curation)
@@ -3938,6 +3960,45 @@ SELECT a.vec_id, a.c_id AS ivf_cell,
        CAST(CASE WHEN h.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
        h.max_sim_smaller
 FROM assign a LEFT JOIN hits h ON h.vec_id = a.vec_id
+""",
+        # semdedup_keep_best: same pair stage, then connected
+        # components (recursive reach, the t_dedup_clusters idiom) and
+        # the keep-best window — keeper = argmax(md5-derived quality),
+        # ties to the smaller vec_id; singletons label themselves
+        "t_semdedup_keep_best": f"""
+WITH RECURSIVE {_ivf_assign_cte()},
+pr AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM assign x
+  JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+  JOIN e xe ON xe.vec_id = x.vec_id
+  JOIN e ye ON ye.vec_id = y.vec_id
+  WHERE xe.norm > 0 AND ye.norm > 0
+    AND ROUND(list_dot_product(xe.v, ye.v) / (xe.norm * ye.norm), 6) >= 0.3
+),
+edges AS (SELECT a, b FROM pr UNION SELECT b, a FROM pr),
+reach(node, root) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e2.b, r.root FROM reach r JOIN edges e2 ON e2.a = r.node
+),
+lab AS (SELECT node AS vec_id, MIN(root) AS cluster_id FROM reach GROUP BY node),
+spine AS (
+  SELECT emb.vec_id, COALESCE(lab.cluster_id, emb.vec_id) AS cluster_id
+  FROM embeddings emb LEFT JOIN lab ON lab.vec_id = emb.vec_id
+),
+sc AS (
+  SELECT vec_id,
+         ('0x' || substr(md5('sdkb:' || vec_id::VARCHAR), 1, 15))::BIGINT
+           % 1000 AS quality
+  FROM embeddings
+)
+SELECT s.vec_id, s.cluster_id, sc.quality,
+       CAST(CASE WHEN ROW_NUMBER() OVER (
+              PARTITION BY s.cluster_id
+              ORDER BY sc.quality DESC, s.vec_id ASC) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM spine s JOIN sc ON sc.vec_id = s.vec_id
 """,
         "t_ivf_topk": _ivf_sql(),
         "t_ivf_train_step": _ivf_train_sql(),

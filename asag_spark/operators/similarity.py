@@ -1655,6 +1655,32 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
     neighbor's cosine (NULL when keep = 1). Zero-norm vectors have no
     defined cosine and so join no pairs: they always come back keep=1.
     """
+    e, pairs = _semdedup_pairs(emb, threshold, n_cells, centroids)
+    hits = (
+        pairs.select(F.col("doc_b").alias("vec_id"), "cos")
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_sim_smaller"))
+    )
+    return (
+        e.select("vec_id", "ivf_cell")
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id", "ivf_cell",
+            F.when(F.col("max_sim_smaller").isNull(), F.lit(1))
+            .otherwise(F.lit(0)).cast("int").alias("keep"),
+            "max_sim_smaller",
+        )
+    )
+
+
+def _semdedup_pairs(emb: DataFrame, threshold: float, n_cells: int,
+                    centroids) -> tuple[DataFrame, DataFrame]:
+    """SemDeDup's shared pair stage: (e, pairs). ``e`` is the
+    localCheckpointed (vec_id, ivf_cell, v, norm) spine over ALL
+    vectors; ``pairs`` the within-cell (doc_a < doc_b, cos) rows at
+    cosine ≥ threshold. One implementation feeds both the chain-rule
+    ``semdedup`` and the component-scoped ``semdedup_keep_best`` so
+    the candidate semantics can never drift between them."""
     assigned = ivf_assign(
         emb.select("vec_id", "embedding"), n_cells, centroids
     )
@@ -1690,24 +1716,67 @@ def semdedup(emb: DataFrame, threshold: float = 0.95,
         lambda acc, p: acc + p,
     )
     cos = F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6)
-    hits = (
+    pairs = (
         a.join(
             b,
             (F.col("a.ivf_cell") == F.col("b.ivf_cell"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(F.col("b.vec_id").alias("vec_id"), cos.alias("cos"))
-        .filter(F.col("cos") >= threshold)
-        .groupBy("vec_id")
-        .agg(F.max("cos").alias("max_sim_smaller"))
-    )
-    return (
-        e.select("vec_id", "ivf_cell")
-        .join(hits, "vec_id", "left")
         .select(
-            "vec_id", "ivf_cell",
-            F.when(F.col("max_sim_smaller").isNull(), F.lit(1))
-            .otherwise(F.lit(0)).cast("int").alias("keep"),
-            "max_sim_smaller",
+            F.col("a.vec_id").alias("doc_a"),
+            F.col("b.vec_id").alias("doc_b"),
+            cos.alias("cos"),
         )
+        .filter(F.col("cos") >= threshold)
+    )
+    return e, pairs
+
+
+def semdedup_keep_best(emb: DataFrame, scores: DataFrame,
+                       threshold: float = 0.95, n_cells: int = IVF_CELLS,
+                       centroids=None,
+                       score_col: str = "quality") -> DataFrame:
+    """SemDeDup with the paper's keep-BEST representative (Abbas et
+    al. 2023 keep one representative per duplicate group; when a
+    quality signal exists the kept member should be the best one, not
+    the smallest id). Composes three live primitives:
+
+      1. the shared SemDeDup pair stage (`_semdedup_pairs`: within-
+         IVF-cell cosine ≥ threshold — the N²/k-bounded quadratic);
+      2. `dedup_clusters`' connected components over those pairs —
+         the chain rule of plain ``semdedup`` keeps min-id per chain
+         only implicitly; the closure makes the duplicate GROUP
+         explicit (transitive: A~B~C is one group even when A~C is
+         below threshold) so a representative exists per group;
+      3. `keep_best_per_cluster`: keeper = argmax(``score_col``),
+         ties to the smaller vec_id — overriding the smallest-id rule
+         with the score, exactly the flip this operator exists for.
+
+    ``scores``: (vec_id, <score_col>) — any quality signal (model
+    score, heuristic quality, recency). Singletons (no ≥-threshold
+    neighbor, including zero-norm vectors) are their own cluster and
+    always keep=1.
+
+    Plan shape: the pair stage and closure are the audited semdedup /
+    dedup_clusters plans; the keeper adds one equi-join + one window
+    over high-cardinality cluster ids (no hot key).
+
+    Output: (vec_id, cluster_id, <score_col>, keep) — one keep=1 row
+    per cluster.
+    """
+    from .dedup import dedup_clusters, keep_best_per_cluster
+
+    e, pairs = _semdedup_pairs(emb, threshold, n_cells, centroids)
+    labels = dedup_clusters(pairs.select("doc_a", "doc_b"))
+    spine = (
+        e.select("vec_id")
+        .join(labels.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+        )
+    )
+    return keep_best_per_cluster(
+        spine, scores, id_col="vec_id", cluster_col="cluster_id",
+        score_col=score_col,
     )

@@ -1840,6 +1840,77 @@ def test_semdedup_identical_vectors_keep_smallest(spark):
         assert out[i]["keep"] == 1 and out[i]["max_sim_smaller"] is None
 
 
+def test_semdedup_keep_best_representative_flips_with_score(spark):
+    """semdedup_keep_best: the kept member of a duplicate group is
+    argmax(quality) — flipping the scores flips the representative —
+    with ties to the smaller id; singletons always keep=1; the
+    cluster label stays the component MIN id either way. A transitive
+    chain (A~B, B~C, A~C below threshold) is ONE group — the closure
+    semantics plain semdedup's chain rule leaves implicit."""
+    import math
+
+    from asag_spark.operators.similarity import semdedup_keep_best
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # 0 and 10 identical; 1, 2, 3 a near-chain (1~2 and 2~3 above
+    # threshold, 1~3 below); 5 isolated
+    th = 0.12
+    rows = [
+        (0, unit(0.0)), (10, unit(0.0)),
+        (1, unit(1.0)), (2, unit(1.0 + th)), (3, unit(1.0 + 2 * th)),
+        (5, unit(2.6)),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cos_1step = math.cos(th)      # ~0.9928
+    cos_2step = math.cos(2 * th)  # ~0.9713
+    threshold = (cos_1step + cos_2step) / 2
+    # explicit centroids so the cell split is by construction: 0..3
+    # and 10 land on centroid 0, the isolated 5 on centroid 1 — the
+    # test pins group semantics, not the centroid-sampling order
+    import numpy as np
+
+    cents = (np.array([0, 1], dtype=np.int64),
+             np.array([unit(0.5), unit(2.6)], dtype=np.float64))
+    scores = spark.createDataFrame(
+        [(0, 1.0), (10, 9.0), (1, 5.0), (2, 1.0), (3, 2.0), (5, 0.5)],
+        "vec_id long, quality double",
+    )
+    out = {r["vec_id"]: r for r in semdedup_keep_best(
+        emb, scores, threshold=threshold, n_cells=2,
+        centroids=cents).collect()}
+    assert len(out) == 6
+    # identical pair: higher-score 10 kept, label = min id 0
+    assert out[10]["keep"] == 1 and out[0]["keep"] == 0
+    assert out[0]["cluster_id"] == 0 and out[10]["cluster_id"] == 0
+    # transitive chain is one component labeled 1; argmax quality = 1
+    assert {out[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [1, 0, 0]
+    # singleton keeps itself
+    assert out[5]["keep"] == 1 and out[5]["cluster_id"] == 5
+    # flip the scores: the representative follows the score
+    scores2 = spark.createDataFrame(
+        [(0, 9.0), (10, 1.0), (1, 1.0), (2, 5.0), (3, 2.0), (5, 0.5)],
+        "vec_id long, quality double",
+    )
+    out2 = {r["vec_id"]: r for r in semdedup_keep_best(
+        emb, scores2, threshold=threshold, n_cells=2,
+        centroids=cents).collect()}
+    assert out2[0]["keep"] == 1 and out2[10]["keep"] == 0
+    assert [out2[i]["keep"] for i in (1, 2, 3)] == [0, 1, 0]
+    # equal scores tie to the smaller id
+    scores3 = spark.createDataFrame(
+        [(0, 4.0), (10, 4.0), (1, 1.0), (2, 1.0), (3, 1.0), (5, 0.5)],
+        "vec_id long, quality double",
+    )
+    out3 = {r["vec_id"]: r for r in semdedup_keep_best(
+        emb, scores3, threshold=threshold, n_cells=2,
+        centroids=cents).collect()}
+    assert out3[0]["keep"] == 1 and out3[10]["keep"] == 0
+    assert [out3[i]["keep"] for i in (1, 2, 3)] == [1, 0, 0]
+
+
 def test_dedup_clusters_gate_parity_random_graphs(spark):
     """Driver-side and distributed closures produce identical labels
     on seeded random graphs (chains, cliques, isolated self-pairs,
