@@ -276,17 +276,31 @@ def minhash_dedup(docs: DataFrame, threshold: float = 0.8,
     return verified.join(cands, ["doc_a", "doc_b"], "left_semi")
 
 
-def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over md5-derived token hashes — pure built-in
-    expressions (whole-stage codegen, no Python workers), and the md5
-    base makes the whole operator DuckDB-expressible so the near-dup
-    query carries a full value oracle. Per token occurrence (multiset,
-    matching classic SimHash): bit j votes +1 if bit j of the hash is
-    set else -1; signature bit j = (votes_j > 0).
+def simhash(docs: DataFrame, text_col: str = "text",
+            hash_base: str = "md5") -> DataFrame:
+    """64-bit SimHash over token hashes — pure built-in expressions
+    (whole-stage codegen, no Python workers). Per token occurrence
+    (multiset, matching classic SimHash): bit j votes +1 if bit j of
+    the hash is set else -1; signature bit j = (votes_j > 0).
 
-    Token hash bits: j < 60 come from the shared md5_long60 60-bit
-    prefix; j in 60..63 from the 16th hex digit of the same md5 (both
-    engine-portable: DuckDB mirrors them with substr(md5(tok), ...)).
+    ``hash_base`` (the r3→r4 hash-cost decision, SCALE.md §8):
+    * "md5" (default) — the md5→conv chain makes the whole operator
+      DuckDB-expressible so the near-dup query carries a full value
+      oracle: bits j < 60 from the shared md5_long60 60-bit prefix,
+      j in 60..63 from the 16th hex digit of the same md5 (DuckDB
+      mirrors both with substr(md5(tok), ...)). Measured cost of the
+      portability: the hash chain is ~0.25 s of the 1.45 s near-dup
+      op at sf0.1 (~17%) — map-side, linear in token count, a bounded
+      constant factor, not a scale cliff.
+    * "xxhash64" — the native 64-bit hash for production runs that
+      don't need the DuckDB oracle: one JVM intrinsic instead of
+      md5 + hex substring + base-16 parse (measured 0.297 s vs
+      0.548 s for the hash stage against a 0.246 s explode floor).
+      Null tokens (explode_outer on an empty doc) are explicitly
+      null-guarded because xxhash64(NULL) returns the seed hash, not
+      NULL. Banding recall (pigeonhole over 4×16 bands) is
+      hash-agnostic — property-tested under both bases.
+
     The signature is a signed 64-bit long — bit 63 contributes
     -2^63 (two's complement), so banding/XOR/bit_count below operate
     on the identical 64-bit pattern in Spark (Java long) and DuckDB
@@ -294,16 +308,33 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.lower(F.col(text_col)))
     from .text import md5_long60
 
-    h60 = md5_long60(F.col("tok"))
-    h4 = F.conv(F.substring(F.md5(F.col("tok")), 16, 1), 16, 10).cast("long")
-    exploded = docs.select(
-        "doc_id", F.explode_outer(toks).alias("tok")
-    ).select("doc_id", h60.alias("h60"), h4.alias("h4"))
+    if hash_base == "md5":
+        h60 = md5_long60(F.col("tok"))
+        h4 = F.conv(
+            F.substring(F.md5(F.col("tok")), 16, 1), 16, 10
+        ).cast("long")
+        exploded = docs.select(
+            "doc_id", F.explode_outer(toks).alias("tok")
+        ).select("doc_id", h60.alias("h60"), h4.alias("h4"))
+        cnt_col = "h60"
 
-    def _bit(j):
-        if j < 60:
-            return F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1))
-        return F.shiftright(F.col("h4"), j - 60).bitwiseAND(F.lit(1))
+        def _bit(j):
+            if j < 60:
+                return F.shiftright(F.col("h60"), j).bitwiseAND(F.lit(1))
+            return F.shiftright(F.col("h4"), j - 60).bitwiseAND(F.lit(1))
+    elif hash_base == "xxhash64":
+        h64 = F.when(
+            F.col("tok").isNotNull(), F.xxhash64(F.col("tok"))
+        )
+        exploded = docs.select(
+            "doc_id", F.explode_outer(toks).alias("tok")
+        ).select("doc_id", h64.alias("h64"))
+        cnt_col = "h64"
+
+        def _bit(j):
+            return F.shiftright(F.col("h64"), j).bitwiseAND(F.lit(1))
+    else:
+        raise ValueError(f"simhash: unknown hash_base {hash_base!r}")
 
     # votes rewritten arithmetically (round-3 perf: the widened 64-agg
     # pass measured ~1.7x the 32-bit version with per-bit 3-way CASEs):
@@ -314,7 +345,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # null → skipped by SUM and COUNT alike = the old vote-0 behavior.
     aggs = [F.sum(_bit(j)).alias(f"s{j}") for j in range(64)]
     sig = exploded.groupBy("doc_id").agg(
-        *aggs, F.count("h60").alias("n")
+        *aggs, F.count(cnt_col).alias("n")
     )
     # bit j set ⟺ votes_j > 0 ⟺ 2·s_j > n. Two's-complement assembly:
     # bit 63 is the sign bit (-2^63); bits 0..62 are positive powers —
@@ -340,7 +371,8 @@ SIMHASH_BAND_BITS = 16  # per-band keyspace 2^16 (bucket size ~N/65536/band)
 
 
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      hash_base: str = "md5") -> DataFrame:
     """SimHash near-dup pairs: 4 bands × 16 bits, then Hamming ≤
     max_hamming — bit-band LSH with the banding requirement
     bands ≥ max_hamming + 1 satisfied, so recall is EXACT by
@@ -352,7 +384,7 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     holds ~N/65,536 docs and the per-bucket self-join stays sub-
     quadratic far longer than the former 32-bit signature's 8-bit
     bands (2^8 = 256 buckets — the round-2 scale ceiling)."""
-    sh = simhash(docs, text_col)
+    sh = simhash(docs, text_col, hash_base=hash_base)
     banded = sh.select(
         "doc_id", "simhash",
         F.explode(

@@ -209,12 +209,16 @@ def edit_corpus(spark):
     )
 
 
-def test_simhash_banding_recall_exact(edit_corpus):
+@pytest.mark.parametrize("hash_base", ["md5", "xxhash64"])
+def test_simhash_banding_recall_exact(edit_corpus, hash_base):
     """4x16 banding has GUARANTEED recall at h<=3 (bands >= h+1): the
     operator output must equal brute-force all-pairs Hamming exactly —
     no pair missed (recall), none added (the op verifies Hamming).
     Signatures are signed 64-bit longs (bit 63 = sign), so the brute
-    force masks the XOR to the 64-bit two's-complement pattern."""
+    force masks the XOR to the 64-bit two's-complement pattern.
+    Parametrized over both hash bases (md5 = the DuckDB-oracle
+    default, xxhash64 = the cheaper production base): the pigeonhole
+    recall argument is hash-agnostic and must hold for both."""
     from itertools import combinations
 
     from asag_spark.operators.dedup import simhash
@@ -224,7 +228,8 @@ def test_simhash_banding_recall_exact(edit_corpus):
     def ham(x, y):
         return bin((x ^ y) & m64).count("1")
 
-    sig = {r["doc_id"]: r["simhash"] for r in simhash(edit_corpus).collect()}
+    sig = {r["doc_id"]: r["simhash"]
+           for r in simhash(edit_corpus, hash_base=hash_base).collect()}
     brute = {
         (a, b, ham(sig[a], sig[b]))
         for a, b in combinations(sorted(sig), 2)
@@ -232,10 +237,34 @@ def test_simhash_banding_recall_exact(edit_corpus):
     }
     got = {
         (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in simhash_near_dups(edit_corpus, max_hamming=3).collect()
+        for r in simhash_near_dups(
+            edit_corpus, max_hamming=3, hash_base=hash_base).collect()
     }
     assert len(brute) >= 3, "corpus must exercise the h<=3 regime"
     assert got == brute
+
+
+def test_simhash_null_and_empty_docs_both_bases(spark):
+    """NULL text is the null-token path (split of NULL → explode_outer
+    null row): md5 hashes null to null (skipped by SUM/COUNT → zero
+    signature); xxhash64(NULL) would return the SEED hash instead of
+    NULL, so the operator must null-guard it explicitly — this pins
+    that guard. Empty/whitespace text reduces to the single empty
+    token [""] (split semantics), hashed like any token: both spell
+    the same signature for "" and "   " under each base."""
+    from asag_spark.operators.dedup import simhash
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "hello world")],
+        "doc_id long, text string",
+    )
+    for base in ("md5", "xxhash64"):
+        out = {r["doc_id"]: r["simhash"]
+               for r in simhash(docs, hash_base=base).collect()}
+        assert len(out) == 4, base
+        assert out[0] == 0, base          # null text -> zero signature
+        assert out[1] == out[2], base     # ""/whitespace: same token
+        assert out[3] not in (0, out[1]), base
 
 
 def test_decode_pixels_plumbing(spark):
