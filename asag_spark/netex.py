@@ -33,6 +33,7 @@ documents as literals):
 from __future__ import annotations
 
 import io
+import re
 import zipfile
 import xml.etree.ElementTree as ET
 
@@ -210,6 +211,20 @@ def validate_delivery(root) -> None:
       missing geometry);
     * every gml posList has an even token count ≥ 6 (lat lon pairs,
       ≥ 3 vertices).
+
+    Typed-value checks (round 4 — the attribute-TYPE slice of what
+    the reference's XSD validation covers):
+
+    * Longitude/Latitude parse as xs:decimal and lie in the WGS84
+      ranges ([-180, 180] / [-90, 90]) — a transposed pair or a unit
+      mistake fails here, before the transform misplaces the stop;
+    * every gml posList token parses as xs:decimal;
+    * ``ValidBetween`` FromDate/ToDate parse as xs:dateTime
+      (ISO-8601; trailing Z normalized) — the validity filter
+      compares these lexicographically, so a malformed date would
+      silently mis-filter;
+    * the ``version`` attribute on the four entity types is digits or
+      the NeTEx wildcard ``any``.
     """
     errs: list[str] = []
     if root.tag != NS + "PublicationDelivery":
@@ -217,18 +232,62 @@ def validate_delivery(root) -> None:
                     f"{NS + 'PublicationDelivery'!r}")
     elif _child(root, "dataObjects") is None:
         errs.append("missing <dataObjects>")
+    def _dec(s):
+        # xs:decimal lexical space — float() alone would admit
+        # nan/inf/1e5, none of which are xs:decimal
+        if s is None or not re.fullmatch(r"[+-]?(\d+(\.\d*)?|\.\d+)", s):
+            return None
+        return float(s)
+
+    def _dt_ok(s):
+        from datetime import datetime
+
+        try:
+            datetime.fromisoformat(s.replace("Z", "+00:00"))
+            return True
+        except (TypeError, ValueError):
+            return False
+
     for tag in _ENTITY_TAGS:
         for el in root.iter(NS + tag):
-            if not el.get("id"):
+            eid = el.get("id")
+            if not eid:
                 errs.append(f"<{tag}> without id attribute")
+            ver = el.get("version")
+            if ver is not None and not (ver.isdigit() or ver == "any"):
+                errs.append(
+                    f"<{tag} id={eid!r}> version {ver!r} is neither "
+                    "digits nor 'any'"
+                )
             loc = _child(el, "Centroid", "Location")
             if loc is not None:
                 lon, lat = _text(loc, "Longitude"), _text(loc, "Latitude")
                 if bool(lon) != bool(lat):
                     errs.append(
-                        f"<{tag} id={el.get('id')!r}> Centroid/Location "
+                        f"<{tag} id={eid!r}> Centroid/Location "
                         "has only one of Longitude/Latitude"
                     )
+                elif lon and lat:
+                    lo, la = _dec(lon), _dec(lat)
+                    if lo is None or la is None:
+                        errs.append(
+                            f"<{tag} id={eid!r}> non-decimal "
+                            f"Longitude/Latitude ({lon!r}, {lat!r})"
+                        )
+                    elif not (-180.0 <= lo <= 180.0 and -90.0 <= la <= 90.0):
+                        errs.append(
+                            f"<{tag} id={eid!r}> coordinates out of WGS84 "
+                            f"range ({lon}, {lat})"
+                        )
+            vb = _child(el, "ValidBetween")
+            if vb is not None:
+                for dtag in ("FromDate", "ToDate"):
+                    dv = _text(vb, dtag)
+                    if dv and not _dt_ok(dv):
+                        errs.append(
+                            f"<{tag} id={eid!r}> ValidBetween/{dtag} "
+                            f"{dv!r} is not an ISO-8601 dateTime"
+                        )
     for pos in root.iter(f"{GML}posList"):
         toks = (pos.text or "").split()
         if len(toks) < 6 or len(toks) % 2 != 0:
@@ -236,6 +295,9 @@ def validate_delivery(root) -> None:
                 f"gml:posList with {len(toks)} tokens "
                 "(needs an even count >= 6)"
             )
+        elif any(_dec(t) is None for t in toks):
+            bad = next(t for t in toks if _dec(t) is None)
+            errs.append(f"gml:posList with non-decimal token {bad!r}")
     if errs:
         raise NetexValidationError(
             "invalid NeTEx delivery: " + "; ".join(errs[:10])

