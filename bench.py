@@ -182,7 +182,25 @@ def main() -> None:
         del a
         return round(best * 1000 * (50_000_000 / n), 1)
 
-    extras["host_membw_ms_start"] = _membw_probe_ms()
+    # quiet-window gate (VERDICT r03 #2): the per-round committed bench
+    # must be a quiet-host sample, not the worst window of the round.
+    # Wait for the bandwidth probe to read inside the calibrated-good
+    # band (< 40 ms normalized; quiet baseline 25-35 ms) before the
+    # flagship stage — up to ASAG_BENCH_QUIET_WAIT_S in 20 s steps. If
+    # the window never opens, proceed and mark host_degraded=1 so the
+    # artifact is self-describing either way.
+    gate_ms = float(os.environ.get("ASAG_BENCH_QUIET_MS", "40"))
+    wait_s = float(os.environ.get("ASAG_BENCH_QUIET_WAIT_S", "300"))
+    waited = 0.0
+    mb = _membw_probe_ms()
+    while mb >= gate_ms and waited < wait_s:
+        time.sleep(20.0)
+        waited += 20.0
+        mb = _membw_probe_ms()
+    extras["host_membw_ms_start"] = mb
+    extras["quiet_gate_ms"] = gate_ms
+    extras["quiet_gate_waited_s"] = round(waited, 1)
+    extras["host_degraded"] = int(mb >= gate_ms)
 
     # 1. flagship: docs → features → tile assignment (the north-rule metric)
     feats = build_features(docs, as_of=AS_OF)

@@ -123,21 +123,61 @@ pip.write.format("noop").mode("overwrite").save()  # warm the write path
 pip_wall, pip_steal, pip_runs = timed_best(
     lambda: pip.write.format("noop").mode("overwrite").save(), {repeats})
 
+# shuffle-heavy leg (round 4, VERDICT r03 #5): the flagship path is
+# map-dominated (Arrow extraction + codegen projections + broadcast
+# joins); kNN adds the cell-keyed candidate shuffle joins + two
+# per-probe ranking windows — the shuffle family carries its own
+# two-level scaling evidence instead of inheriting the flagship's.
+# (embedding_near_dups was tried and rejected for this role: the
+# synthetic Zipf-clustered corpus makes its band self-join
+# near-quadratic — 969 s for 100k vectors — so its wall measures the
+# candidate explosion of an adversarial corpus, not shuffle scaling.)
+nd_wall = nd_steal = None
+nd_runs = []
+if {knn_frac} > 0:
+    from asag_spark.operators.knn import knn_join
+
+    sample = pts.filter(
+        F.pmod(F.xxhash64("feature_id"), F.lit({knn_frac})) == 0)
+    knn = knn_join(sample, k=3)
+    knn.write.format("noop").mode("overwrite").save()  # warm
+    nd_wall, nd_steal, nd_runs = timed_best(
+        lambda: knn.write.format("noop").mode("overwrite").save(), {repeats})
+    nd_wall = round(nd_wall, 3)
+
+def _membw_ms():
+    # normalized memory-bandwidth probe (same idiom as bench.py):
+    # annotates whether this LEVEL ran in a degraded host window
+    import numpy as np
+    n = 25_000_000
+    a = np.ones(n)
+    best = 1e18
+    for _ in range(3):
+        t0 = time.perf_counter()
+        a.sum()
+        best = min(best, time.perf_counter() - t0)
+    del a
+    return round(best * 1000 * (50_000_000 / n), 1)
+
 print("RESULT " + json.dumps({{
     "cores": {cores}, "n_docs": n_docs,
     "tile_wall_s": round(tile_wall, 3),
     "docs_per_sec": round(n_docs / tile_wall, 1),
     "pip_wall_s": round(pip_wall, 3), "pip_pairs": n_pip,
+    "nd_wall_s": nd_wall, "nd_steal_at_min": nd_steal,
+    "nd_runs": nd_runs,
     "tile_steal_at_min": tile_steal, "pip_steal_at_min": pip_steal,
     "tile_runs": tile_runs, "pip_runs": pip_runs,
+    "membw_ms_end": _membw_ms(),
 }}))
 spark.stop()
 """
 
 
-def run_level(cores: int, docs_path: str, repeats: int, warm: int) -> dict:
+def run_level(cores: int, docs_path: str, repeats: int, warm: int,
+              knn_frac: int = 10) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, docs_path=docs_path,
-                              repeats=repeats, warm=warm)
+                              repeats=repeats, warm=warm, knn_frac=knn_frac)
     env = dict(os.environ, PYTHONPATH=REPO, OPENBLAS_NUM_THREADS="1",
                OMP_NUM_THREADS="1",
                ASAG_DRIVER_MEM=os.environ.get("ASAG_DRIVER_MEM", "20g"))
@@ -154,6 +194,9 @@ def run_level(cores: int, docs_path: str, repeats: int, warm: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=10000000)
+    ap.add_argument("--knn-frac", type=int, default=10,
+                    help="1-in-N deterministic point subsample for the "
+                         "shuffle-heavy kNN leg; 0 disables the leg")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--small", type=int, default=4)
     ap.add_argument("--big", type=int, default=16)
@@ -174,12 +217,14 @@ def main() -> None:
         from asag_spark.session import get_spark
 
         spark = get_spark("gen", master="local[32]")
-        generate_docs(spark, args.docs).write.mode("overwrite").parquet(docs_path)
+        generate_docs(spark, args.docs).write.mode(
+            "overwrite").parquet(docs_path)
         spark.stop()
 
     results = {}
     for cores in (args.small, args.big):
-        best = run_level(cores, docs_path, args.repeats, args.warm)
+        best = run_level(cores, docs_path, args.repeats, args.warm,
+                         knn_frac=args.knn_frac)
         results[cores] = best
         print(json.dumps(best))
 
@@ -187,6 +232,9 @@ def main() -> None:
     ratio = args.big / args.small
     eff = round(b["docs_per_sec"] / s["docs_per_sec"] / ratio, 3)
     pip_speedup = round(s["pip_wall_s"] / b["pip_wall_s"], 2)
+    nd_eff = None
+    if s.get("nd_wall_s") and b.get("nd_wall_s"):
+        nd_eff = round(s["nd_wall_s"] / b["nd_wall_s"] / ratio, 3)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""# BENCH/BASELINE — scaling evidence (north_rule two-cluster-size criterion)
@@ -219,16 +267,23 @@ linear hardware region (a pure-CPU probe scales 4->16 at ~0.9 but
 8->32 only ~0.78 — single-box memory-bandwidth/turbo ceiling that a
 real 4x-machine cluster does not share).
 
-| cores | docs/sec (tile assignment) | tile wall (s) | steal@min | PIP wall (s) | steal@min |
-|---|---|---|---|---|---|
-| local[{args.small}]  (N, pinned)  | {s['docs_per_sec']:,} | {s['tile_wall_s']} | {s['tile_steal_at_min']} | {s['pip_wall_s']} | {s['pip_steal_at_min']} |
-| local[{args.big}] (4N, pinned) | {b['docs_per_sec']:,} | {b['tile_wall_s']} | {b['tile_steal_at_min']} | {b['pip_wall_s']} | {b['pip_steal_at_min']} |
+| cores | docs/sec (tile assignment) | tile wall (s) | steal@min | PIP wall (s) | steal@min | kNN wall (s) | steal@min | membw (ms) |
+|---|---|---|---|---|---|---|---|---|
+| local[{args.small}]  (N, pinned)  | {s['docs_per_sec']:,} | {s['tile_wall_s']} | {s['tile_steal_at_min']} | {s['pip_wall_s']} | {s['pip_steal_at_min']} | {s.get('nd_wall_s')} | {s.get('nd_steal_at_min')} | {s.get('membw_ms_end')} |
+| local[{args.big}] (4N, pinned) | {b['docs_per_sec']:,} | {b['tile_wall_s']} | {b['tile_steal_at_min']} | {b['pip_wall_s']} | {b['pip_steal_at_min']} | {b.get('nd_wall_s')} | {b.get('nd_steal_at_min')} | {b.get('membw_ms_end')} |
 
 **Scaling efficiency** = (docs_per_sec@{args.big} / docs_per_sec@{args.small}) / {ratio:.0f} =
 ({b['docs_per_sec']} / {s['docs_per_sec']}) / {ratio:.0f} = **{eff}**
 (target >= 0.8 -> {"PASS" if eff >= 0.8 else "FAIL"}).
 
 PIP-join speedup {args.small}->{args.big} cores: {pip_speedup}x.
+
+Shuffle-heavy kNN leg (knn_join over a deterministic 1-in-{args.knn_frac}
+point subsample: cell-keyed candidate shuffle joins + two per-probe
+ranking windows): efficiency {args.small}->{args.big} = **{nd_eff}** —
+the shuffle family's own two-level evidence, not inherited from the
+map-dominated flagship. The membw column is the normalized host
+memory-bandwidth probe at each level's end (quiet band < 40 ms).
 
 Output parity across levels is covered by tests/test_features.py +
 test_spatial.py (parallelism-invariance asserts) and the deterministic
