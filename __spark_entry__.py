@@ -161,6 +161,22 @@ def _g_boundary_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
                             fixture_zones(spark))
 
 
+def _g_line_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-to-route map-matching (operators/pip.snap_to_lines): every
+    fixture point feature snapped to the nearest LINESTRING segment of
+    the fixture route set — the open-polyline sibling of
+    g_boundary_snap, same shared kernel and dense/pruned gate;
+    golden-pinned, values verified against an independent scalar
+    reference AND a pruned-mode parity sweep in tests/test_spatial.py."""
+    from asag_spark.datagen import fixture_lines
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.operators.pip import snap_to_lines
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return snap_to_lines(feats.filter(F.col("lat").isNotNull()),
+                         fixture_lines(spark))
+
+
 def _q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MVT polygon slicing: fixture zones clipped into zoom-9 tiles
     with extent-4096 local integer rings (xyz.clip_polygons_to_tiles —
@@ -1730,6 +1746,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # born-demoted round 3 (live set full at 50): nearest-edge
         # snap, golden-pinned + scalar-reference-verified in pytest
         "g_boundary_snap": _g_boundary_snap,
+        # round 4: the open-polyline sibling (stop-to-route
+        # map-matching), same shared kernel + pruned gate
+        "g_line_snap": _g_line_snap,
         # demoted round 3 for t_pq_topk: SQ8 is the scalar-quantized
         # sibling of the PQ read path that replaced it live; identical
         # oracle, plus its own pytest recall/parity gates
@@ -1958,6 +1977,25 @@ FROM (VALUES
   ('NSR:StopPlace:59883', 'MUNI:ADJ', 3, 10.95, 58.9815, 420.815),
   ('NSR:StopPlace:999', 'MUNI:0301', 1, 10.9, 59.911868, 7908.292)
 ) AS t(feature_id, zone_id, edge_idx, snap_lon, snap_lat, dist_m)
+"""
+
+_LINE_SNAP_GOLDEN = """
+SELECT t.feature_id, t.line_id, CAST(t.edge_idx AS INTEGER) AS edge_idx,
+       CAST(t.snap_lon AS DOUBLE) AS snap_lon,
+       CAST(t.snap_lat AS DOUBLE) AS snap_lat,
+       CAST(t.dist_m AS DOUBLE) AS dist_m
+FROM (VALUES
+  ('NSR:Parking:99', 'RUT:Line:NS1', 0, 10.75, 60.1, 368237.156),
+  ('NSR:Quay:8', 'RUT:Line:DIAG', 0, 10.4, 59.1, 76267.336),
+  ('NSR:StopPlace:1', 'RUT:Line:NS1', 0, 10.75, 59.911868, 453.546),
+  ('NSR:StopPlace:10', 'RUT:Line:DIAG', 0, 10.4, 59.1, 266991.678),
+  ('NSR:StopPlace:1000', 'RUT:Line:DIAG', 0, 10.4, 59.1, 266991.678),
+  ('NSR:StopPlace:59879', 'RUT:Line:EW1', 0, 10.957891, 58.98, 177.245),
+  ('NSR:StopPlace:59880', 'RUT:Line:EW1', 0, 10.956947, 58.98, 189.921),
+  ('NSR:StopPlace:59881', 'RUT:Line:EW1', 0, 10.957167, 58.98, 136.436),
+  ('NSR:StopPlace:59883', 'RUT:Line:EW1', 0, 10.957344, 58.98, 166.793),
+  ('NSR:StopPlace:999', 'RUT:Line:NS1', 0, 10.75, 59.911868, 453.546)
+) AS t(feature_id, line_id, edge_idx, snap_lon, snap_lat, dist_m)
 """
 
 _PIP_ANTI_GOLDEN = """
@@ -3136,6 +3174,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "pip_partitioned_fixture": _PIP_GOLDEN,
         "g_pip_anti": _PIP_ANTI_GOLDEN,
         "g_boundary_snap": _BOUNDARY_SNAP_GOLDEN,
+        "g_line_snap": _LINE_SNAP_GOLDEN,
         "g_geohash": _GEOHASH_GOLDEN,
         "t_rendezvous_shards": _RENDEZVOUS_SQL,
         "t_hard_negatives": _HARD_NEG_SQL,

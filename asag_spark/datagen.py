@@ -192,6 +192,20 @@ def fixture_zones(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema=ZONES)
 
 
+def fixture_lines(spark: SparkSession) -> DataFrame:
+    """LINESTRING route geometries for the stop-to-route map-matching
+    fixture (snap_to_lines): a north-south trunk through the Oslo box,
+    an east-west line past the AdjBox stops, and a two-segment
+    diagonal — deterministic literals so the line-snap golden is
+    exactly enumerable the way pip_golden is."""
+    rows = [
+        ("RUT:Line:NS1", "LINESTRING(10.75 59.5, 10.75 60.1)"),
+        ("RUT:Line:EW1", "LINESTRING(10.90 58.98, 11.00 58.98)"),
+        ("RUT:Line:DIAG", "LINESTRING(10.40 59.10, 10.60 59.40, 10.95 59.60)"),
+    ]
+    return spark.createDataFrame(rows, "line_id string, geom_wkt string")
+
+
 # --------------------------------------------------------------------------
 # Scale generator (FIXTURES.md §3) — counter-based, parallelism-invariant
 # --------------------------------------------------------------------------

@@ -38,6 +38,17 @@ def parse_polygon(wkt: str) -> np.ndarray:
     return np.array([[float(a), float(b)] for a, b in pairs], dtype=np.float64)
 
 
+def parse_linestring(wkt: str) -> np.ndarray:
+    """'LINESTRING(lon lat, ...)' → (N,2) vertex array of the OPEN
+    polyline (no closing vertex — a route geometry, not a ring)."""
+    inner = wkt[wkt.index("(") + 1:]
+    inner = inner[: inner.index(")")]
+    pairs = [p.strip().split() for p in inner.split(",")]
+    if len(pairs) < 2:
+        raise ValueError(f"LINESTRING needs >= 2 vertices: {wkt!r}")
+    return np.array([[float(a), float(b)] for a, b in pairs], dtype=np.float64)
+
+
 def ring_bbox(ring: np.ndarray) -> tuple[float, float, float, float]:
     return (
         float(ring[:, 0].min()), float(ring[:, 1].min()),

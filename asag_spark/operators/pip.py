@@ -474,17 +474,70 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
     Output: (feature_id, zone_id, edge_idx, snap_lon, snap_lat,
     dist_m) — snap coords rounded to 7 dp, dist_m to 3 dp.
     """
-    if mode not in ("auto", "dense", "pruned"):
-        raise ValueError(f"snap_to_boundary: unknown mode {mode!r}")
-    spark = points.sparkSession
     zrows = zones.select("zone_id", "geom_wkt").collect()
     rings, _ = _zone_index(zrows)
     if not rings:
         raise ValueError("snap_to_boundary: no zones")
+    return _snap_to_paths(points, rings, id_col=id_col, lon_col=lon_col,
+                          lat_col=lat_col, mode=mode, res=res,
+                          dense_max_edges=dense_max_edges,
+                          group_col="zone_id")
+
+
+def snap_to_lines(points: DataFrame, lines: DataFrame,
+                  id_col: str = "feature_id",
+                  lon_col: str = "lon", lat_col: str = "lat",
+                  mode: str = "auto",
+                  res: int = SNAP_RES,
+                  dense_max_edges: int = SNAP_DENSE_MAX_EDGES) -> DataFrame:
+    """Map-matching against LINESTRING route geometries: for every
+    point, the closest point ON any line's segment (clamped projection)
+    plus the owning line/segment and the great-circle snap distance —
+    the stop-to-route matcher that pairs with ``snap_to_boundary`` the
+    way routes pair with zones. Identical kernel, identical dense /
+    pruned strategy gate and candidate bound (see snap_to_boundary);
+    the only difference is the path source: OPEN polylines (no closing
+    vertex), so a K-vertex line contributes K-1 segments.
+
+    ``lines``: (line_id, geom_wkt) with LINESTRING WKT; duplicate
+    line_id rows keep the max geom_wkt (the _zone_index rule). Ties
+    break (line_id ASC, edge_idx ASC).
+
+    Output: (feature_id, line_id, edge_idx, snap_lon, snap_lat,
+    dist_m) — snap coords 7 dp, dist_m 3 dp.
+    """
+    from ..geo.wkt import parse_linestring
+
+    best: dict[str, str] = {}
+    for row in lines.select("line_id", "geom_wkt").collect():
+        lid, wkt = row["line_id"], row["geom_wkt"]
+        if lid not in best or wkt > best[lid]:
+            best[lid] = wkt
+    if not best:
+        raise ValueError("snap_to_lines: no lines")
+    paths = {lid: parse_linestring(best[lid]) for lid in best}
+    return _snap_to_paths(points, paths, id_col=id_col, lon_col=lon_col,
+                          lat_col=lat_col, mode=mode, res=res,
+                          dense_max_edges=dense_max_edges,
+                          group_col="line_id")
+
+
+def _snap_to_paths(points: DataFrame, paths: dict, *, id_col: str,
+                   lon_col: str, lat_col: str, mode: str, res: int,
+                   dense_max_edges: int, group_col: str) -> DataFrame:
+    """Shared snap engine: ``paths`` maps group id → (N,2) vertex
+    array (closed ring or open polyline — consecutive vertex pairs are
+    the segments either way). One implementation behind
+    snap_to_boundary and snap_to_lines so the kernel, the strategy
+    gate, and the pruned candidate bound can never drift apart."""
+    if mode not in ("auto", "dense", "pruned"):
+        raise ValueError(f"snap: unknown mode {mode!r}")
+    spark = points.sparkSession
     zids, eidx, A, B = [], [], [], []
-    for zid in sorted(rings):
-        ring = rings[zid]
-        # exterior ring is closed (first == last vertex): edges i -> i+1
+    for zid in sorted(paths):
+        ring = paths[zid]
+        # consecutive vertex pairs: edges i -> i+1 (a closed ring's
+        # last vertex repeats the first, so this covers every edge)
         for i in range(len(ring) - 1):
             zids.append(zid)
             eidx.append(i)
@@ -505,7 +558,7 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
     out_schema = T.StructType(
         [
             T.StructField("feature_id", id_type),
-            T.StructField("zone_id", T.StringType()),
+            T.StructField(group_col, T.StringType()),
             T.StructField("edge_idx", T.IntegerType()),
             T.StructField("snap_lon", T.DoubleType()),
             T.StructField("snap_lat", T.DoubleType()),
@@ -558,7 +611,7 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
             return pd.DataFrame(
                 {
                     "feature_id": ids,
-                    "zone_id": zid_v[gi],
+                    group_col: zid_v[gi],
                     "edge_idx": eidx_v[gi],
                     "snap_lon": np.round(slon, 7),
                     "snap_lat": np.round(slat, 7),

@@ -461,6 +461,102 @@ def test_snap_to_boundary_pruned_parity(spark):
     assert auto == dense
 
 
+def test_snap_to_lines_constructed(spark):
+    """Hand-checkable open-polyline snap at the equator: perpendicular
+    projection onto a segment interior; clamp to the OPEN end (an open
+    line must clamp at its last vertex, not wrap like a ring); the
+    first-minimal-segment rule at a shared interior vertex."""
+    from asag_spark.geo.wkt import haversine_m
+    from asag_spark.operators.pip import snap_to_lines
+
+    lines = spark.createDataFrame(
+        [("L:1", "LINESTRING(0 0, 1 0, 1 1)")],
+        "line_id string, geom_wkt string",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("P:below", 0.5, -0.5),   # perpendicular onto segment 0
+            ("P:past_end", 1.0, 1.5), # beyond the open end: clamp (1,1)
+            ("P:corner", 1.5, -0.5),  # nearest the shared vertex (1,0)
+        ],
+        "feature_id string, lon double, lat double",
+    )
+    r = {x["feature_id"]: x for x in snap_to_lines(pts, lines).collect()}
+    assert (r["P:below"]["snap_lon"], r["P:below"]["snap_lat"]) == (0.5, 0.0)
+    assert r["P:below"]["edge_idx"] == 0
+    assert (r["P:past_end"]["snap_lon"], r["P:past_end"]["snap_lat"]) == (1.0, 1.0)
+    assert r["P:past_end"]["edge_idx"] == 1
+    expect = float(haversine_m(1.0, 1.5, 1.0, 1.0))
+    assert r["P:past_end"]["dist_m"] == pytest.approx(expect, abs=0.001)
+    # vertex (1,0) ends segment 0 and starts segment 1: first min wins
+    assert (r["P:corner"]["snap_lon"], r["P:corner"]["snap_lat"]) == (1.0, 0.0)
+    assert r["P:corner"]["edge_idx"] == 0
+
+
+def test_snap_to_lines_scalar_reference_and_pruned_parity(spark):
+    """snap_to_lines vs an independent per-point/per-segment scalar
+    loop over the fixture features x fixture lines, then pruned-mode
+    parity (the shared engine's gate must be invisible through the
+    open-polyline entry point too)."""
+    import math
+
+    from asag_spark.datagen import fixture_lines
+    from asag_spark.geo.wkt import haversine_m, parse_linestring
+    from asag_spark.operators.pip import snap_to_lines
+
+    feats = build_features(fixture_docs(spark), as_of=AS_OF).filter(
+        F.col("lat").isNotNull()
+    )
+    lines = fixture_lines(spark)
+    got = {
+        r["feature_id"]: (r["line_id"], r["edge_idx"], r["snap_lon"],
+                          r["snap_lat"], r["dist_m"])
+        for r in snap_to_lines(feats, lines).collect()
+    }
+    lrows = sorted(
+        {(r["line_id"], r["geom_wkt"]) for r in lines.collect()}
+    )
+    assert len(got) > 0
+    for p in feats.select("feature_id", "lon", "lat").collect():
+        best = None
+        for lid, wkt in lrows:
+            v = parse_linestring(wkt)
+            for i in range(len(v) - 1):
+                ax, ay = v[i]
+                bx, by = v[i + 1]
+                cl = math.cos(math.radians((ay + by) / 2.0))
+                dx, dy = (bx - ax) * cl, by - ay
+                den = dx * dx + dy * dy or 1.0
+                t = max(0.0, min(1.0, ((p["lon"] - ax) * cl * dx
+                                       + (p["lat"] - ay) * dy) / den))
+                sx, sy = ax + t * (bx - ax), ay + t * (by - ay)
+                import numpy as np
+
+                d = float(haversine_m(
+                    np.array([p["lon"]]), np.array([p["lat"]]),
+                    np.array([sx]), np.array([sy]))[0])
+                if best is None or d < best[0]:
+                    best = (d, lid, i, sx, sy)
+        d_g = got[p["feature_id"]]
+        assert (d_g[0], d_g[1]) == (best[1], best[2]), p["feature_id"]
+        assert d_g[2] == pytest.approx(best[3], abs=1e-6)
+        assert d_g[3] == pytest.approx(best[4], abs=1e-6)
+        assert d_g[4] == pytest.approx(best[0], abs=0.01)
+    # pruned parity through the lines entry point
+    import math as _m
+    dense = sorted(
+        tuple("nan" if isinstance(v, float) and _m.isnan(v) else v
+              for v in row)
+        for row in snap_to_lines(feats, lines, mode="dense").collect()
+    )
+    pruned = sorted(
+        tuple("nan" if isinstance(v, float) and _m.isnan(v) else v
+              for v in row)
+        for row in snap_to_lines(feats, lines, mode="pruned").collect()
+    )
+    assert pruned == dense
+
+
 def test_snap_to_boundary_scalar_reference(spark):
     """Vectorized kernel vs an independent per-point/per-edge scalar
     loop over the fixture features x fixture zones."""
