@@ -177,6 +177,22 @@ def _g_line_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
                          fixture_lines(spark))
 
 
+def _g_polyfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hex polyfill of the fixture zones (pip.zone_polyfill —
+    center-in-ring membership, H3 polygonToCells semantics) rolled up
+    per zone; golden-pinned, the full cell set is property-verified in
+    tests/test_spatial.py (center recompute, roundtrip, partition
+    disjointness of adjacent zones)."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.pip import zone_polyfill
+
+    return zone_polyfill(fixture_zones(spark)).groupBy("zone_id").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.min("cell").alias("cell_min"),
+        F.max("cell").alias("cell_max"),
+    )
+
+
 def _q_tile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MVT polygon slicing: fixture zones clipped into zoom-9 tiles
     with extent-4096 local integer rings (xyz.clip_polygons_to_tiles —
@@ -1749,6 +1765,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: the open-polyline sibling (stop-to-route
         # map-matching), same shared kernel + pruned gate
         "g_line_snap": _g_line_snap,
+        # round 4: exact hex polyfill (center-in-ring), rolled up per
+        # zone — the full cell set is property-gated in pytest
+        "g_polyfill_stats": _g_polyfill_stats,
         # demoted round 3 for t_pq_topk: SQ8 is the scalar-quantized
         # sibling of the PQ read path that replaced it live; identical
         # oracle, plus its own pytest recall/parity gates
@@ -1996,6 +2015,17 @@ FROM (VALUES
   ('NSR:StopPlace:59883', 'RUT:Line:EW1', 0, 10.957344, 58.98, 166.793),
   ('NSR:StopPlace:999', 'RUT:Line:NS1', 0, 10.75, 59.911868, 453.546)
 ) AS t(feature_id, line_id, edge_idx, snap_lon, snap_lat, dist_m)
+"""
+
+_POLYFILL_GOLDEN = """
+SELECT t.zone_id, CAST(t.n_cells AS BIGINT) AS n_cells,
+       t.cell_min, t.cell_max
+FROM (VALUES
+  ('MUNI:0301', 95, 'h7_-1528_3632', 'h7_-1542_3643'),
+  ('MUNI:ADJ', 1, 'h7_-1494_3582', 'h7_-1494_3582'),
+  ('VKT:TariffZone:729', 15, 'h7_-1512_3593', 'h7_-1516_3597'),
+  ('VKT:TariffZone:730', 15, 'h7_-1512_3593', 'h7_-1516_3597')
+) AS t(zone_id, n_cells, cell_min, cell_max)
 """
 
 _PIP_ANTI_GOLDEN = """
@@ -3175,6 +3205,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "g_pip_anti": _PIP_ANTI_GOLDEN,
         "g_boundary_snap": _BOUNDARY_SNAP_GOLDEN,
         "g_line_snap": _LINE_SNAP_GOLDEN,
+        "g_polyfill_stats": _POLYFILL_GOLDEN,
         "g_geohash": _GEOHASH_GOLDEN,
         "t_rendezvous_shards": _RENDEZVOUS_SQL,
         "t_hard_negatives": _HARD_NEG_SQL,

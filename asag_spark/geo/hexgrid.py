@@ -98,6 +98,24 @@ def cell_center(q: np.ndarray, r: np.ndarray, res: int,
     return lon, lat
 
 
+def cell_center_exact(q: np.ndarray, r: np.ndarray,
+                      res: int) -> tuple[np.ndarray, np.ndarray]:
+    """EXACT lon/lat of cell centers — unlike ``cell_center`` (which
+    needs a caller-supplied reference latitude), this inverts the
+    projection exactly: y determines lat alone (y = R·φ), and with the
+    center's own latitude known, lon = x / (R·cos φ) is the unique
+    longitude mapping to that projected x. Pure function of (q, r,
+    res) — the determinism polyfill semantics require."""
+    s = EDGE_M[res]
+    q = np.asarray(q, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    x = s * _SQRT3 * (q + r / 2.0)
+    y = s * 1.5 * r
+    lat = np.degrees(y / EARTH_RADIUS_M)
+    lon = np.degrees(x / (EARTH_RADIUS_M * np.cos(np.radians(lat))))
+    return lon, lat
+
+
 def grid_disk(q: int, r: int, k: int) -> list[tuple[int, int]]:
     """All axial cells within hex-distance k (H3 gridDisk equivalent)."""
     out = []

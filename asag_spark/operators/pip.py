@@ -88,6 +88,56 @@ def zone_covers(zones: DataFrame, res: int = PIP_RES) -> DataFrame:
     return zones.select("zone_id", "geom_wkt").mapInPandas(expand, schema=schema)
 
 
+def zone_polyfill(zones: DataFrame, res: int = PIP_RES) -> DataFrame:
+    """EXACT hex polyfill (the H3 polygonToCells semantic): the cells
+    whose CENTER lies inside the zone's exterior ring — the coverage-
+    map / rasterization primitive that ``zone_covers`` (bbox cover,
+    candidate generation) deliberately over-approximates. Center-in-
+    ring is the standard polyfill membership rule: cells partition by
+    their centers, so two adjacent zones' polyfills never overlap and
+    a planar subdivision's polyfill is a partition of its cells.
+
+    Determinism: candidate cells enumerate from the projected bbox
+    corner range (cover_bbox's exact axial-extent argument) and each
+    center maps back through the EXACT lattice inverse
+    (hexgrid.cell_center_exact — y alone fixes lat, then lon is the
+    unique preimage), so membership is a pure function of (ring, res)
+    at any parallelism.
+
+    Plan shape: one Arrow mapInPandas over the zone table, per-zone
+    work O(bbox cells) with the ray cast vectorized across all
+    candidate centers at once; NO shuffle, no join — zones distribute
+    across partitions, a continent-scale cadastre polyfills
+    embarrassingly parallel. Output: (zone_id, cell), cell =
+    ``h{res}_{q}_{r}``.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("zone_id", T.StringType()),
+            T.StructField("cell", T.StringType()),
+        ]
+    )
+
+    def fill(batches):
+        from ..geo import hexgrid
+
+        for pdf in batches:
+            zids, cells = [], []
+            for zid, wkt in zip(pdf["zone_id"], pdf["geom_wkt"]):
+                ring = parse_polygon(wkt)
+                cand = hexgrid.cover_bbox(*ring_bbox(ring), res=res)
+                q = np.array([c[0] for c in cand], dtype=np.int64)
+                r = np.array([c[1] for c in cand], dtype=np.int64)
+                clon, clat = hexgrid.cell_center_exact(q, r, res)
+                inside = points_in_ring(clon, clat, ring)
+                for qq, rr in zip(q[inside], r[inside]):
+                    zids.append(zid)
+                    cells.append(f"h{res}_{qq}_{rr}")
+            yield pd.DataFrame({"zone_id": zids, "cell": cells})
+
+    return zones.select("zone_id", "geom_wkt").mapInPandas(fill, schema=schema)
+
+
 def _batch_candidates(lon: np.ndarray, lat: np.ndarray,
                       cover: dict) -> dict[str, np.ndarray]:
     """zone_id → indices of batch points whose res-7 cell is in that

@@ -461,6 +461,67 @@ def test_snap_to_boundary_pruned_parity(spark):
     assert auto == dense
 
 
+def test_cell_center_exact_roundtrip():
+    """cell_center_exact is the true lattice inverse: cell_qr of every
+    center recovers its own (q, r) — across the whole Norway bbox and
+    all four resolutions."""
+    import numpy as np
+
+    from asag_spark.geo import hexgrid
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(4.5, 31.0, 500)
+    lat = rng.uniform(57.9, 71.2, 500)
+    for res in hexgrid.RESOLUTIONS:
+        q, r = hexgrid.cell_qr(lon, lat, res)
+        clon, clat = hexgrid.cell_center_exact(q, r, res)
+        q2, r2 = hexgrid.cell_qr(clon, clat, res)
+        assert (q2 == q).all() and (r2 == r).all(), res
+
+
+def test_zone_polyfill_properties(spark):
+    """zone_polyfill: every emitted cell's center really is inside the
+    ring (independent recompute); no cell outside the bbox cover; two
+    zones sharing only an edge get DISJOINT polyfills (centers
+    partition a planar subdivision); a zone smaller than any cell may
+    legitimately polyfill to zero cells."""
+    import numpy as np
+
+    from asag_spark.geo import hexgrid
+    from asag_spark.geo.wkt import parse_polygon, points_in_ring, ring_bbox
+    from asag_spark.operators.pip import zone_polyfill
+
+    zones = spark.createDataFrame(
+        [
+            ("Z:west", "POLYGON((10.0 59.5, 10.4 59.5, 10.4 59.9, "
+                       "10.0 59.9, 10.0 59.5))"),
+            ("Z:east", "POLYGON((10.4 59.5, 10.8 59.5, 10.8 59.9, "
+                       "10.4 59.9, 10.4 59.5))"),
+            ("Z:tiny", "POLYGON((12.0 60.0, 12.001 60.0, 12.001 60.001, "
+                       "12.0 60.001, 12.0 60.0))"),
+        ],
+        "zone_id string, geom_wkt string",
+    )
+    out = zone_polyfill(zones).collect()
+    by_zone: dict[str, set] = {}
+    for r in out:
+        by_zone.setdefault(r["zone_id"], set()).add(r["cell"])
+    rings = {r["zone_id"]: parse_polygon(r["geom_wkt"])
+             for r in zones.collect()}
+    for zid, cells in by_zone.items():
+        ring = rings[zid]
+        cover = set(hexgrid.cover_bbox(*ring_bbox(ring), res=7))
+        for cell in cells:
+            res, q, r_ = hexgrid.parse_cell(cell)
+            assert res == 7 and (q, r_) in cover
+            clon, clat = hexgrid.cell_center_exact(
+                np.array([q]), np.array([r_]), 7)
+            assert points_in_ring(clon, clat, ring)[0], (zid, cell)
+    assert len(by_zone.get("Z:west", set())) > 20
+    assert not by_zone.get("Z:west", set()) & by_zone.get("Z:east", set())
+    assert "Z:tiny" not in by_zone or len(by_zone["Z:tiny"]) <= 1
+
+
 def test_snap_to_lines_constructed(spark):
     """Hand-checkable open-polyline snap at the equator: perpendicular
     projection onto a segment interior; clamp to the OPEN end (an open
