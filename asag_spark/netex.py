@@ -240,8 +240,17 @@ def validate_delivery(root) -> None:
         return float(s)
 
     def _dt_ok(s):
+        # xs:dateTime lexical space FIRST (fromisoformat alone admits
+        # date-only, space-separated and compact forms whose string
+        # ordering breaks the lexicographic validity filter), THEN
+        # fromisoformat for semantic validity (month/day ranges)
         from datetime import datetime
 
+        if s is None or not re.fullmatch(
+            r"-?\d{4,}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?"
+            r"(Z|[+-]\d{2}:\d{2})?", s
+        ):
+            return False
         try:
             datetime.fromisoformat(s.replace("Z", "+00:00"))
             return True

@@ -665,19 +665,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 25,
     # as round 1's materialization of the persisted edge set, so a
     # graph that stays distributed pays nothing extra for the probe
     n_edges = edges.count()
-    if n_edges == 0:
-        # empty graph: identically-empty output from either strategy —
-        # return straight from the closure helper instead of spinning
-        # propagation rounds (and so collect_max_edges=0 genuinely
-        # forces the distributed path only for NON-empty graphs, as
-        # documented)
-        try:
-            pdf = edges.toPandas()
-        finally:
-            edges.unpersist()
-        return _closure_collect(
-            pairs.sparkSession, pdf, pairs.schema["doc_a"].dataType
-        )
+    # n_edges == 0 <= collect_max_edges for every valid gate value, so
+    # an empty pair set always takes this branch — the identically-
+    # empty closure result without spinning propagation rounds; that
+    # makes collect_max_edges=0 force the distributed path for
+    # NON-empty graphs only, as documented
     if n_edges <= collect_max_edges:
         try:
             pdf = edges.toPandas()  # Arrow path: columnar, no Rows
@@ -930,17 +922,24 @@ def keep_best_per_cluster(labels: DataFrame, scores: DataFrame,
     moves to argmax(score), ties to the smallest id so the choice is
     total and engine-portable.
 
-    Plan shape: one equi-join of labels to scores (both keyed by doc
-    id) and one row_number window over cluster_id. Cluster ids are
+    Plan shape: one LEFT equi-join of labels to scores (both keyed by
+    doc id) and one row_number window over cluster_id. Cluster ids are
     high-cardinality (each near-dup group is a handful of docs;
     singletons are their own cluster), so neither the join nor the
     window has a hot key — this is the benign kind of window, unlike
     a per-language one (see stratum_cap).
 
+    Docs absent from ``scores`` are KEPT in the output with a NULL
+    score and rank below every scored member (desc ordering puts
+    NULLs last; ties still break to the smaller id) — an inner join
+    here would silently delete unscored docs from the corpus and
+    could leave a cluster with zero keep=1 rows, breaking the
+    exactly-one-keeper contract.
+
     Output: (<id_col>, <cluster_col>, <score_col>, keep) — keep = 1
     on exactly one row per cluster.
     """
-    joined = labels.join(scores.select(id_col, score_col), id_col)
+    joined = labels.join(scores.select(id_col, score_col), id_col, "left")
     w = Window.partitionBy(cluster_col).orderBy(F.desc(score_col), id_col)
     return joined.select(
         F.col(id_col), F.col(cluster_col), F.col(score_col),

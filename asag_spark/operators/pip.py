@@ -35,18 +35,28 @@ PIP_RES = 7
 PIP_SALT = 16
 
 
+def _best_wkt_per_id(rows: list, id_key: str) -> dict[str, str]:
+    """THE dirty-input dedup rule, in one place: duplicate ids keep
+    the max geom_wkt (deterministic, matches nothing on clean input).
+    Shared by _zone_index, pip_join_partitioned's relational spelling,
+    and snap_to_lines so the variants can never diverge on the same
+    dirty input."""
+    best: dict[str, str] = {}
+    for row in rows:
+        rid, wkt = row[id_key], row["geom_wkt"]
+        if rid not in best or wkt > best[rid]:
+            best[rid] = wkt
+    return best
+
+
 def _zone_index(zones_rows: list) -> tuple[dict, dict]:
     """rings[zone_id] = (N,2) ring; cover[cell_qr] = [zone_id, ...].
 
-    Dirty-input guard: duplicate zone_id rows keep the max geom_wkt —
-    the same rule pip_join_partitioned applies — so both PIP variants
-    agree (and no zone appears twice in a cell's cover list, which
-    would duplicate output rows)."""
-    best: dict[str, str] = {}
-    for row in zones_rows:
-        zid, wkt = row["zone_id"], row["geom_wkt"]
-        if zid not in best or wkt > best[zid]:
-            best[zid] = wkt
+    Dirty-input guard: duplicate zone_id rows keep the max geom_wkt
+    (_best_wkt_per_id — the same rule pip_join_partitioned applies) —
+    so both PIP variants agree (and no zone appears twice in a cell's
+    cover list, which would duplicate output rows)."""
+    best = _best_wkt_per_id(zones_rows, "zone_id")
     rings: dict[str, np.ndarray] = {}
     cover: dict[tuple[int, int], list[str]] = {}
     for zid in best:
@@ -558,11 +568,9 @@ def snap_to_lines(points: DataFrame, lines: DataFrame,
     """
     from ..geo.wkt import parse_linestring
 
-    best: dict[str, str] = {}
-    for row in lines.select("line_id", "geom_wkt").collect():
-        lid, wkt = row["line_id"], row["geom_wkt"]
-        if lid not in best or wkt > best[lid]:
-            best[lid] = wkt
+    best = _best_wkt_per_id(
+        lines.select("line_id", "geom_wkt").collect(), "line_id"
+    )
     if not best:
         raise ValueError("snap_to_lines: no lines")
     paths = {lid: parse_linestring(best[lid]) for lid in best}
@@ -688,23 +696,25 @@ def _snap_to_paths(points: DataFrame, paths: dict, *, id_col: str,
         s = hexgrid.EDGE_M[res]
         keys = np.asarray(list(bkt.keys()), dtype=np.int64)  # (K, 2)
 
-        def best_chunked(sel, plon, plat, out=None, pts=None):
+        def best_chunked(sel, plon, plat, out, pts):
             """best_of in point chunks sized to the candidate count;
-            returns max dist when out is None, else writes results."""
+            writes results into ``out`` at ``pts`` AND returns the max
+            dist — one kernel pass serves both the termination bound
+            and the answer (the tentative pass IS the final pass
+            whenever the expansion loop adds no candidates, the
+            dominant in-cloud case)."""
             n_cand = len(A_v) if sel is None else len(sel)
             step = max(1, 2_000_000 // max(1, n_cand))
             d_max = 0.0
+            gi_o, sx_o, sy_o, d_o = out
             for lo in range(0, len(plon), step):
                 hi = lo + step
                 gi, sx, sy, d = best_of(sel, plon[lo:hi], plat[lo:hi])
-                if out is None:
-                    d_max = max(d_max, float(d.max()))
-                else:
-                    gi_o, sx_o, sy_o, d_o = out
-                    gi_o[pts[lo:hi]] = gi
-                    sx_o[pts[lo:hi]] = sx
-                    sy_o[pts[lo:hi]] = sy
-                    d_o[pts[lo:hi]] = d
+                gi_o[pts[lo:hi]] = gi
+                sx_o[pts[lo:hi]] = sx
+                sy_o[pts[lo:hi]] = sy
+                d_o[pts[lo:hi]] = d
+                d_max = max(d_max, float(d.max()))
             return d_max
 
         for pdf in batches:
@@ -782,15 +792,18 @@ def _snap_to_paths(points: DataFrame, paths: dict, *, id_col: str,
                             arr = bkt.get(c2)
                             if arr is not None:
                                 cand_parts.append(arr)
-                    # phase 2: tentative best, then expand until every
-                    # unexplored ring is provably farther
+                    # phase 2: tentative best (already written to out
+                    # — it IS final unless expansion adds candidates),
+                    # then expand until every unexplored ring is
+                    # provably farther
+                    n_parts0 = len(cand_parts)
                     sel = np.unique(np.concatenate(cand_parts))
-                    d_max = best_chunked(sel, plon, plat)
+                    d_max = best_chunked(sel, plon, plat, out, pts)
                     if d_max > 0.9 * SNAP_D_CAP_M:
                         # beyond the shear bound's validity disk —
                         # dense fallback for this cell (rare: a cell
                         # ~400 km from every zone edge)
-                        best_chunked(None, plon, plat, out=out, pts=pts)
+                        best_chunked(None, plon, plat, out, pts)
                         continue
                     while lb(g + 1) <= d_max:
                         g += 1
@@ -798,8 +811,9 @@ def _snap_to_paths(points: DataFrame, paths: dict, *, id_col: str,
                             arr = bkt.get(c2)
                             if arr is not None:
                                 cand_parts.append(arr)
-                    sel = np.unique(np.concatenate(cand_parts))
-                    best_chunked(sel, plon, plat, out=out, pts=pts)
+                    if len(cand_parts) > n_parts0:
+                        sel = np.unique(np.concatenate(cand_parts))
+                        best_chunked(sel, plon, plat, out, pts)
             yield assemble(
                 pdf[id_col].to_numpy(dtype=object), gi_o, sx_o, sy_o, d_o
             )

@@ -1753,9 +1753,12 @@ def semdedup_keep_best(emb: DataFrame, scores: DataFrame,
          with the score, exactly the flip this operator exists for.
 
     ``scores``: (vec_id, <score_col>) — any quality signal (model
-    score, heuristic quality, recency). Singletons (no ≥-threshold
-    neighbor, including zero-norm vectors) are their own cluster and
-    always keep=1.
+    score, heuristic quality, recency), PARTIAL coverage allowed:
+    unscored vectors survive with a NULL score and rank below every
+    scored cluster member (keep_best_per_cluster's left-join
+    contract), so a cluster scored nowhere still keeps its smallest
+    id. Singletons (no ≥-threshold neighbor, including zero-norm
+    vectors) are their own cluster and always keep=1.
 
     Plan shape: the pair stage and closure are the audited semdedup /
     dedup_clusters plans; the keeper adds one equi-join + one window

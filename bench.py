@@ -251,8 +251,8 @@ def main() -> None:
     # cell-bucketed candidates instead of the dense (n x E) cross.
     timed("boundary_snap", lambda: materialize(snap), warm=2)
 
-    # 2d. the same snap against a DENSE zone cloud (~2.5k zones /
-    # ~15k edges — the continent-scale-cadastre shape): per-point cost
+    # 2d. the same snap against a DENSE zone cloud (2.5k zones /
+    # 10k edges — the continent-scale-cadastre shape): per-point cost
     # under the prune tracks LOCAL edge density, so this stays in the
     # boundary_snap class instead of scaling 50x with the edge count
     from asag_spark.datagen import generate_dense_zone_grid

@@ -206,6 +206,14 @@ def test_typed_value_validation_fails_loudly():
         parse_publication_delivery(stop(
             "<ValidBetween><FromDate>not-a-date</FromDate></ValidBetween>"
         ))
+    # lexical forms fromisoformat ACCEPTS but xs:dateTime does not —
+    # each breaks the lexicographic validity compare (compact form
+    # sorts after '2017-06-...' because '0' > '-')
+    for bad in ("20170101T000000", "2017-01-01", "2017-01-01 00:00:00"):
+        with pytest.raises(NetexValidationError, match="ISO-8601"):
+            parse_publication_delivery(stop(
+                f"<ValidBetween><FromDate>{bad}</FromDate></ValidBetween>"
+            ))
     # junk version attribute
     with pytest.raises(NetexValidationError, match="version"):
         parse_publication_delivery(stop("", attrs=" version='v1.2.3'"))

@@ -1940,6 +1940,31 @@ def test_semdedup_keep_best_representative_flips_with_score(spark):
     assert [out3[i]["keep"] for i in (1, 2, 3)] == [1, 0, 0]
 
 
+def test_keep_best_partial_scores_left_join(spark):
+    """keep_best_per_cluster with PARTIAL score coverage: unscored
+    docs survive with NULL score and rank below every scored member;
+    a cluster scored nowhere still keeps exactly one row (smallest
+    id) — an inner join would silently delete docs and could leave a
+    cluster with zero keepers."""
+    from asag_spark.operators.dedup import keep_best_per_cluster
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, cluster_id long",
+    )
+    # cluster 1: only doc 2 scored -> 2 keeps despite not being min id;
+    # cluster 10: nobody scored -> smallest id 10 keeps
+    scores = spark.createDataFrame([(2, 0.5)], "doc_id long, quality double")
+    out = {r["doc_id"]: r for r in
+           keep_best_per_cluster(labels, scores).collect()}
+    assert len(out) == 5                       # nothing dropped
+    assert out[2]["keep"] == 1 and out[1]["keep"] == 0 and out[3]["keep"] == 0
+    assert out[1]["quality"] is None
+    assert out[10]["keep"] == 1 and out[11]["keep"] == 0
+    keepers = [r for r in out.values() if r["keep"] == 1]
+    assert len(keepers) == 2                   # exactly one per cluster
+
+
 def test_dedup_clusters_gate_parity_random_graphs(spark):
     """Driver-side and distributed closures produce identical labels
     on seeded random graphs (chains, cliques, isolated self-pairs,
