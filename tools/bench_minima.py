@@ -59,8 +59,12 @@ def report(raw_path: str, md_path: str, rnd: int) -> None:
             if q not in minima or sec < minima[q][0]:
                 minima[q] = (sec, i)
     rows = sorted(minima.items(), key=lambda kv: -kv[1][0])
-    membw = [r.get("host_membw_ms_start") for r in runs]
-    degraded = [r.get("host_degraded") for r in runs]
+
+    def extra(r, key):
+        return r.get("extras", {}).get(key, r.get(key))
+
+    membw = [extra(r, "host_membw_ms_start") for r in runs]
+    degraded = [extra(r, "host_degraded") for r in runs]
     lines = [
         f"# Round-{rnd} cross-run per-query minima (bench_raw_r{rnd}.jsonl)",
         "",
