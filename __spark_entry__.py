@@ -177,6 +177,22 @@ def _g_line_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
                          fixture_lines(spark))
 
 
+def _g_snap_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED snap strategy (NEW r5, VERDICT r04 #1: executor-
+    built edge index + coarsening-ladder search, pip._snap_distributed)
+    forced over the same fixture features x fixture zones as
+    g_boundary_snap — and checked against the SAME golden rows, so the
+    no-collect physical plan is pinned to the dense kernel's exact
+    output (three-way parity also swept in tests/test_spatial.py)."""
+    from asag_spark.datagen import fixture_zones
+    from asag_spark.operators.enrich import build_features
+    from asag_spark.operators.pip import snap_to_boundary
+
+    feats = build_features(_docs(spark), as_of=AS_OF)
+    return snap_to_boundary(feats.filter(F.col("lat").isNotNull()),
+                            fixture_zones(spark), mode="distributed")
+
+
 def _g_polyfill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact hex polyfill of the fixture zones (pip.zone_polyfill —
     center-in-ring membership, H3 polygonToCells semantics) rolled up
@@ -667,6 +683,37 @@ def _t_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sample_frames(_media_decoded(spark, sf_dir), every_s=10).select(
         "media_ref", "duration_s", "frame_idx", "frame_ts_s"
+    )
+
+
+def _t_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode end-to-end (VERDICT r04 #5): the media
+    catalog's refs resolve to deterministic uncompressed PPM/BMP blobs
+    (datagen.media_blob — the object-store stand-in), decode_pixels
+    parses the CONTAINER BYTES with the pure-numpy decoder
+    (media.decode_rgb; is_stub=False, no imaging library involved),
+    and the oracle recomputes the expected 16x16 luma from the
+    generative md5-keystream formula — so only a correct byte-level
+    parse (PPM header skip, BMP's bottom-up BGR padded rows) makes the
+    value hashes meet. Output: per-ref thumbnail fingerprint (sum +
+    first/last probes) — scalars, engine-portable."""
+    from asag_spark.datagen import with_media_blobs
+    from asag_spark.operators.media import decode_pixels, extract_media
+    from asag_spark.sources import docs_from_documents
+
+    cat = extract_media(docs_from_documents(spark, sf_dir))
+    m = with_media_blobs(cat).filter(F.col("blob").isNotNull())
+    d = decode_pixels(m, bytes_col="blob", target=16)
+    return d.select(
+        "media_ref",
+        "px_width",
+        "px_height",
+        "is_stub",
+        F.expr(
+            "aggregate(pixels, CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("px_sum"),
+        F.element_at("pixels", 1).alias("px_first"),
+        F.element_at("pixels", 256).alias("px_last"),
     )
 
 
@@ -1765,6 +1812,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4: the open-polyline sibling (stop-to-route
         # map-matching), same shared kernel + pruned gate
         "g_line_snap": _g_line_snap,
+        # round 5: the no-collect distributed strategy pinned to the
+        # SAME golden rows as g_boundary_snap (VERDICT r04 #1)
+        "g_snap_distributed": _g_snap_distributed,
         # round 4: exact hex polyfill (center-in-ring), rolled up per
         # zone — the full cell set is property-gated in pytest
         "g_polyfill_stats": _g_polyfill_stats,
@@ -1792,6 +1842,9 @@ def demoted_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # media family live via t_media_decode / t_frame_sample /
         # t_media_features
         "t_media_resize": _t_media_resize,
+        # NEW r5: REAL pixel decode (pure-numpy PPM/BMP over
+        # deterministic blobs) with a generative-formula value oracle
+        "t_media_pixels": _t_media_pixels,
         # repetition stats ride inside the live t_gopher_filter gate
         "t_repetition": _t_repetition,
         # fingerprint family live via t_winnow_fp
@@ -2607,6 +2660,47 @@ FROM dec, UNNEST(generate_series(0, duration_s - 1, 10)) AS u(ts)
 """
 
 
+def _ks_byte(c: int) -> str:
+    """SQL: channel-``c`` byte of pixel p from the media-blob keystream
+    (mirrors datagen.media_blob: byte (3p+c) of the concatenated
+    md5(ref || ':px:' || counter) digests — block (3p+c)//16, offset
+    (3p+c)%16)."""
+    idx = f"(p * 3 + {c})"
+    hx = f"md5(ref || ':px:' || CAST({idx} // 16 AS VARCHAR))"
+    off = f"({idx} % 16)"
+    hi = f"(strpos('0123456789abcdef', substr({hx}, 2 * {off} + 1, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hx}, 2 * {off} + 2, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+# real-decode oracle: expected luma recomputed from the generative
+# formula (NOT by parsing the container) — equality proves the engine's
+# byte-level PPM/BMP parse + ITU-R 601-2 integer luma are correct
+_MEDIA_PIXELS_SQL = f"""
+WITH m AS (
+  SELECT 'img://DOC:StopPlace:' || CAST(doc_id AS VARCHAR) || '.jpg' AS ref
+  FROM documents WHERE doc_id % 8 = 0
+),
+sel AS (
+  SELECT ref FROM m WHERE ({_md5_byte('md5(ref)', 0)}) % 4 < 2
+),
+px AS (
+  SELECT ref, p,
+         (299 * {_ks_byte(0)} + 587 * {_ks_byte(1)}
+          + 114 * {_ks_byte(2)}) // 1000 AS lum
+  FROM sel, UNNEST(generate_series(0, 255)) AS u(p)
+)
+SELECT ref AS media_ref,
+       CAST(16 AS INTEGER) AS px_width,
+       CAST(16 AS INTEGER) AS px_height,
+       FALSE AS is_stub,
+       CAST(SUM(lum) AS BIGINT) AS px_sum,
+       CAST(MAX(CASE WHEN p = 0 THEN lum END) AS INTEGER) AS px_first,
+       CAST(MAX(CASE WHEN p = 255 THEN lum END) AS INTEGER) AS px_last
+FROM px GROUP BY ref
+"""
+
+
 def _flagship_tiles_sql() -> str:
     """flagship_tiles golden oracle: the coordinates derive from
     Spark's xxhash64 (not recomputable in DuckDB), so the oracle is a
@@ -3205,6 +3299,7 @@ def _all_oracle_sql() -> dict[str, str]:
         "g_pip_anti": _PIP_ANTI_GOLDEN,
         "g_boundary_snap": _BOUNDARY_SNAP_GOLDEN,
         "g_line_snap": _LINE_SNAP_GOLDEN,
+        "g_snap_distributed": _BOUNDARY_SNAP_GOLDEN,
         "g_polyfill_stats": _POLYFILL_GOLDEN,
         "g_geohash": _GEOHASH_GOLDEN,
         "t_rendezvous_shards": _RENDEZVOUS_SQL,
@@ -4023,7 +4118,8 @@ hits AS (
   JOIN assign y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
   JOIN e xe ON xe.vec_id = x.vec_id
   JOIN e ye ON ye.vec_id = y.vec_id
-  WHERE ROUND(list_dot_product(xe.v, ye.v) / (xe.norm * ye.norm), 6) >= 0.3
+  WHERE xe.norm > 0 AND ye.norm > 0
+    AND ROUND(list_dot_product(xe.v, ye.v) / (xe.norm * ye.norm), 6) >= 0.3
   GROUP BY y.vec_id
 )
 SELECT a.vec_id, a.c_id AS ivf_cell,
@@ -4076,6 +4172,7 @@ FROM spine s JOIN sc ON sc.vec_id = s.vec_id
         "t_simhash_near_dups": _simhash_sql(),
         "t_media_decode": _MEDIA_DECODE_SQL,
         "t_media_resize": _MEDIA_RESIZE_SQL,
+        "t_media_pixels": _MEDIA_PIXELS_SQL,
         "t_frame_sample": _FRAME_SAMPLE_SQL,
         "t_media_features": _media_features_sql(),
         "flagship_tiles": _flagship_tiles_sql(),

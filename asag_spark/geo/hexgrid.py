@@ -26,8 +26,14 @@ from __future__ import annotations
 import numpy as np
 
 # H3 average hexagon edge length (meters) by resolution — public H3
-# cell-stats table.
+# cell-stats table. Res 1-4 exist for the distributed snap's
+# coarsening rounds (operators/pip._snap_distributed), which double+
+# the closure radius per round by dropping one resolution level.
 EDGE_M = {
+    1: 418676.01,
+    2: 158244.66,
+    3: 59810.86,
+    4: 22606.38,
     5: 8544.41,
     6: 3229.48,
     7: 1220.63,
@@ -156,9 +162,15 @@ def cover_bbox(min_lon: float, min_lat: float, max_lon: float, max_lat: float,
     cell-cover primitive used to pre-join PIP candidates. Enumerates
     the axial range of the projected bbox corners; exact containment
     is always refined afterwards with points_in_ring."""
-    corners_lon = np.array([min_lon, max_lon, min_lon, max_lon])
-    corners_lat = np.array([min_lat, min_lat, max_lat, max_lat])
-    q, r = cell_qr(corners_lon, corners_lat, res)
+    corners_lon = [min_lon, max_lon, min_lon, max_lon]
+    corners_lat = [min_lat, min_lat, max_lat, max_lat]
+    if min_lat < 0.0 < max_lat:
+        # x = R·λ·cosφ peaks at φ=0, which is INTERIOR for a bbox
+        # spanning the equator — the corner extremes alone would
+        # under-cover; add the (lon, 0) pseudo-corners
+        corners_lon += [min_lon, max_lon]
+        corners_lat += [0.0, 0.0]
+    q, r = cell_qr(np.array(corners_lon), np.array(corners_lat), res)
     out = []
     for qq in range(int(q.min()) - pad_cells, int(q.max()) + pad_cells + 1):
         for rr in range(int(r.min()) - pad_cells, int(r.max()) + pad_cells + 1):

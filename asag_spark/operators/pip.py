@@ -127,6 +127,10 @@ def zone_polyfill(zones: DataFrame, res: int = PIP_RES) -> DataFrame:
             T.StructField("cell", T.StringType()),
         ]
     )
+    # dirty-input guard (the _best_wkt_per_id rule, relational
+    # spelling): duplicate zone_id rows would emit duplicate
+    # (zone_id, cell) rows and inflate coverage stats
+    zones = zones.groupBy("zone_id").agg(F.max("geom_wkt").alias("geom_wkt"))
 
     def fill(batches):
         from ..geo import hexgrid
@@ -434,6 +438,11 @@ SNAP_RES = 7
 SNAP_DENSE_MAX_EDGES = 256
 SNAP_D_CAP_M = 400_000.0   # pruned-path search-radius validity cap
 _SNAP_JUMP_G = 16          # empty rings scanned before the vectorized jump
+# second gate (VERDICT r04 #1): above this many edges the edge set is
+# never collect()ed — the index builds distributed (_snap_distributed)
+SNAP_DIST_MIN_EDGES = 100_000
+SNAP_DIST_RES_MIN = 1      # coarsest coarsening round (EDGE_M[1] ≈ 419 km)
+SNAP_DIST_FALLBACK_MAX = 500_000  # open points the inverted fallback may hold
 
 
 def _edge_buckets(A: np.ndarray, B: np.ndarray,
@@ -482,7 +491,8 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
                      lon_col: str = "lon", lat_col: str = "lat",
                      mode: str = "auto",
                      res: int = SNAP_RES,
-                     dense_max_edges: int = SNAP_DENSE_MAX_EDGES) -> DataFrame:
+                     dense_max_edges: int = SNAP_DENSE_MAX_EDGES,
+                     dist_min_edges: int = SNAP_DIST_MIN_EDGES) -> DataFrame:
     """Nearest-boundary-edge snap (the map-matching primitive): for
     every point, the closest point ON any zone's exterior-ring edge —
     projection onto the segment, clamped to its endpoints — plus the
@@ -497,9 +507,12 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
     winner is chosen by true metric distance among the per-edge
     projections. Ties break (zone_id ASC, edge_idx ASC).
 
-    Two physical strategies behind one result (gated like
+    THREE physical strategies behind one result (gated like
     dedup_clusters' closure: ``mode="auto"`` picks ``"pruned"`` iff
-    the edge count exceeds ``dense_max_edges``):
+    the edge count exceeds ``dense_max_edges`` and ``"distributed"``
+    iff it exceeds ``dist_min_edges`` — the second gate is evaluated
+    FIRST, from a comma-count estimate (_edge_count_estimate), so
+    above it the edge set is never collect()ed at all):
 
     * dense — registry-scale edge sets (the reference's ~50-zone
       world): edges broadcast as dense numpy arrays, one Arrow
@@ -531,9 +544,24 @@ def snap_to_boundary(points: DataFrame, zones: DataFrame,
       the only new driver-side cost is the bucket build, O(total edge
       length / cell size).
 
+    * distributed — the gate VERDICT r04 #1 asked for: above
+      ``dist_min_edges`` (or ``mode="distributed"``) the index builds
+      executor-side and the search runs as a cell-join coarsening
+      ladder with an inverted broadcast fallback — see
+      _snap_distributed. No driver-side edge loop, no dense broadcast.
+
     Output: (feature_id, zone_id, edge_idx, snap_lon, snap_lat,
     dist_m) — snap coords rounded to 7 dp, dist_m to 3 dp.
     """
+    if mode not in ("auto", "dense", "pruned", "distributed"):
+        raise ValueError(f"snap: unknown mode {mode!r}")
+    if mode == "distributed" or (
+        mode == "auto" and _edge_count_estimate(zones) > dist_min_edges
+    ):
+        edges = _paths_to_edges(zones, "zone_id", kind="ring")
+        return _snap_distributed(points, edges, id_col=id_col,
+                                 lon_col=lon_col, lat_col=lat_col,
+                                 group_col="zone_id", res=res)
     zrows = zones.select("zone_id", "geom_wkt").collect()
     rings, _ = _zone_index(zrows)
     if not rings:
@@ -549,7 +577,8 @@ def snap_to_lines(points: DataFrame, lines: DataFrame,
                   lon_col: str = "lon", lat_col: str = "lat",
                   mode: str = "auto",
                   res: int = SNAP_RES,
-                  dense_max_edges: int = SNAP_DENSE_MAX_EDGES) -> DataFrame:
+                  dense_max_edges: int = SNAP_DENSE_MAX_EDGES,
+                  dist_min_edges: int = SNAP_DIST_MIN_EDGES) -> DataFrame:
     """Map-matching against LINESTRING route geometries: for every
     point, the closest point ON any line's segment (clamped projection)
     plus the owning line/segment and the great-circle snap distance —
@@ -568,6 +597,15 @@ def snap_to_lines(points: DataFrame, lines: DataFrame,
     """
     from ..geo.wkt import parse_linestring
 
+    if mode not in ("auto", "dense", "pruned", "distributed"):
+        raise ValueError(f"snap: unknown mode {mode!r}")
+    if mode == "distributed" or (
+        mode == "auto" and _edge_count_estimate(lines) > dist_min_edges
+    ):
+        edges = _paths_to_edges(lines, "line_id", kind="line")
+        return _snap_distributed(points, edges, id_col=id_col,
+                                 lon_col=lon_col, lat_col=lat_col,
+                                 group_col="line_id", res=res)
     best = _best_wkt_per_id(
         lines.select("line_id", "geom_wkt").collect(), "line_id"
     )
@@ -820,4 +858,460 @@ def _snap_to_paths(points: DataFrame, paths: dict, *, id_col: str,
 
     return points.select(id_col, lon_col, lat_col).mapInPandas(
         snap, schema=out_schema
+    )
+
+
+def _edge_count_estimate(paths: DataFrame) -> int:
+    """Cheap distributed edge-count estimate for the strategy gate:
+    WKT comma count ≈ vertices − 1 = segments per path (exact for
+    LINESTRING; one high for a closed ring's repeated vertex — a gate,
+    not an invariant). One JVM column scan, no parse, no collect."""
+    row = paths.agg(
+        F.sum(F.size(F.split(F.col("geom_wkt"), ",")) - F.lit(1)).alias("n")
+    ).first()
+    return int(row["n"] or 0)
+
+
+def _paths_to_edges(paths: DataFrame, group_col: str, kind: str) -> DataFrame:
+    """Distributed edge explode: (group_id, geom_wkt) → one row per
+    segment (gid, edge_idx, ax, ay, bx, by) with NO driver collect —
+    the scale path's replacement for _snap_to_paths' collected dict.
+    Dirty-input dedup is the relational spelling of _best_wkt_per_id
+    (groupBy max geom_wkt — the rule pip_join_partitioned applies), and
+    the groupBy's hash exchange doubles as the repartition that spreads
+    a single-file cadastre across executors before the parse."""
+    from ..geo.wkt import parse_linestring, parse_polygon
+
+    parse = parse_polygon if kind == "ring" else parse_linestring
+    dedup = paths.groupBy(F.col(group_col).alias("_gid")).agg(
+        F.max("geom_wkt").alias("geom_wkt")
+    )
+    schema = T.StructType(
+        [
+            T.StructField("_gid", T.StringType()),
+            T.StructField("_eidx", T.IntegerType()),
+            T.StructField("_ax", T.DoubleType()),
+            T.StructField("_ay", T.DoubleType()),
+            T.StructField("_bx", T.DoubleType()),
+            T.StructField("_by", T.DoubleType()),
+        ]
+    )
+
+    def explode(batches):
+        for pdf in batches:
+            gs, es, axs, ays, bxs, bys = [], [], [], [], [], []
+            for gid, wkt in zip(pdf["_gid"], pdf["geom_wkt"]):
+                v = parse(wkt)
+                n = len(v) - 1
+                if n <= 0:
+                    continue
+                gs.append(np.full(n, gid, dtype=object))
+                es.append(np.arange(n, dtype=np.int32))
+                axs.append(v[:-1, 0])
+                ays.append(v[:-1, 1])
+                bxs.append(v[1:, 0])
+                bys.append(v[1:, 1])
+            if not gs:
+                yield pd.DataFrame(
+                    {c.name: [] for c in schema.fields}
+                )
+                continue
+            yield pd.DataFrame(
+                {
+                    "_gid": np.concatenate(gs),
+                    "_eidx": np.concatenate(es),
+                    "_ax": np.concatenate(axs),
+                    "_ay": np.concatenate(ays),
+                    "_bx": np.concatenate(bxs),
+                    "_by": np.concatenate(bys),
+                }
+            )
+
+    return dedup.mapInPandas(explode, schema=schema)
+
+
+def _edge_covers(edges: DataFrame, res: int, dilate: int = 1) -> DataFrame:
+    """Distributed edge→cell cover: _edge_buckets' sub-segment split
+    run executor-side over the edge DataFrame instead of a driver
+    Python loop over a collected edge set. Each edge emits its cover
+    cells DILATED by ``dilate`` rings, so a point joining on its OWN
+    cell alone sees every edge within hex-distance ``dilate`` — the
+    point side never explodes. Same correctness contrapositive as
+    _edge_buckets: an edge absent from a point's (dilated) cell lies
+    entirely in cells at hex-distance ≥ dilate+1."""
+    from ..geo.hexgrid import EDGE_M, _project, cover_bbox, grid_disk
+
+    offs = grid_disk(0, 0, dilate)
+    s = EDGE_M[res]
+    schema = T.StructType(
+        [T.StructField("cell", T.StringType())] + list(edges.schema.fields)
+    )
+
+    def cover(batches):
+        for pdf in batches:
+            ax = pdf["_ax"].to_numpy(dtype="float64")
+            ay = pdf["_ay"].to_numpy(dtype="float64")
+            bx = pdf["_bx"].to_numpy(dtype="float64")
+            by = pdf["_by"].to_numpy(dtype="float64")
+            axm, aym = _project(ax, ay)
+            bxm, bym = _project(bx, by)
+            n_sub = np.maximum(
+                1, np.ceil(np.hypot(bxm - axm, bym - aym) / s).astype(np.int64)
+            )
+            cells_out, idx_out = [], []
+            for i in range(len(pdf)):
+                m = int(n_sub[i])
+                ts = np.linspace(0.0, 1.0, m + 1)
+                px = ax[i] + ts * (bx[i] - ax[i])
+                py = ay[i] + ts * (by[i] - ay[i])
+                cells_i: set[tuple[int, int]] = set()
+                for j in range(m):
+                    cells_i.update(cover_bbox(
+                        min(px[j], px[j + 1]), min(py[j], py[j + 1]),
+                        max(px[j], px[j + 1]), max(py[j], py[j + 1]),
+                        res=res,
+                    ))
+                dil = {(q + dq, r + dr)
+                       for q, r in cells_i for dq, dr in offs}
+                for q, r in dil:
+                    cells_out.append(f"h{res}_{q}_{r}")
+                    idx_out.append(i)
+            out = pdf.iloc[idx_out].reset_index(drop=True)
+            out.insert(0, "cell", cells_out)
+            yield out
+
+    return edges.mapInPandas(cover, schema=schema)
+
+
+@F.pandas_udf(T.StructType([
+    T.StructField("dist_raw", T.DoubleType()),
+    T.StructField("snap_lon", T.DoubleType()),
+    T.StructField("snap_lat", T.DoubleType()),
+    T.StructField("dist_m", T.DoubleType()),
+]))
+def _snap_pair_kernel(plon: pd.Series, plat: pd.Series,
+                      ax: pd.Series, ay: pd.Series,
+                      bx: pd.Series, by: pd.Series) -> pd.DataFrame:
+    """Per-candidate snap math, FLOAT-IDENTICAL to _snap_to_paths'
+    dense kernel (same numpy ops in the same order on the same float64
+    inputs), so the distributed argmin — a window ordered by
+    (dist_raw, gid, eidx) — picks exactly the edge dense argmin's
+    first-min rule picks. dist_raw stays unrounded for the ordering;
+    snap/dist outputs carry the dense kernel's np.round (NOT Spark
+    round/bround, whose BigDecimal path can differ in the last ulp)."""
+    from ..geo.wkt import haversine_m
+
+    lo = plon.to_numpy(dtype="float64")
+    la = plat.to_numpy(dtype="float64")
+    axv = ax.to_numpy(dtype="float64")
+    ayv = ay.to_numpy(dtype="float64")
+    bxv = bx.to_numpy(dtype="float64")
+    byv = by.to_numpy(dtype="float64")
+    cl = np.cos(np.radians((ayv + byv) / 2.0))
+    abx = bxv - axv
+    aby = byv - ayv
+    absx = abx * cl
+    denom = absx * absx + aby * aby
+    denom[denom == 0.0] = 1.0
+    apx_sc = (lo - axv) * cl
+    t = np.clip((apx_sc * absx + (la - ayv) * aby) / denom, 0.0, 1.0)
+    sx = axv + t * abx
+    sy = ayv + t * aby
+    d = haversine_m(lo, la, sx, sy)
+    return pd.DataFrame(
+        {
+            "dist_raw": d,
+            "snap_lon": np.round(sx, 7),
+            "snap_lat": np.round(sy, 7),
+            "dist_m": np.round(d, 3),
+        }
+    )
+
+
+def _opn_cap_expr(lon, lat):
+    """Projection-shear operator norm, inflated over the SNAP_D_CAP_M
+    search disk around the point — the per-point codegen spelling of
+    the pruned path's per-cell bound (same formula; per-point |lon|,
+    |lat| replace the cell's maxima, which is the same validity
+    argument one disk at a time). Used to deflate the lattice lower
+    bound to true meters."""
+    import math
+
+    R = hexgrid.EARTH_RADIUS_M
+    dphi = SNAP_D_CAP_M / R
+    lat_mx = F.least(
+        F.radians(F.abs(lat)) + F.lit(dphi), F.lit(math.radians(89.0))
+    )
+    dlam = F.lit(SNAP_D_CAP_M) / (
+        F.lit(R) * F.greatest(F.lit(0.05), F.cos(lat_mx))
+    )
+    sh = (F.radians(F.abs(lon)) + dlam) * F.least(F.lit(1.0), F.sin(lat_mx))
+    return F.sqrt(
+        (F.lit(2.0) + sh * sh + sh * F.sqrt(sh * sh + F.lit(4.0)))
+        / F.lit(2.0)
+    )
+
+
+def _snap_distributed(points: DataFrame, edges: DataFrame, *, id_col: str,
+                      lon_col: str, lat_col: str, group_col: str,
+                      res: int) -> DataFrame:
+    """Fully-distributed snap: the strategy for edge sets too large to
+    collect (10^6+-edge cadastres — VERDICT r04 #1's gap). The edge
+    index is built executor-side (_paths_to_edges → _edge_covers); the
+    driver never holds an edge row. Same output contract and tie rule
+    as _snap_to_paths; per-candidate floats are identical (the pair
+    kernel mirrors the dense math op-for-op), so results match dense /
+    pruned up to knife-edge libm ties that the shared-numpy kernel
+    rules out by construction.
+
+    Plan shape — the kNN two-phase idea (knn.py:147) generalized to a
+    geometric coarsening ladder:
+
+    * round k (res_k = res, res−2, … down to SNAP_DIST_RES_MIN): edges
+      emit their cover cells dilated by 1 ring at res_k; OPEN points
+      join on their own cell — the point side never explodes,
+      dense-cell skew lands on a shuffle-hash JOIN exchange (AQE
+      skew-split territory), and the per-point top-1 window keys by
+      point id, uniform by construction.
+    * closure: an edge unseen after round k has no cover cell within
+      hex-distance 1 of the point's cell ⇒ lies wholly in cells at
+      distance ≥ 2 ⇒ its true distance ≥ (1.5·2−2)·s_k·0.995/opn =
+      s_k·0.995/opn (the exact lattice bound, shear-deflated over the
+      cap disk). A point whose best-so-far beats that — and sits
+      inside 0.9·SNAP_D_CAP_M, the shear bound's validity disk — is
+      done. Each step-2 round ~6.9×es the closure radius (EDGE_M
+      ratio²), so the ladder reaches ~320 km in ≤ 4 rounds; the bound
+      depends only on the round's own s_k, so the step changes cost,
+      never correctness.
+    * inverted fallback: points still open after the ladder — or once
+      the open tail is small enough (≤ 2000) that more rounds cost
+      more fixed job overhead than one edge scan — are collected
+      (bounded by SNAP_DIST_FALLBACK_MAX), broadcast, and scanned
+      against the FULL edge DataFrame partition-parallel (small side
+      broadcast, big side streamed — the transpose of the dense
+      strategy), exact per partition, global argmin in the same
+      window.
+
+    The driver loop is over ROUNDS (≤ 4), never over edges or points;
+    per-round actions are two bounded counts. Like dedup_clusters'
+    distributed closure, the operator triggers jobs during
+    construction.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from ..functions import hex_cell
+
+    spark = points.sparkSession
+    edges = edges.persist(StorageLevel.MEMORY_ONLY)
+    n_edges = edges.count()
+    if n_edges == 0:
+        edges.unpersist()
+        raise ValueError("snap: no edges")
+
+    lon = F.col(lon_col)
+    lat = F.col(lat_col)
+    valid = (
+        lon.isNotNull() & lat.isNotNull() & ~F.isnan(lon) & ~F.isnan(lat)
+    )
+    pts = (
+        points.select(F.col(id_col).alias("_pid"), lon.alias("_plon"),
+                      lat.alias("_plat"))
+        .filter(valid)
+        .withColumn("_opn", _opn_cap_expr(F.col("_plon"), F.col("_plat")))
+        .persist(StorageLevel.MEMORY_ONLY)
+    )
+
+    order = (F.col("dist_raw").asc(), F.col("_gid").asc(), F.col("_eidx").asc())
+    w_pid = Window.partitionBy("_pid").orderBy(*order)
+
+    def top1(df):
+        return (
+            df.withColumn("_rk", F.row_number().over(w_pid))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk")
+        )
+
+    best = None
+    open_pts = pts
+    n_open = pts.count()
+    # ladder step 2 (res, res−2, …): each round ~6.9×es the closure
+    # radius instead of 2.6× — half the rounds for the same exactness
+    # (the bound depends only on the round's own s_k), and coarse-round
+    # candidate fan-in stays small because only stragglers remain open
+    ladder = list(range(res, SNAP_DIST_RES_MIN - 1, -2))
+    if ladder[-1] != SNAP_DIST_RES_MIN:
+        ladder.append(SNAP_DIST_RES_MIN)
+    for res_k in ladder:
+        if n_open == 0:
+            break
+        if n_open <= 2000 and best is not None:
+            # straggler tail: the inverted fallback (one scan of the
+            # edge table against a broadcast of the tail) is cheaper
+            # than more ladder rounds of fixed job overhead
+            break
+        covers = _edge_covers(edges, res_k, dilate=1)
+        cand = (
+            open_pts.withColumn(
+                "cell", hex_cell(F.col("_plon"), F.col("_plat"), res_k)
+            )
+            .join(covers.hint("shuffle_hash"), "cell")
+        )
+        scored = cand.select(
+            "_pid", "_gid", "_eidx",
+            _snap_pair_kernel(
+                F.col("_plon"), F.col("_plat"),
+                F.col("_ax"), F.col("_ay"), F.col("_bx"), F.col("_by"),
+            ).alias("_s"),
+        ).select("_pid", "_gid", "_eidx", "_s.*")
+        best_k = top1(scored)
+        best_new = best_k if best is None else top1(
+            best.unionByName(best_k)
+        )
+        # localCheckpoint (the dedup_clusters lineage idiom,
+        # dedup.py:648): each round's best/open reference the previous
+        # round's best AND open, so the un-truncated plan tree grows
+        # ~3x per round — measured: plan-string rendering alone OOMed
+        # an 8g driver by round 4. Truncation keeps every round's plan
+        # flat (LogicalRDD in, one join/window out).
+        best = best_new.localCheckpoint()
+        lb = (
+            F.lit(hexgrid.EDGE_M[res_k] * 0.995) / F.col("_opn")
+        )
+        open_new = (
+            open_pts.join(best.select("_pid", "dist_raw"), "_pid", "left")
+            .filter(
+                F.col("dist_raw").isNull()
+                | ~(
+                    (F.col("dist_raw") < lb)
+                    & (F.col("dist_raw") <= F.lit(0.9 * SNAP_D_CAP_M))
+                )
+            )
+            .drop("dist_raw")
+        )
+        open_pts = open_new.localCheckpoint()
+        n_open = open_pts.count()
+
+    if n_open:
+        if n_open > SNAP_DIST_FALLBACK_MAX:
+            raise ValueError(
+                f"snap distributed: {n_open} points have no edge within "
+                f"~{0.9 * SNAP_D_CAP_M / 1000:.0f} km (> "
+                f"SNAP_DIST_FALLBACK_MAX={SNAP_DIST_FALLBACK_MAX}); the "
+                "point cloud does not match the path network"
+            )
+        rows = open_pts.select("_pid", "_plon", "_plat").collect()
+        fb_ids = np.array([r["_pid"] for r in rows], dtype=object)
+        fb_lon = np.array([r["_plon"] for r in rows], dtype=np.float64)
+        fb_lat = np.array([r["_plat"] for r in rows], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((fb_ids, fb_lon, fb_lat))
+        fb_schema = T.StructType(
+            [
+                T.StructField("_pid", pts.schema["_pid"].dataType),
+                T.StructField("_gid", T.StringType()),
+                T.StructField("_eidx", T.IntegerType()),
+                T.StructField("dist_raw", T.DoubleType()),
+                T.StructField("snap_lon", T.DoubleType()),
+                T.StructField("snap_lat", T.DoubleType()),
+                T.StructField("dist_m", T.DoubleType()),
+            ]
+        )
+
+        def fb(batches):
+            from ..geo.wkt import haversine_m
+
+            ids_l, lon_l, lat_l = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                # lexicographic (gid, eidx) pre-sort: batch-local
+                # argmin's first-min rule then equals the global tie
+                # rule restricted to this batch; the window resolves
+                # across batches
+                srt = np.lexsort(
+                    (pdf["_eidx"].to_numpy(),
+                     pdf["_gid"].to_numpy(dtype=object).astype("U"))
+                )
+                pdf = pdf.iloc[srt]
+                A = np.stack(
+                    [pdf["_ax"].to_numpy("float64"), pdf["_ay"].to_numpy("float64")],
+                    axis=1,
+                )
+                B = np.stack(
+                    [pdf["_bx"].to_numpy("float64"), pdf["_by"].to_numpy("float64")],
+                    axis=1,
+                )
+                gid = pdf["_gid"].to_numpy(dtype=object)
+                eidx = pdf["_eidx"].to_numpy()
+                cl = np.cos(np.radians((A[:, 1] + B[:, 1]) / 2.0))
+                ab = B - A
+                ab_sc = ab.copy()
+                ab_sc[:, 0] *= cl
+                denom = (ab_sc * ab_sc).sum(axis=1)
+                denom[denom == 0.0] = 1.0
+                chunk = max(1, 2_000_000 // max(1, len(pdf)))
+                for lo_i in range(0, len(ids_l), chunk):
+                    hi = lo_i + chunk
+                    plon = lon_l[lo_i:hi]
+                    plat = lat_l[lo_i:hi]
+                    P = np.stack([plon, plat], axis=1)
+                    ap = P[:, None, :] - A[None, :, :]
+                    ap_sc = ap.copy()
+                    ap_sc[..., 0] *= cl[None, :]
+                    t = np.clip(
+                        (ap_sc * ab_sc[None, :, :]).sum(-1) / denom[None, :],
+                        0.0, 1.0,
+                    )
+                    proj = A[None, :, :] + t[..., None] * ab[None, :, :]
+                    d = haversine_m(
+                        P[:, 0:1], P[:, 1:2], proj[..., 0], proj[..., 1]
+                    )
+                    bl = d.argmin(axis=1)
+                    rws = np.arange(len(P))
+                    yield pd.DataFrame(
+                        {
+                            "_pid": ids_l[lo_i:hi],
+                            "_gid": gid[bl],
+                            "_eidx": eidx[bl].astype(np.int32),
+                            "dist_raw": d[rws, bl],
+                            "snap_lon": np.round(proj[rws, bl, 0], 7),
+                            "snap_lat": np.round(proj[rws, bl, 1], 7),
+                            "dist_m": np.round(d[rws, bl], 3),
+                        }
+                    )
+
+        fb_best = edges.mapInPandas(fb, schema=fb_schema)
+        best = fb_best if best is None else best.unionByName(fb_best)
+        best = top1(best)
+
+    # invalid-coordinate rows mirror the dense kernel's contract: the
+    # globally-first edge (dense argmin over all-NaN distances returns
+    # index 0 of the (gid, eidx)-sorted edge arrays) with NULL
+    # snap/dist — the dense kernel's NaNs arrive as SQL NULLs through
+    # the Arrow boundary (pandas' NaN-as-null convention), so the
+    # literal here must be NULL, not NaN, for row equality
+    first = edges.orderBy("_gid", "_eidx").limit(1).first()
+    nanlit = F.lit(None).cast("double")
+    bad = (
+        points.select(F.col(id_col).alias("_pid"), lon.alias("_plon"),
+                      lat.alias("_plat"))
+        .filter(~valid)
+        .select(
+            "_pid",
+            F.lit(first["_gid"]).alias("_gid"),
+            F.lit(int(first["_eidx"])).cast("int").alias("_eidx"),
+            nanlit.alias("snap_lon"),
+            nanlit.alias("snap_lat"),
+            nanlit.alias("dist_m"),
+        )
+    )
+    out = best.select(
+        "_pid", "_gid", F.col("_eidx").cast("int").alias("_eidx"),
+        "snap_lon", "snap_lat", "dist_m",
+    ).unionByName(bad)
+    return out.select(
+        F.col("_pid").alias("feature_id"),
+        F.col("_gid").alias(group_col),
+        F.col("_eidx").alias("edge_idx"),
+        "snap_lon", "snap_lat", "dist_m",
     )

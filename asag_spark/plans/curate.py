@@ -33,28 +33,13 @@ import sys
 import time
 
 
-def main(argv: list[str] | None = None) -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="documents parquet dir")
-    ap.add_argument("--workdir", required=True)
-    ap.add_argument("--n-shards", type=int, default=8)
-    # gopher is the canonical web-corpus gate; topq (keep the top
-    # quality share) suits corpora the absolute rules reject wholesale
-    # (the synthetic bench corpus is repetitious by construction and
-    # gopher's repetition rule drops ~99% of it — real behavior,
-    # wrong demo); none skips the gate
-    ap.add_argument("--quality-gate", choices=["gopher", "topq", "none"],
-                    default="gopher")
-    ap.add_argument("--quality-share", type=float, default=0.8)
-    # input contract (operators/checks.py): stop-the-line before any
-    # curation compute is spent on a malformed corpus snapshot
-    ap.add_argument("--contract", choices=["assert", "off"],
-                    default="assert")
-    ap.add_argument("--master", default=None)
-    args = ap.parse_args(argv)
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))))
+def run(spark, input_path: str, workdir: str, *, n_shards: int = 8,
+        quality_gate: str = "gopher", quality_share: float = 0.8,
+        contract: str = "assert") -> dict:
+    """The curation pipeline body, callable on an EXISTING session
+    (bench.py's curate_e2e leg and tests drive this directly; the CLI
+    wrapper below owns session create/stop). Returns the summary dict
+    main() prints."""
     from pyspark.sql import functions as F
 
     from asag_spark.operators.dedup import (
@@ -65,16 +50,14 @@ def main(argv: list[str] | None = None) -> None:
         split_assign,
     )
     from asag_spark.plans.checkpoint import CheckpointedPipeline
-    from asag_spark.session import get_spark
 
-    spark = get_spark("asag_curate", master=args.master)
     t0 = time.perf_counter()
-    input_fp = hashlib.md5(args.input.encode()).hexdigest()
-    pipe = CheckpointedPipeline(spark, args.workdir, input_fp)
+    input_fp = hashlib.md5(input_path.encode()).hexdigest()
+    pipe = CheckpointedPipeline(spark, workdir, input_fp)
 
-    docs = spark.read.parquet(args.input)
+    docs = spark.read.parquet(input_path)
     counts: dict[str, int] = {}
-    if args.contract == "assert":
+    if contract == "assert":
         from asag_spark.operators.checks import assert_checks
 
         # raises listing every failed rule BEFORE any curation stage
@@ -93,10 +76,10 @@ def main(argv: list[str] | None = None) -> None:
     counts["input"] = n_in
 
     def gated():
-        if args.quality_gate == "none":
+        if quality_gate == "none":
             return docs
-        if args.quality_gate == "topq":
-            keep = quality_topq(docs, share=args.quality_share).select(
+        if quality_gate == "topq":
+            keep = quality_topq(docs, share=quality_share).select(
                 "doc_id"
             )
         else:
@@ -107,7 +90,7 @@ def main(argv: list[str] | None = None) -> None:
 
     cur = pipe.run_stage(
         "quality_gate", gated,
-        params=f"{args.quality_gate}:{args.quality_share}",
+        params=f"{quality_gate}:{quality_share}",
     )
     counts["quality_gate"] = cur.count()
 
@@ -154,19 +137,52 @@ def main(argv: list[str] | None = None) -> None:
     def sharded():
         return (
             cur.join(split_assign(cur), "doc_id")
-            .join(rendezvous_shards(cur, n_shards=args.n_shards), "doc_id")
+            .join(rendezvous_shards(cur, n_shards=n_shards), "doc_id")
         )
 
-    out = pipe.run_stage("split_shard", sharded, params=str(args.n_shards))
+    out = pipe.run_stage("split_shard", sharded, params=str(n_shards))
     counts["output"] = out.count()
 
     wall = time.perf_counter() - t0
-    print(json.dumps({
+    return {
         "funnel": counts,
         "wall_s": round(wall, 3),
         "docs_per_sec": round(n_in / wall, 1),
         "stages": pipe.stage_log,
-    }))
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--n-shards", type=int, default=8)
+    # gopher is the canonical web-corpus gate; topq (keep the top
+    # quality share) suits corpora the absolute rules reject wholesale
+    # (the synthetic bench corpus is repetitious by construction and
+    # gopher's repetition rule drops ~99% of it — real behavior,
+    # wrong demo); none skips the gate
+    ap.add_argument("--quality-gate", choices=["gopher", "topq", "none"],
+                    default="gopher")
+    ap.add_argument("--quality-share", type=float, default=0.8)
+    # input contract (operators/checks.py): stop-the-line before any
+    # curation compute is spent on a malformed corpus snapshot
+    ap.add_argument("--contract", choices=["assert", "off"],
+                    default="assert")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    from asag_spark.session import get_spark
+
+    spark = get_spark("asag_curate", master=args.master)
+    summary = run(
+        spark, args.input, args.workdir, n_shards=args.n_shards,
+        quality_gate=args.quality_gate, quality_share=args.quality_share,
+        contract=args.contract,
+    )
+    print(json.dumps(summary))
     spark.stop()
 
 

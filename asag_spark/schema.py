@@ -48,6 +48,102 @@ SUBMODE_KEYS = [
     "snowAndIceSubmode",
 ]
 
+# NeTEx XSD enumeration domains (public NeTEx schema,
+# netex_framework/part1 *.xsd simple types) for the typed-value
+# validation in netex.validate_delivery — an out-of-domain value fails
+# the delivery loudly instead of flowing through as a silent string
+# (the engine's slice of the reference's full-XSD e2e validation,
+# DeliveryPublicationStreamToGeoJsonTest.java:60-72). Each set carries
+# the XSD's own 'other'/'unknown'/'undefined' members where the
+# enumeration declares them.
+
+# StopTypeEnumeration
+STOP_PLACE_TYPES = frozenset({
+    "onstreetBus", "onstreetTram", "airport", "railStation",
+    "metroStation", "busStation", "coachStation", "tramStation",
+    "harbourPort", "ferryPort", "ferryStop", "liftStation",
+    "vehicleRailInterchange", "taxiStand", "other",
+})
+
+# per-mode *SubmodeEnumeration sets, keyed by the prop-span key
+SUBMODE_DOMAINS: dict[str, frozenset[str]] = {
+    "airSubmode": frozenset({
+        "internationalFlight", "domesticFlight", "intercontinentalFlight",
+        "domesticScheduledFlight", "shuttleFlight", "intercontinentalCharterFlight",
+        "internationalCharterFlight", "roundTripCharterFlight",
+        "sightseeingFlight", "helicopterService", "domesticCharterFlight",
+        "SchengenAreaFlight", "airshipService", "shortHaulInternationalFlight",
+        "canalBarge", "undefined", "unknown", "other",
+    }),
+    "busSubmode": frozenset({
+        "airportLinkBus", "expressBus", "highFrequencyBus", "localBus",
+        "mobilityBus", "mobilityBusForRegisteredDisabled", "nightBus",
+        "postBus", "railReplacementBus", "regionalBus", "schoolBus",
+        "schoolAndPublicServiceBus", "shuttleBus", "sightseeingBus",
+        "specialNeedsBus", "demandAndResponseBus", "undefined", "unknown",
+        "other",
+    }),
+    "coachSubmode": frozenset({
+        "internationalCoach", "nationalCoach", "shuttleCoach",
+        "regionalCoach", "specialCoach", "sightseeingCoach",
+        "touristCoach", "commuterCoach", "undefined", "unknown", "other",
+    }),
+    "funicularSubmode": frozenset({
+        "funicular", "streetCableCar", "allFunicularServices",
+        "undefined", "unknown", "other",
+    }),
+    "metroSubmode": frozenset({
+        "metro", "tube", "urbanRailway", "undefined", "unknown", "other",
+    }),
+    "railSubmode": frozenset({
+        "local", "highSpeedRail", "suburbanRailway", "regionalRail",
+        "interregionalRail", "longDistance", "international",
+        "sleeperRailService", "nightRail", "carTransportRailService",
+        "touristRailway", "airportLinkRail", "railShuttle",
+        "replacementRailService", "specialTrain", "crossCountryRail",
+        "rackAndPinionRailway", "undefined", "unknown", "other",
+    }),
+    "tramSubmode": frozenset({
+        "cityTram", "localTram", "regionalTram", "sightseeingTram",
+        "shuttleTram", "trainTram", "undefined", "unknown", "other",
+    }),
+    "telecabinSubmode": frozenset({
+        "telecabin", "cableCar", "lift", "chairLift", "dragLift",
+        "telecabinLink", "undefined", "unknown", "other",
+    }),
+    "waterSubmode": frozenset({
+        "internationalCarFerry", "nationalCarFerry", "regionalCarFerry",
+        "localCarFerry", "internationalPassengerFerry",
+        "nationalPassengerFerry", "regionalPassengerFerry",
+        "localPassengerFerry", "postBoat", "trainFerry",
+        "roadFerryLink", "airportBoatLink", "highSpeedVehicleService",
+        "highSpeedPassengerService", "sightseeingService", "schoolBoat",
+        "cableFerry", "riverBus", "scheduledFerry", "shuttleFerryService",
+        "undefined", "unknown", "other",
+    }),
+    "snowAndIceSubmode": frozenset({
+        "snowMobile", "snowCat", "snowCoach", "terrainBus",
+        "windsled", "undefined", "unknown", "other",
+    }),
+}
+
+# ParkingVehicleEnumeration (ParkingVehicleTypes is a space-separated
+# list of these)
+PARKING_VEHICLE_TYPES = frozenset({
+    "pedalCycle", "moped", "motorcycle", "motorcycleWithSidecar",
+    "motorScooter", "twoWheeledVehicle", "threeWheeledVehicle", "car",
+    "smallCar", "passengerCar", "largeCar", "fourWheelDrive", "taxi",
+    "camperCar", "carWithTrailer", "carWithCaravan", "minibus", "bus",
+    "van", "largeVan", "highSidedVehicle", "lightGoodsVehicle",
+    "heavyGoodsVehicle", "truck", "agriculturalVehicle", "tanker",
+    "tram", "articulatedVehicle", "vehicleWithTrailer",
+    "lightGoodsVehicleWithTrailer", "heavyGoodsVehicleWithTrailer",
+    "allPassengerVehicles", "all", "undefined", "other", "unknown",
+})
+
+# CoveredEnumeration
+COVERED_VALUES = frozenset({"indoors", "outdoors", "covered", "mixed"})
+
 # The fixed NeTEx property key set carried in prop spans (FIXTURES.md
 # span encoding; mirrors the reference's bean fields). ``props`` is a
 # typed struct over these keys, not map<string,string>: consumers read

@@ -44,6 +44,99 @@ def bench_docs_path(spark) -> str:
     return path
 
 
+def _task_skew_check(spark, run, group: str = "skewcheck") -> dict:
+    """SURVEY §7.3's promise, implemented: run the flagship stage once
+    under a dedicated job group with event logging on, parse the event
+    log's TaskEnd records for that group's stages, and assert no single
+    task ran longer than x̄ + 4σ of its stage — the measured evidence
+    that the salted-repartition path (SURVEY §4.2) actually flattens
+    the Zipf-skewed cell distribution at local[32].
+
+    The literal x̄ + 4σ rule alone would flag perfectly-flat stages
+    (32 identical 100 ms tasks, one at 101 ms: σ≈0.2 ms → violation),
+    so a violation additionally requires the max to exceed the mean by
+    an absolute scheduler-jitter floor (250 ms) and a 1.25× ratio —
+    i.e. the assertion fires on genuine stragglers, not timer noise.
+    Returns the per-stage stats for BENCH extras; raises RuntimeError
+    on violation unless ASAG_BENCH_SKEW_ASSERT=0."""
+    import glob
+    import math
+
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "task-skew assertion run")
+    try:
+        run()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+
+    stages_of_group: set[int] = set()
+    durs: dict[int, list[float]] = {}
+    # Spark 4 writes a rolling event-log DIRECTORY per app
+    # (eventlog_v2_<appid>/events_*); walk everything readable
+    paths = [
+        p for p in glob.glob("/tmp/asag_bench/eventlog/**", recursive=True)
+        if os.path.isfile(p) and "appstatus" not in os.path.basename(p)
+    ]
+    for path in paths:
+        with open(path, errors="replace") as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except ValueError:
+                    continue
+                e = ev.get("Event")
+                if e == "SparkListenerJobStart":
+                    props = ev.get("Properties") or {}
+                    if props.get("spark.jobGroup.id") == group:
+                        stages_of_group.update(ev.get("Stage IDs") or [])
+                elif e == "SparkListenerTaskEnd":
+                    sid = ev.get("Stage ID")
+                    if sid not in stages_of_group:
+                        continue
+                    if (ev.get("Task End Reason") or {}).get("Reason") != "Success":
+                        continue
+                    ti = ev.get("Task Info") or {}
+                    d = float(ti.get("Finish Time", 0)) - float(
+                        ti.get("Launch Time", 0)
+                    )
+                    if d > 0:
+                        durs.setdefault(sid, []).append(d)
+
+    stats, violations = [], []
+    for sid in sorted(durs):
+        ds = durs[sid]
+        n = len(ds)
+        mean = sum(ds) / n
+        var = sum((x - mean) ** 2 for x in ds) / n
+        std = math.sqrt(var)
+        mx = max(ds)
+        bad = (
+            n >= 16
+            and mx > mean + 4.0 * std
+            and mx > 1.25 * mean
+            and mx - mean > 250.0
+        )
+        stats.append(
+            {
+                "stage": sid,
+                "n_tasks": n,
+                "mean_ms": round(mean, 1),
+                "std_ms": round(std, 1),
+                "max_ms": round(mx, 1),
+                "max_over_mean": round(mx / mean, 3) if mean else None,
+                "violation": int(bad),
+            }
+        )
+        if bad:
+            violations.append(sid)
+    if violations and os.environ.get("ASAG_BENCH_SKEW_ASSERT", "1") != "0":
+        raise RuntimeError(
+            f"task-skew assertion failed (SURVEY §7.3): stages {violations} "
+            f"have a task > x̄ + 4σ: {stats}"
+        )
+    return {"task_skew_stages": stats, "task_skew_violations": len(violations)}
+
+
 def main() -> None:
     # 16m split size: the bench parquet files are small, and the default
     # 128m bin-packing collapses the scan (and with it the Arrow
@@ -68,10 +161,20 @@ def main() -> None:
     )
     os.environ["ASAG_DRIVER_MEM"] = heap_gb
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    # event log feeds _task_skew_check's per-task durations (the UI —
+    # and with it the REST taskList — is off for speed); cleared per
+    # run so the parse only ever sees this session
+    import shutil
+
+    shutil.rmtree("/tmp/asag_bench/eventlog", ignore_errors=True)
+    os.makedirs("/tmp/asag_bench/eventlog", exist_ok=True)
     spark = get_spark("asag_bench", master=f"local[{CPUS}]",
                       shuffle_partitions=max(CPUS, 16),
                       extra_conf={
                           "spark.sql.files.maxPartitionBytes": "16m",
+                          "spark.eventLog.enabled": "true",
+                          "spark.eventLog.compress": "false",
+                          "spark.eventLog.dir": "file:///tmp/asag_bench/eventlog",
                           "spark.local.dir": "/dev/shm/spark-local",
                           "spark.driver.extraJavaOptions":
                               "-XX:ReservedCodeCacheSize=1g "
@@ -207,6 +310,10 @@ def main() -> None:
     tiled = assign_tiles(feats)
     timed("tile_assignment", lambda: materialize(tiled), warm=2)
     extras["docs_per_sec_tile_assignment"] = round(N_DOCS / timings["tile_assignment"], 1)
+    # SURVEY §7.3: per-task skew assertion on the (already warm)
+    # flagship stage — one extra materialize under a job group, stats
+    # into extras, RuntimeError if any stage grew a straggler
+    extras.update(_task_skew_check(spark, lambda: materialize(tiled)))
 
     # Materialize the tiled feature table once, as the checkpointed job
     # does (plans/job.py stage boundary): downstream stages read the
@@ -261,6 +368,33 @@ def main() -> None:
     extras["dense_cloud_edges"] = 4 * 50 * 50
     snap_cloud = snap_to_boundary(feats_pts, dense_zones)
     timed("boundary_snap_cloud", lambda: materialize(snap_cloud), warm=2)
+
+    # 2e. the DISTRIBUTED snap at a >10^5-edge cadastre (VERDICT r04
+    # #1's done-criterion): 25.6k zones / 102.4k edges trip the second
+    # auto gate, so the edge index builds executor-side (no driver
+    # collect, no dense broadcast) and the search runs the coarsening
+    # ladder. The operator runs jobs during construction (per-round
+    # closure counts), so the build is INSIDE the timed lambda — the
+    # index-build cost the round-4 verdict wanted recorded is part of
+    # this number, split out in extras.
+    from asag_spark.operators.pip import snap_to_boundary as _snap_fn
+
+    huge_zones = generate_dense_zone_grid(spark, nx=160, ny=160)
+    # deterministic 1-in-5 point subsample: the leg's subject is the
+    # EDGE-scale plan (index build + ladder at 102k edges); the point
+    # fan-in is already priced by boundary_snap/boundary_snap_cloud
+    snap_dist_pts = feats_pts.filter(
+        F.pmod(F.xxhash64("feature_id"), F.lit(5)) == 0
+    )
+
+    def run_snap_dist():
+        t_b = time.perf_counter()
+        sd = _snap_fn(snap_dist_pts, huge_zones, mode="distributed")
+        extras["snap_dist_ladder_s"] = round(time.perf_counter() - t_b, 3)
+        materialize(sd)
+
+    timed("boundary_snap_dist", run_snap_dist, warm=1)
+    extras["snap_dist_edges"] = 4 * 160 * 160
 
     # 3. kNN on a deterministic 1-in-20 subsample (bounded-radius contract)
     sample = feats_pts.filter(F.pmod(F.xxhash64("feature_id"), F.lit(20)) == 0)
@@ -648,6 +782,38 @@ def main() -> None:
         lambda: materialize(train_shuffle(ids, n_shards=64)),
         warm=1,
     )
+
+    # 5b. curation driver end-to-end (plans/curate.py): the composed
+    # gates→scrub→dedup→shard pipeline users actually run — benched as
+    # one number so the COMPOSITION has evidence, not just the unit
+    # ops (VERDICT r04 #7). Workdir cleared per run: the checkpoint
+    # resume path would otherwise skip every stage after the warm run.
+    import shutil as _sh
+
+    from asag_spark.plans import curate as _curate
+
+    curate_dir = "/tmp/asag_bench/curate_e2e"
+    curate_summary: dict = {}
+
+    def run_curate():
+        _sh.rmtree(curate_dir, ignore_errors=True)
+        curate_summary.clear()
+        curate_summary.update(_curate.run(
+            spark, f"{SF_DIR}/documents.parquet", curate_dir,
+            quality_gate="topq",
+        ))
+
+    timed("curate_e2e", run_curate, warm=1)
+    extras["curate_funnel"] = curate_summary.get("funnel")
+    extras["curate_stage_s"] = {
+        s["stage"]: round(s.get("wall_ms", 0) / 1000.0, 3)
+        for s in curate_summary.get("stages", [])
+        if isinstance(s, dict)
+    }
+    n_cur_in = (curate_summary.get("funnel") or {}).get("input", 0)
+    extras["curate_docs_per_sec"] = round(
+        n_cur_in / timings["curate_e2e"], 1
+    ) if n_cur_in else None
 
     # 6. relational headliners
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")

@@ -459,6 +459,61 @@ def test_snap_to_boundary_pruned_parity(spark):
     # (100 zones x 4 edges = 400 > 100) and must stay row-identical
     auto = canon(snap_to_boundary(pts, zones, dense_max_edges=100))
     assert auto == dense
+    # three-way sweep (VERDICT r04 #1): the fully-distributed strategy
+    # (executor-built edge index, coarsening-ladder search, inverted
+    # broadcast fallback for the >cap far points) must emit the exact
+    # same rows — the pair kernel mirrors the dense float math, so
+    # winners and tie-breaks agree, and the far points exercise the
+    # fallback scan while P:null exercises the invalid-row mirror
+    distributed = canon(snap_to_boundary(pts, zones, mode="distributed"))
+    assert distributed == dense
+    # the second auto gate (edge-count estimate > dist_min_edges)
+    # must route to the same place without collecting the edge set
+    auto_dist = canon(snap_to_boundary(pts, zones, dist_min_edges=100))
+    assert auto_dist == dense
+
+
+def test_snap_to_lines_distributed_parity(spark):
+    """snap_to_lines rides the same distributed engine: open polylines
+    explode to K-1 segments executor-side and match the dense kernel
+    row-for-row, including the line-id tie rule."""
+    import math
+
+    import numpy as np
+
+    from asag_spark.operators.pip import snap_to_lines
+
+    lines = []
+    rng = np.random.default_rng(17)
+    for i in range(40):
+        x0 = 9.8 + rng.uniform(0, 1.6)
+        y0 = 59.4 + rng.uniform(0, 0.9)
+        verts = [(x0, y0)]
+        for _ in range(4):
+            x0 += rng.uniform(-0.05, 0.05)
+            y0 += rng.uniform(-0.03, 0.03)
+            verts.append((x0, y0))
+        wkt = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in verts) + ")"
+        lines.append((f"L:{i:02d}", wkt))
+    ldf = spark.createDataFrame(lines, "line_id string, geom_wkt string")
+    n = 150
+    lon = rng.uniform(9.7, 11.6, n)
+    lat = rng.uniform(59.3, 60.4, n)
+    rows = [(f"P:{i:03d}", float(lon[i]), float(lat[i])) for i in range(n)]
+    rows += [("P:far", 24.0, 70.0), ("P:null", None, None)]
+    pts = spark.createDataFrame(
+        rows, "feature_id string, lon double, lat double"
+    )
+
+    def canon(df):
+        return sorted(
+            tuple("nan" if isinstance(v, float) and math.isnan(v) else v
+                  for v in row)
+            for row in df.collect()
+        )
+
+    dense = canon(snap_to_lines(pts, ldf, mode="dense"))
+    assert canon(snap_to_lines(pts, ldf, mode="distributed")) == dense
 
 
 def test_cell_center_exact_roundtrip():

@@ -102,9 +102,10 @@ def main() -> None:
     if not args.report_only:
         for i in range(args.runs):
             r = run_once(raw)
+            ex = r.get("extras", {})
             print(f"run {i + 1}/{args.runs}: wall={r.get('value')} "
-                  f"membw={r.get('host_membw_ms_start')} "
-                  f"degraded={r.get('host_degraded')}")
+                  f"membw={ex.get('host_membw_ms_start')} "
+                  f"degraded={ex.get('host_degraded')}")
     report(raw, md, args.rnd)
 
 
